@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** User-agent classification as pure column expressions.
+  *
+  * The reference leans on the `user_agents` Python library
+  * (reference elb_logs.py:16,119-121) for `ua_browser_family` /
+  * `ua_os_family` with an `'Other'` fallback. We re-express the rule
+  * table as a `when`-chain over codegen'd `rlike` predicates — no UDF, so
+  * the whole projection stays inside WholeStageCodegen. The rule subset
+  * covers the major browser/OS families; anything unmatched is `Other`
+  * (the golden test pins "Datadog Agent/7.54.0" → Other/Other,
+  * reference tests/test_elb_logs.py:26).
+  *
+  * Order matters: Edge/Opera UAs also contain "Chrome", Android UAs also
+  * contain "Linux" — more specific rules come first, mirroring how
+  * ua-parser orders its regexes.
+  */
+object Ua {
+
+  def browserFamily(ua: Column): Column =
+    when(ua.isNull, lit("Other"))
+      .when(ua.rlike("Edge?/"), lit("Edge"))
+      .when(ua.rlike("OPR/|Opera"), lit("Opera"))
+      .when(ua.rlike("CriOS/"), lit("Chrome Mobile iOS"))
+      .when(ua.rlike("Chromium/"), lit("Chromium"))
+      .when(ua.rlike("Chrome/"), lit("Chrome"))
+      .when(ua.rlike("FxiOS/"), lit("Firefox iOS"))
+      .when(ua.rlike("Firefox/"), lit("Firefox"))
+      .when(ua.rlike("MSIE |Trident/"), lit("IE"))
+      .when(ua.rlike("Version/.*Safari/|Safari/"), lit("Safari"))
+      .when(ua.rlike("^curl/"), lit("curl"))
+      .when(ua.rlike("^Wget/"), lit("Wget"))
+      .when(ua.rlike("^python-requests/"), lit("Python Requests"))
+      .when(ua.rlike("^Python-urllib/"), lit("Python-urllib"))
+      .otherwise(lit("Other"))
+
+  def osFamily(ua: Column): Column =
+    when(ua.isNull, lit("Other"))
+      .when(ua.rlike("Windows NT|Windows Phone"), lit("Windows"))
+      .when(ua.rlike("Android"), lit("Android"))
+      .when(ua.rlike("iPhone|iPad|iPod|iOS"), lit("iOS"))
+      .when(ua.rlike("Mac OS X"), lit("Mac OS X"))
+      .when(ua.rlike("CrOS"), lit("Chrome OS"))
+      .when(ua.rlike("Linux|X11"), lit("Linux"))
+      .otherwise(lit("Other"))
+
+  /** Bot predicate — any of the reference's 11 lowercase keywords in the
+    * UA (reference elb_logs.py:122-126). `bot` subsumes `googlebot`.
+    */
+  def isBot(ua: Column): Column =
+    coalesce(
+      lower(ua).rlike(
+        "bot|crawler|spider|python-urllib|datadog|pingdom|uptimerobot|newrelic|monitoring|nagios"),
+      lit(false))
+
+  /** Health-check exclusion predicate: true ⇒ KEEP the row. Null UA is
+    * kept (the reference's `na=False`, elb_logs.py:245-248).
+    */
+  def keepNonHealthCheck(ua: Column): Column =
+    !coalesce(lower(ua).rlike("datadog|healthchecker|kube-probe|aws-elb"), lit(false))
+}

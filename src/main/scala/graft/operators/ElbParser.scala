@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ElbSchema
+import graft.functions.{ElbColumns => F, Ua}
+
+/** The reference's per-record parse path (`parse_log_line`,
+  * reference elb_logs.py:74-132) re-expressed as one declarative
+  * column-expression pipeline: tokenize → arity check → schema zip →
+  * timestamp parse → numeric coercion → IP extract → request/URL
+  * decompose → UA classify + bot flag → lineage.
+  *
+  * Malformed rows are dropped, never thrown (PERMISSIVE semantics):
+  * short lines, unparseable `time`, or a non-sentinel unparseable float
+  * all eliminate the row — the exact failure surface of the reference's
+  * try/except → None.
+  *
+  * Everything is builtin Catalyst expressions, so the whole parse is one
+  * WholeStageCodegen span over the text scan: no shuffle, no UDF, scales
+  * linearly with input splits.
+  */
+object ElbParser {
+
+  /** Parse a DataFrame of raw log lines.
+    *
+    * @param lines must contain `lineCol` (string); if a
+    *              `log_source_file` column is present it is carried
+    *              through (reference elb_logs.py:128).
+    */
+  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val hasSource = lines.columns.contains("log_source_file")
+    val withSource =
+      if (hasSource) lines
+      else lines.withColumn("log_source_file", input_file_name())
+
+    val toks = withSource
+      .withColumn("_tokens", F.elbTokenizeUnquoted(col(lineCol)))
+      .filter(size(col("_tokens")) >= ElbSchema.columns.size)
+
+    // Zip the first 29 tokens onto the declared schema in one projection
+    // (reference elb_logs.py:80); quotes were already stripped during
+    // tokenization.
+    val raw = toks.select(
+      col("log_source_file") +:
+        ElbSchema.columns.zipWithIndex.map { case (name, i) =>
+          get(col("_tokens"), lit(i)).as(name)
+        }: _*)
+
+    val floatOk = ElbSchema.floatColumns
+      .map(c => F.floatRowOk(col(c)))
+      .reduce(_ && _)
+
+    val parsedTime = raw
+      .withColumn("time", F.parseElbTime(col("time")))
+      .filter(col("time").isNotNull)           // strict strptime → row drop
+      .filter(floatOk)                          // float() raise → row drop
+      .withColumn("request_creation_time", F.parseLenientTime(col("request_creation_time")))
+
+    val coerced = parsedTime
+      .withColumns(ElbSchema.floatColumns.map(c => c -> F.coerceFloat(col(c))).toMap)
+      .withColumns(ElbSchema.intColumns.map(c => c -> F.coerceInt(col(c))).toMap)
+      .withColumn("client_ip", F.clientIp(col("client_ip_port")))
+
+    // Request decomposition (reference elb_logs.py:103-116): the quoted
+    // request must split into exactly method/url/version, else every
+    // derived field stays null (the reference's bare `except: pass`).
+    val parts = split(col("request"), " ")
+    val valid = size(parts) === 3
+    def ifValid(c: Column): Column = when(valid, c)
+
+    val url = get(parts, lit(1))
+    val decomposed = coerced
+      .withColumn("http_method", ifValid(get(parts, lit(0))))
+      .withColumn("full_url", ifValid(url))
+      .withColumn("http_version", ifValid(get(parts, lit(2))))
+      .withColumn("protocol", ifValid(coalesce(parse_url(url, lit("PROTOCOL")), lit(""))))
+      .withColumn("hostname", ifValid(lower(parse_url(url, lit("HOST")))))
+      .withColumn("port", ifValid(F.urlPort(url)))
+      .withColumn("path", ifValid(coalesce(parse_url(url, lit("PATH")), lit(""))))
+      .withColumn("query_params", ifValid(coalesce(parse_url(url, lit("QUERY")), lit(""))))
+
+    decomposed
+      .withColumn("ua_browser_family", Ua.browserFamily(col("user_agent")))
+      .withColumn("ua_os_family", Ua.osFamily(col("user_agent")))
+      .withColumn("is_bot", Ua.isBot(col("user_agent")))
+      .drop("_tokens", lineCol)
+  }
+
+  /** Not-null + health-check filters, status bucketing, WAF flag
+    * (reference `filter_categorize_df`, elb_logs.py:241-257). Kept
+    * separate from [[parse]] so Catalyst can push these predicates below
+    * the enrichment join, which the reference runs first (SURVEY.md §4).
+    */
+  def filterCategorize(df: DataFrame): DataFrame =
+    df.filter(col("client_ip").isNotNull && col("request").isNotNull)
+      .filter(Ua.keepNonHealthCheck(col("user_agent")))
+      .withColumn("status_code_type", F.categorizeStatus(col("elb_status_code")))
+      .withColumn("waf_blocked", F.wafBlocked(col("classification_reason")))
+
+  /** Wall-clock time features in US/Eastern (reference
+    * `extract_time_features`, elb_logs.py:295-303). Instants stay UTC in
+    * `time`; only the derived features see the zone conversion
+    * (SURVEY.md §7.4 trap 3).
+    */
+  def extractTimeFeatures(df: DataFrame): DataFrame = {
+    val eastern = from_utc_timestamp(col("time"), "America/New_York")
+    df.withColumn("request_year", year(eastern))
+      .withColumn("request_month", month(eastern))
+      .withColumn("request_day", dayofmonth(eastern))
+      .withColumn("request_hour", hour(eastern))
+      .withColumn("request_day_of_week", date_format(eastern, "EEEE"))
+      .withColumn("request_day_of_week_num", weekday(eastern))
+      .withColumn("request_week_of_year", weekofyear(eastern))
+  }
+
+  /** reference `calculate_processing_times` (elb_logs.py:305-308). */
+  def calculateProcessingTimes(df: DataFrame): DataFrame =
+    df.withColumn("total_processing_time",
+      F.totalProcessingTime(
+        col("request_processing_time"),
+        col("target_processing_time"),
+        col("response_processing_time")))
+
+  /** reference `add_path_features` (elb_logs.py:318-324). */
+  def addPathFeatures(df: DataFrame): DataFrame =
+    df.withColumn("path_depth", F.pathDepth(col("path")))
+      .withColumn("path_main_segment", F.pathMainSegment(col("path")))
+}

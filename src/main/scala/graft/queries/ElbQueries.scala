@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.ElbParser
+
+/** Driver-contract queries exercising the ELB parse/classify/feature
+  * pipeline end-to-end on synthesized lines (see [[ElbSynth]]).
+  *
+  * The Spark side builds lines from `events` and runs the REAL parser;
+  * the DuckDB oracle computes the expected output directly from events
+  * columns — an independent derivation, so any tokenizer/coercion/URL
+  * semantic drift shows up as a value mismatch.
+  */
+object ElbQueries {
+
+  private def parsed(spark: SparkSession, sfDir: String): DataFrame =
+    ElbParser.parse(ElbSynth.lines(Tables.events(spark, sfDir)))
+
+  def elbParse(spark: SparkSession, sfDir: String): DataFrame =
+    parsed(spark, sfDir).select(
+      "elb", "time", "client_ip",
+      "request_processing_time", "target_processing_time", "response_processing_time",
+      "elb_status_code", "target_status_code", "received_bytes", "sent_bytes",
+      "http_method", "full_url", "http_version", "protocol", "hostname",
+      "port", "path", "query_params", "request_creation_time", "log_source_file")
+
+  def elbClassify(spark: SparkSession, sfDir: String): DataFrame =
+    ElbParser.filterCategorize(parsed(spark, sfDir)).select(
+      "elb", "user_agent", "ua_browser_family", "ua_os_family",
+      "is_bot", "status_code_type", "waf_blocked")
+
+  def elbFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = ElbParser.addPathFeatures(
+      ElbParser.calculateProcessingTimes(
+        ElbParser.extractTimeFeatures(parsed(spark, sfDir))))
+    df.select(
+      "elb", "request_year", "request_month", "request_day", "request_hour",
+      "request_day_of_week", "request_day_of_week_num", "request_week_of_year",
+      "total_processing_time", "path_depth", "path_main_segment")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "elb_parse" -> elbParse,
+    "elb_classify" -> elbClassify,
+    "elb_features" -> elbFeatures
+  )
+
+  // -- oracle SQL (DuckDB dialect) ------------------------------------
+  // Shared fragments: expected values derived straight from events.
+
+  private val key = "'app/elb-' || event_id"
+  private val statusCase =
+    """CASE WHEN event_id % 13 = 0 THEN NULL ELSE
+      | CASE event_type WHEN 'click' THEN 200 WHEN 'view' THEN 301
+      |  WHEN 'purchase' THEN 201 WHEN 'signup' THEN 204
+      |  WHEN 'error' THEN 503 ELSE 418 END END""".stripMargin
+  private val pathCase =
+    """CASE event_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/' WHEN 2 THEN '/api'
+      | WHEN 3 THEN '/api/v1/items' WHEN 4 THEN '/assets/img/logo.png'
+      | ELSE '/search' END""".stripMargin
+  private val uaCase =
+    """CASE event_id % 6
+      | WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+      | WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15'
+      | WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0'
+      | WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+      | WHEN 4 THEN 'Datadog Agent/7.54.0'
+      | ELSE 'curl/8.0.1' END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "elb_parse" ->
+      s"""SELECT $key AS elb, ts AS time,
+         |  '10.' || (user_id % 200) || '.' || (event_id % 250) || '.' || ((event_id*7) % 250) AS client_ip,
+         |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE 0.001 END AS request_processing_time,
+         |  CAST('0.' || lpad((event_id % 500)::VARCHAR, 3, '0') AS DOUBLE) AS target_processing_time,
+         |  0.0 AS response_processing_time,
+         |  $statusCase AS elb_status_code,
+         |  $statusCase AS target_status_code,
+         |  event_id % 10000 AS received_bytes,
+         |  (event_id*3) % 100000 AS sent_bytes,
+         |  CASE WHEN event_id % 5 = 0 THEN 'POST' ELSE 'GET' END AS http_method,
+         |  'https://svc' || (user_id % 5) || '.example.com'
+         |    || CASE WHEN event_id % 4 = 0 THEN ':443' ELSE '' END
+         |    || $pathCase
+         |    || CASE WHEN event_id % 3 = 0 THEN '?q=' || (event_id % 11) ELSE '' END AS full_url,
+         |  'HTTP/1.1' AS http_version,
+         |  'https' AS protocol,
+         |  'svc' || (user_id % 5) || '.example.com' AS hostname,
+         |  CASE WHEN event_id % 4 = 0 THEN 443 ELSE NULL END AS port,
+         |  $pathCase AS path,
+         |  CASE WHEN event_id % 3 = 0 THEN 'q=' || (event_id % 11) ELSE '' END AS query_params,
+         |  ts AS request_creation_time,
+         |  'synthetic.log.gz' AS log_source_file
+         |FROM events WHERE ${ElbSynth.survivorsWhere}""".stripMargin,
+    "elb_classify" ->
+      s"""SELECT $key AS elb, $uaCase AS user_agent,
+         |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+         |   WHEN 2 THEN 'Firefox' WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_browser_family,
+         |  CASE event_id % 6 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+         |   WHEN 2 THEN 'Linux' ELSE 'Other' END AS ua_os_family,
+         |  event_id % 6 IN (3, 4) AS is_bot,
+         |  CASE WHEN event_id % 13 = 0 THEN 'Unknown' ELSE
+         |   CASE event_type WHEN 'click' THEN '2xx_Success' WHEN 'view' THEN '3xx_Redirection'
+         |    WHEN 'purchase' THEN '2xx_Success' WHEN 'signup' THEN '2xx_Success'
+         |    WHEN 'error' THEN '5xx_ServerError' ELSE '4xx_ClientError' END END AS status_code_type,
+         |  (event_id % 11 = 0 OR event_id % 11 = 5) AS waf_blocked
+         |FROM events WHERE ${ElbSynth.survivorsWhere} AND event_id % 6 <> 4""".stripMargin,
+    "elb_features" ->
+      s"""WITH ny AS (SELECT *, (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS e
+         |            FROM events WHERE ${ElbSynth.survivorsWhere})
+         |SELECT $key AS elb,
+         |  year(e) AS request_year, month(e) AS request_month,
+         |  day(e) AS request_day, hour(e) AS request_hour,
+         |  dayname(e) AS request_day_of_week,
+         |  isodow(e) - 1 AS request_day_of_week_num,
+         |  weekofyear(e) AS request_week_of_year,
+         |  (CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE 0.001 END
+         |    + CAST('0.' || lpad((event_id % 500)::VARCHAR, 3, '0') AS DOUBLE)) + 0.0
+         |    AS total_processing_time,
+         |  CASE event_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1
+         |   WHEN 3 THEN 3 WHEN 4 THEN 3 ELSE 1 END AS path_depth,
+         |  CASE event_id % 6 WHEN 2 THEN 'api' WHEN 3 THEN 'api'
+         |   WHEN 4 THEN 'assets' WHEN 5 THEN 'search' ELSE '' END AS path_main_segment
+         |FROM ny""".stripMargin
+  )
+}
