@@ -44,8 +44,38 @@ object EventQueries {
       .withColumn("avg_value", col("sum_value") / col("request_count"))
   }
 
+  /** Sessionization (SURVEY.md §2 ops 35, 39, 40) over events:
+    * user_id ≈ client_ip, ts ≈ time. Exposes the full gaps-and-islands
+    * derivation so the oracle checks every intermediate.
+    */
+  def sessionizeQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sessionize.sessionize(
+        Tables.events(spark, sfDir),
+        keyCol = "user_id", timeCol = "ts", tieBreak = col("event_id"))
+      .select("event_id", "user_id", "ts",
+        "time_diff_micros", "new_session", "session_number", "session_id")
+
+  /** Trailing rolling-window features (ops 36-38) with the pandas
+    * left-open frame. Averages are derived from an exact decimal sum so
+    * the DuckDB comparison is bit-stable regardless of each engine's
+    * window summation order.
+    */
+  def rollingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Rolling
+    val e = Tables.events(spark, sfDir)
+    val w5 = Rolling.trailing(col("user_id"), col("ts"), Rolling.FiveMinutes)
+    val w1 = Rolling.trailing(col("user_id"), col("ts"), Rolling.OneHour)
+    e.withColumn("rolling_5min_count", count(col("event_id")).over(w5))
+      .withColumn("rolling_1h_avg_value",
+        sum(col("value").cast("decimal(12,2)")).over(w1).cast("double")
+          / count(col("value")).over(w1))
+      .select("event_id", "user_id", "ts", "rolling_5min_count", "rolling_1h_avg_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hourly_agg" -> hourlyAgg
+    "hourly_agg" -> hourlyAgg,
+    "sessionize" -> sessionizeQ,
+    "rolling_window" -> rollingQ
   )
 
   val oracle: Map[String, String] = Map(
@@ -61,6 +91,35 @@ object EventQueries {
         |  count(*) FILTER (value <= 10) AS count_lo,
         |  round(sum(value), 3) / count(user_id) AS avg_value
         |FROM events
-        |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "sessionize" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |    coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS time_diff_micros
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, time_diff_micros > 1800000000 AS new_session FROM d
+        |)
+        |SELECT event_id, user_id, ts, time_diff_micros, new_session,
+        |  CAST(sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_number,
+        |  user_id || '_s' ||
+        |  CAST(sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM s""".stripMargin,
+    "rolling_window" ->
+      """SELECT event_id, user_id, ts,
+        |  count(event_id) OVER w5 AS rolling_5min_count,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w1 AS DOUBLE)
+        |    / count(value) OVER w1 AS rolling_1h_avg_value
+        |FROM events
+        |WINDOW
+        |  w5 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW),
+        |  w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }
