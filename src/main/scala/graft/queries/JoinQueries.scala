@@ -1,0 +1,115 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.GeoCache
+import graft.sources.StaticGeoProvider
+
+/** Driver-contract queries for the join/cache surface (SURVEY.md §2.3 +
+  * op 8, op 9, op 32): broadcast left enrichment join, anti-join
+  * new-key detection, keyed upsert keep-newest, distinct, and the full
+  * geolocation refresh cycle with a deterministic provider.
+  */
+object JoinQueries {
+
+  /** op 29: left outer equi-join, small build side broadcast. */
+  def joinEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus",
+        "c_name", "c_mktsegment", "c_acctbal")
+  }
+
+  /** op 30: distinct keys absent from the other side (LEFT ANTI). */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).where(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+  }
+
+  /** op 8: keyed upsert keep-newest via GeoCache.upsert — odd orderkeys
+    * play the old cache, even the fresh batch; keep the newest
+    * o_orderdate per customer (ties → old side, then highest orderkey).
+    */
+  def cacheUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val old = o.where(col("o_orderkey") % 2 === 1)
+    val fresh = o.where(col("o_orderkey") % 2 === 0)
+    GeoCache.upsert(old, fresh,
+        keyCol = "o_custkey", tsCol = "o_orderdate",
+        tieBreak = Seq(col("o_orderkey").desc))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+  }
+
+  /** op 32: distinct. */
+  def distinctKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select("user_id").distinct()
+
+  /** The injected clock replacing pd.Timestamp.now() (SURVEY.md §7.4/5). */
+  val FixedClock: Timestamp = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** ops 9+30+8+29 as one cycle: derive client IPs from events, detect
+    * new ones against an empty cache, fetch them through the
+    * deterministic StaticGeoProvider (single-partition, rate-limit
+    * shaped), upsert, then broadcast-enrich the event stream.
+    */
+  def geoEnrichment(spark: SparkSession, sfDir: String): DataFrame = {
+    val logs = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      concat(lit("10."), col("user_id") % 200, lit("."), col("event_id") % 250,
+        lit("."), (col("event_id") * 7) % 250).as("client_ip"))
+    val empty = GeoCache.load(spark, s"$sfDir/_no_such_cache_")
+    val cache = GeoCache.refresh(logs, empty, StaticGeoProvider(FixedClock))
+    GeoCache.enrich(logs, cache)
+      .select("event_id", "client_ip", "countryCode", "countryName",
+        "regionName", "city", "lat", "lon", "isp", "api_fetch_timestamp")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_enrich" -> joinEnrich,
+    "anti_join" -> antiJoin,
+    "cache_upsert" -> cacheUpsert,
+    "distinct_keys" -> distinctKeys,
+    "geo_enrichment" -> geoEnrichment
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_enrich" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  c_name, c_mktsegment, c_acctbal
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
+    "cache_upsert" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey % 2 DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "distinct_keys" -> "SELECT DISTINCT user_id FROM events",
+    "geo_enrichment" ->
+      """WITH oct AS (
+        |  SELECT event_id,
+        |    user_id % 200 AS b, event_id % 250 AS c, (event_id*7) % 250 AS d
+        |  FROM events)
+        |SELECT event_id,
+        |  '10.' || b || '.' || c || '.' || d AS client_ip,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'C' || (d % 5) END AS countryCode,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'Country-' || (d % 5) END AS countryName,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'R' || (c % 10) END AS regionName,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'City-' || ((c + d) % 20) END AS city,
+        |  CASE WHEN d % 97 = 0 THEN NULL ELSE (d % 180) - 90 + 0.5 END AS lat,
+        |  CASE WHEN d % 97 = 0 THEN NULL ELSE (c % 360) - 180 + 0.25 END AS lon,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'ISP-' || (b % 3) END AS isp,
+        |  TIMESTAMP '2026-01-01 00:00:00' AS api_fetch_timestamp
+        |FROM oct""".stripMargin
+  )
+}

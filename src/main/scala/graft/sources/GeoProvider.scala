@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+/** One geolocation record, keyed by `client_ip`
+  * (reference elb_logs.py:157-163,174-209; FIXTURES.md §2). API failure
+  * yields the `"Error"` sentinel strings with null lat/lon — a real row,
+  * not an absent one, so the cache remembers failed lookups too.
+  */
+case class GeoRecord(
+    client_ip: String,
+    countryCode: String,
+    countryName: String,
+    regionName: String,
+    city: String,
+    lat: Option[Double],
+    lon: Option[Double],
+    isp: String,
+    api_fetch_timestamp: Timestamp)
+
+/** The one genuinely custom source in the pipeline (SURVEY.md §2 op 9):
+  * per-IP geolocation lookup. Side-effecting and rate-limited in the HTTP
+  * implementation, pure in the static one — swapping implementations is
+  * what makes the enrichment pipeline deterministic under test
+  * (SURVEY.md §7.4 trap 5).
+  */
+trait GeoProvider extends Serializable {
+  def lookup(ip: String): GeoRecord
+}
+
+object GeoProvider {
+  def errorRecord(ip: String, at: Timestamp): GeoRecord =
+    GeoRecord(ip, "Error", "Error", "Error", "Error", None, None, "Error", at)
+}
+
+/** Deterministic offline provider: geolocation derived from the IP's
+  * octets by pure arithmetic, so a SQL oracle can re-derive the expected
+  * enrichment without running the provider. `d % 97 == 0` simulates an
+  * API failure (the Error-sentinel path). The injected `clock` replaces
+  * `pd.Timestamp.now()` (reference elb_logs.py:183) for reproducibility.
+  */
+case class StaticGeoProvider(clock: Timestamp) extends GeoProvider {
+  override def lookup(ip: String): GeoRecord = {
+    val parts = ip.split('.')
+    if (parts.length != 4) GeoProvider.errorRecord(ip, clock)
+    else {
+      val Array(_, b, c, d) = parts.map(p => scala.util.Try(p.toLong).getOrElse(-1L))
+      if (b < 0 || c < 0 || d < 0 || d % 97 == 0) GeoProvider.errorRecord(ip, clock)
+      else GeoRecord(
+        client_ip = ip,
+        countryCode = s"C${d % 5}",
+        countryName = s"Country-${d % 5}",
+        regionName = s"R${c % 10}",
+        city = s"City-${(c + d) % 20}",
+        lat = Some((d % 180) - 90 + 0.5),
+        lon = Some((c % 360) - 180 + 0.25),
+        isp = s"ISP-${b % 3}",
+        api_fetch_timestamp = clock)
+    }
+  }
+}
+
+/** Live ip-api.com client mirroring the reference's
+  * `fetch_geolocation_data` (elb_logs.py:166-209): 5 s timeout, any
+  * failure → Error sentinel, and a hard inter-request sleep for the free
+  * tier's rate limit (the reference sleeps 0.6 s, elb_logs.py:417).
+  * Run on a SINGLE partition (see GeoCache.fetch) so the limit is global,
+  * not per-task. Untested here (zero-egress environment) by design — the
+  * static provider covers the pipeline's logic.
+  */
+class HttpGeoProvider(rateLimitMillis: Long = 600, timeoutMillis: Int = 5000)
+    extends GeoProvider {
+
+  override def lookup(ip: String): GeoRecord = {
+    val now = new Timestamp(System.currentTimeMillis())
+    try {
+      Thread.sleep(rateLimitMillis)
+      val url = new java.net.URL(
+        s"http://ip-api.com/json/$ip?fields=status,message,country,countryCode,region,regionName,city,lat,lon,isp,query")
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMillis)
+      conn.setReadTimeout(timeoutMillis)
+      val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(body)
+      if (node.path("status").asText() == "success")
+        GeoRecord(
+          client_ip = node.path("query").asText(ip),
+          countryCode = node.path("countryCode").asText(null),
+          countryName = node.path("country").asText(null),
+          regionName = node.path("regionName").asText(null),
+          city = node.path("city").asText(null),
+          lat = if (node.hasNonNull("lat")) Some(node.path("lat").asDouble()) else None,
+          lon = if (node.hasNonNull("lon")) Some(node.path("lon").asDouble()) else None,
+          isp = node.path("isp").asText(null),
+          api_fetch_timestamp = now)
+      else GeoProvider.errorRecord(ip, now)
+    } catch {
+      case _: Exception => GeoProvider.errorRecord(ip, now)
+    }
+  }
+}
