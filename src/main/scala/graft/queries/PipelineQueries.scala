@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Aggregates, ElbParser, GeoCache}
+import graft.sources.StaticGeoProvider
+
+/** Full-pipeline driver queries: synthesized lines → real parser → real
+  * geo enrichment (static provider) → filters → features → the
+  * reference's report aggregates. The DuckDB oracle re-derives every
+  * expected value from `events` arithmetic — nothing is shared with the
+  * Spark path but the synthesis formulas.
+  */
+object PipelineQueries {
+
+  /** parse → cache refresh (empty start) → broadcast enrich → filter →
+    * time/processing features: the enriched frame all three reports
+    * consume (reference elb_logs.py:422-431).
+    */
+  private def enriched(spark: SparkSession, sfDir: String): DataFrame = {
+    val parsed = ElbParser.parse(ElbSynth.lines(Tables.events(spark, sfDir)))
+    val empty = GeoCache.load(spark, s"$sfDir/_no_such_cache_")
+    val cache = GeoCache.refresh(parsed, empty, StaticGeoProvider(JoinQueries.FixedClock))
+    ElbParser.calculateProcessingTimes(
+      ElbParser.extractTimeFeatures(
+        ElbParser.filterCategorize(GeoCache.enrich(parsed, cache))))
+  }
+
+  /** The reference's flagship output (op 33) end-to-end. Float outputs
+    * rounded to 6 dp on both sides: double aggregation order may differ
+    * between engines at the last ulp.
+    */
+  def hourlyGeo(spark: SparkSession, sfDir: String): DataFrame =
+    Aggregates.hourlyAggregates(enriched(spark, sfDir))
+      .withColumn("average_total_processing_time",
+        round(col("average_total_processing_time"), 6))
+      .withColumn("median_total_processing_time",
+        round(col("median_total_processing_time"), 6))
+
+  /** op 26-28 end-to-end. */
+  def errorSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Aggregates.errorSummary(enriched(spark, sfDir))
+
+  /** op 34 end-to-end (post health-check filter, so only the Googlebot
+    * UA class survives as bot traffic).
+    */
+  def botOrigin(spark: SparkSession, sfDir: String): DataFrame =
+    Aggregates.botOriginSummary(enriched(spark, sfDir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "elb_hourly_geo" -> hourlyGeo,
+    "elb_error_summary" -> errorSummary,
+    "elb_bot_origin" -> botOrigin
+  )
+
+  /** Shared oracle CTE: the enriched frame, re-derived from events. */
+  private val baseCte: String =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, ts, event_type,
+       |    (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS e,
+       |    user_id % 200 AS b, event_id % 250 AS c, (event_id*7) % 250 AS d,
+       |    '10.' || (user_id % 200) || '.' || (event_id % 250) || '.' ||
+       |      ((event_id*7) % 250) AS client_ip,
+       |    (CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE 0.001 END
+       |      + CAST('0.' || lpad((event_id % 500)::VARCHAR, 3, '0') AS DOUBLE)) + 0.0 AS tpt,
+       |    CASE WHEN event_id % 13 = 0 THEN 'Unknown' ELSE
+       |      CASE event_type WHEN 'click' THEN '2xx_Success'
+       |        WHEN 'view' THEN '3xx_Redirection' WHEN 'purchase' THEN '2xx_Success'
+       |        WHEN 'signup' THEN '2xx_Success' WHEN 'error' THEN '5xx_ServerError'
+       |        ELSE '4xx_ClientError' END END AS sct,
+       |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE
+       |      CASE event_type WHEN 'click' THEN 200 WHEN 'view' THEN 301
+       |        WHEN 'purchase' THEN 201 WHEN 'signup' THEN 204
+       |        WHEN 'error' THEN 503 ELSE 418 END END AS status,
+       |    (event_id*3) % 100000 AS sent_bytes, event_id % 10000 AS received_bytes,
+       |    CASE WHEN (event_id*7) % 250 % 97 = 0 THEN 'Error'
+       |      ELSE 'Country-' || ((event_id*7) % 250 % 5) END AS countryName,
+       |    CASE WHEN (event_id*7) % 250 % 97 = 0 THEN 'Error'
+       |      ELSE 'City-' || (((event_id % 250) + ((event_id*7) % 250)) % 20) END AS city,
+       |    CASE WHEN (event_id*7) % 250 % 97 = 0 THEN 'Error'
+       |      ELSE 'ISP-' || (user_id % 200 % 3) END AS isp
+       |  FROM events
+       |  WHERE ${ElbSynth.survivorsWhere} AND event_id % 6 <> 4
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "elb_hourly_geo" ->
+      s"""$baseCte
+         |SELECT year(e) AS request_year, month(e) AS request_month,
+         |  day(e) AS request_day, hour(e) AS request_hour, countryName, city,
+         |  count(client_ip) AS request_count,
+         |  count(DISTINCT client_ip) AS unique_client_ips_count,
+         |  round(avg(tpt), 6) AS average_total_processing_time,
+         |  round(median(tpt), 6) AS median_total_processing_time,
+         |  CAST(sum(sent_bytes) AS BIGINT) AS sum_sent_bytes,
+         |  CAST(sum(received_bytes) AS BIGINT) AS sum_received_bytes,
+         |  count(*) FILTER (sct = '2xx_Success') AS count_2xx,
+         |  count(*) FILTER (sct = '4xx_ClientError') AS count_4xx,
+         |  count(*) FILTER (sct = '5xx_ServerError') AS count_5xx
+         |FROM base GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    "elb_error_summary" ->
+      s"""$baseCte
+         |SELECT ts AS time, client_ip, city, countryName, isp,
+         |  CASE WHEN event_id % 5 = 0 THEN 'POST' ELSE 'GET' END AS http_method,
+         |  'https://svc' || (user_id % 5) || '.example.com'
+         |    || CASE WHEN event_id % 4 = 0 THEN ':443' ELSE '' END
+         |    || CASE event_id % 6 WHEN 0 THEN '' WHEN 1 THEN '/' WHEN 2 THEN '/api'
+         |       WHEN 3 THEN '/api/v1/items' WHEN 4 THEN '/assets/img/logo.png'
+         |       ELSE '/search' END
+         |    || CASE WHEN event_id % 3 = 0 THEN '?q=' || (event_id % 11) ELSE '' END AS full_url,
+         |  status AS elb_status_code,
+         |  status::VARCHAR AS target_status_code_list,
+         |  CASE event_id % 6
+         |    WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+         |    WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15'
+         |    WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0'
+         |    WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+         |    ELSE 'curl/8.0.1' END AS user_agent,
+         |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+         |    WHEN 2 THEN 'Firefox' WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_browser_family,
+         |  CASE event_id % 6 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+         |    WHEN 2 THEN 'Linux' ELSE 'Other' END AS ua_os_family,
+         |  '-' AS error_reason
+         |FROM base WHERE sct IN ('4xx_ClientError', '5xx_ServerError')""".stripMargin,
+    "elb_bot_origin" ->
+      s"""$baseCte
+         |SELECT countryName, isp,
+         |  CAST(count(*) AS BIGINT) AS bot_request_count
+         |FROM base WHERE event_id % 6 = 3
+         |GROUP BY 1, 2""".stripMargin
+  )
+}
