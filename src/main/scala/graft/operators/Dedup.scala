@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH banding, SimHash fingerprints,
+  * n-gram Jaccard verification, and embedding-cosine near-dup.
+  *
+  * Design for 100 TB: everything per-document (shingles, signatures,
+  * fingerprints) is a NARROW array computation — no explode, no
+  * shuffle — so the only exchanges are the final hash-aggregate or the
+  * band-bucket self-join, whose width is one row per (doc, band), never
+  * per shingle. Signatures use md5-string min-hashing: deterministic,
+  * seedable, and reproducible in any engine (no JVM-specific hash).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by content hash, keep the
+    * smallest id as representative.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word k-shingles of a text column. Texts shorter than k
+    * words collapse to a single whole-text shingle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    val grams = transform(
+      sequence(lit(0), size(words) - k),
+      i => concat_ws(" ", slice(words, i + 1, lit(k))))
+    array_distinct(
+      when(size(words) >= k, grams).otherwise(array(concat_ws(" ", words))))
+  }
+
+  /** MinHash signature columns `sig_0 … sig_{n-1}`: per seed, the
+    * lexicographic min of md5(seed:shingle) over the shingle set — a
+    * classic min-wise hash with the hash family indexed by seed. Pure
+    * array expressions: zero shuffle, one md5 per (shingle, seed).
+    */
+  def minhashSignatures(shingleCol: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { s =>
+      array_min(transform(shingleCol, sh =>
+        md5(concat(lit(s.toString), lit(":"), sh)))).as(s"sig_$s")
+    }
+
+  /** LSH banding: concatenate `rowsPerBand` consecutive signatures per
+    * band and hash; docs sharing any band hash are candidate pairs.
+    * Returns (id, band_idx, band_hash) rows — the ONLY shuffled shape,
+    * one row per (doc, band).
+    */
+  def lshBands(df: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"sig_$s"))
+      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_hash"))
+    }
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.band_hash"))
+  }
+
+  /** Candidate near-dup pairs (a < b) from shared LSH buckets. The
+    * self-join shuffles on (band_idx, band_hash); bucket sizes are the
+    * skew knob — more hashes/bands shrink buckets at 100 TB.
+    */
+  def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 9, rowsPerBand: Int = 3): DataFrame = {
+    val sigs = df.select(
+      col(idCol) +: minhashSignatures(shingles(col(textCol), shingleK), numHashes): _*)
+    val bands = lshBands(sigs, idCol, numHashes, rowsPerBand)
+    val a = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("doc_a"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 32): per distinct word, take the high
+    * bit of each md5 nibble as ±1; the fingerprint sets bit j when the
+    * j-th sum is non-negative. Near-dups differ in few bits (compare
+    * with bit_count(xor)). Narrow, shuffle-free.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val words = array_distinct(split(text, " "))
+    val hashes = transform(words, w => md5(w))
+    val bitCols = (0 until bits).map { j =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          lit(1)).otherwise(lit(-1)))
+      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share the seed-0
+    * minhash (a cheap high-recall block): |A∩B| / |A∪B| on distinct
+    * shingle sets. Integer set sizes → the division is bit-identical
+    * across engines.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3): DataFrame = {
+    val base = df.select(
+      col(idCol),
+      shingles(col(textCol), shingleK).as("sh"),
+      array_min(transform(shingles(col(textCol), shingleK), sh =>
+        md5(concat(lit("0:"), sh)))).as("sig0"))
+    val a = base.select(col("sig0"), col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("sig0"), col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, "sig0")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+  }
+
+  /** Quantize an embedding to integers (round(x·10⁴)): dot products and
+    * norms become EXACT integer arithmetic — order-independent and
+    * bit-identical in every engine, so similarity thresholds never
+    * flicker at the last ulp. 1e-4 quantization error is far below any
+    * useful near-dup threshold.
+    */
+  def quantize(embedding: Column): Column =
+    transform(embedding, x => round(x * 10000).cast("long"))
+
+  /** Exact cosine over quantized vectors. */
+  def quantizedCosine(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      .cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
+
+  def squaredNorm(q: Column): Column =
+    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Embedding-cosine near-dup pairs above `threshold` — exhaustive
+    * O(n²) baseline; see Similarity for the LSH-bucketed scale path.
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val q = df.select(col(idCol), quantize(col(embCol)).as("q"))
+      .withColumn("n2", squaredNorm(col("q")))
+    val a = q.select(col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = q.select(col(idCol).as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+    a.crossJoin(b)
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", quantizedCosine(col("qa"), col("qb"), col("n2a"), col("n2b")))
+      .where(col("cosine") > threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

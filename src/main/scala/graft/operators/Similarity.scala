@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]` embedding
+  * column: brute-force exact top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * All similarity math runs on quantized integer vectors
+  * (see [[Dedup.quantize]]): dot products are exact, so rankings are
+  * total and reproducible across engines — no last-ulp ties.
+  *
+  * Scale posture: brute force is O(|Q|·N) with the query side broadcast
+  * (fine for |Q| in the thousands against billions of rows — one scan,
+  * no shuffle of the big side, map-side top-k via the window's partial
+  * sort). The LSH variant buckets both sides by hyperplane signs and
+  * joins bucket-to-bucket, cutting the candidate set by ~2^bits; recall
+  * is tuned by bits (fewer bits → bigger buckets → higher recall).
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane signs shared with any SQL oracle:
+    * sign(plane j, dim i) = +1 iff the first md5 nibble of "j:i" has its
+    * high bit set. Public-formula, engine-agnostic.
+    */
+  def planeSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+    if ((hex(0) & 0x80) != 0) 1 else -1
+  }
+
+  /** LSH bucket id from `bits` hyperplanes over a quantized vector:
+    * bit j set iff Σᵢ sign(j,i)·qᵢ ≥ 0. Exact integer dots.
+    */
+  def lshBucket(q: Column, bits: Int, dims: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val signs = typedLit((0 until dims).map(i => planeSign(j, i).toLong))
+      val dot = aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L), (a, x) => a + x)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  private def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), Dedup.quantize(col(embCol)).as("q"))
+      .withColumn("n2", Dedup.squaredNorm(col("q")))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` is
+    * expected to be small (it is broadcast); ranking ties break by
+    * neighbor id for total determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("q").as("qc"), col("n2").as("n2c"))
+    val qs = prepared(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("q").as("qq"), col("n2").as("n2q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket; then
+    * exact cosine top-k within it. One shuffle on the bucket id.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      bits: Int = 8, dims: Int = 64): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("q"), bits, dims))
+      .select(col("bucket"), col(idCol).as("neighbor_id"),
+        col("q").as("qc"), col("n2").as("n2c"))
+    val qs = prepared(queries, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("q"), bits, dims))
+      .select(col("bucket"), col(idCol).as("query_id"),
+        col("q").as("qq"), col("n2").as("n2q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(qs, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine", "bucket")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (marker-word n-gram heuristic), quality scoring (length/punctuation/
+  * stopword ratios), token counting (whitespace + a BPE-style
+  * pre-tokenizer regex), and document fingerprinting (normalized md5 +
+  * min-shingle winnow).
+  *
+  * All pure column expressions over codegen'd regex/array builtins — a
+  * narrow map over the corpus, embarrassingly parallel at any scale.
+  * Regexes stick to syntax shared by Java regex and RE2 (no lookaround)
+  * so SQL oracles in other engines count identically.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language — tiny, order-matters rule table. */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "(^| )(the|and|of|to|is|in|that|it)( |$)",
+    "es" -> "(^| )(el|la|de|que|y|los|las|una)( |$)",
+    "de" -> "(^| )(der|die|das|und|ist|nicht|ein)( |$)",
+    "fr" -> "(^| )(le|les|et|est|une|dans|pour)( |$)")
+
+  def markerCount(text: Column, lang: String): Column = {
+    val pat = markers.toMap.apply(lang)
+    // overlapping "( |$)(w)( |$)" matches don't overlap-count in either
+    // engine; acceptable for a frequency heuristic
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  }
+
+  /** Arg-max language with deterministic tie order en > es > de > fr;
+    * no markers at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val Seq(en, es, de, fr) = markers.map { case (l, _) => markerCount(text, l) }
+    when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  def wordCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-style pre-tokenizer segment count (letters runs, digit runs,
+    * punctuation runs, each with optional leading space — the shape of
+    * the GPT-2 pre-tokenizer, minus lookahead).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Stopword ratio: marker hits (any language) per word. */
+  def stopwordRatio(text: Column): Column = {
+    val hits = markers.map { case (l, _) => markerCount(text, l) }.reduce(_ + _)
+    hits.cast("double") / greatest(wordCount(text), lit(1))
+  }
+
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(wordCount(text), lit(1))
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * mid-length words, penalizes punctuation/digit noise. Heuristic
+    * weights; the exact formula is mirrored by oracles, so keep the
+    * operand order stable.
+    */
+  def qualityScore(text: Column): Column =
+    least(stopwordRatio(text), lit(0.5)) * 0.8 +
+      when(avgWordLen(text) >= 3 && avgWordLen(text) <= 10, 0.3).otherwise(0.0) +
+      when(wordCount(text) >= 20, 0.3).otherwise(0.1) -
+      punctRatio(text) * 0.5 - digitRatio(text) * 0.5
+
+  /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,
+    * whitespace-collapsed text. Robust to formatting-only edits.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  /** Winnowing-style rolling fingerprint: the minimum md5 over the
+    * document's word 5-gram shingles — stable under small edits
+    * anywhere outside the minimal window.
+    */
+  def winnowMin(text: Column): Column =
+    array_min(transform(Dedup.shingles(text, 5), sh => md5(sh)))
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Driver-contract queries for the dedup family over `documents` /
+  * `embeddings`. Exact/embedding dedup run over the table unioned with a
+  * shifted copy of itself (+100000 ids) so the data contains guaranteed
+  * duplicates; minhash/jaccard find the corpus's natural near-dups.
+  *
+  * The oracle replicates shingling, md5 min-hashing, banding, and
+  * quantized cosine in DuckDB SQL — both engines derive signatures
+  * independently from the raw text/embeddings.
+  */
+object DocQueries {
+
+  private def docsWithCopy(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docsWithCopy(spark, sfDir), "text", "doc_id")
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashCandidates(
+      Tables.documents(spark, sfDir), "text", "doc_id",
+      shingleK = 3, numHashes = 9, rowsPerBand = 3)
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "text", "doc_id")
+
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val both = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDups(both, "vec_id", "embedding", threshold = 0.45)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupJaccard,
+    "dedup_embedding" -> dedupEmbedding
+  )
+
+  // -- oracle SQL ------------------------------------------------------
+
+  /** Distinct word-3-gram shingle rows per doc (min doc length in the
+    * corpus is 10 words, so no short-text guard is needed here).
+    */
+  private val shingleRows: String =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(words) - 2),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
+
+  private val sigExprs: String =
+    (0 until 9).map(s => s"min(md5('$s:' || sh)) AS sig_$s").mkString(", ")
+
+  private val bandSelects: String =
+    (0 until 3).map { b =>
+      val cat = (b * 3 until b * 3 + 3).map(s => s"sig_$s").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+    }.mkString(" UNION ALL ")
+
+  private val simhashExpr: String = {
+    val terms = (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(words,
+         |  w -> CASE WHEN strpos('89abcdef', substr(md5(w), ${j + 1}, 1)) > 0
+         |       THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }
+    terms.mkString(" + ")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM d GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH shr AS ($shingleRows),
+         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |WHERE a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+         |      FROM documents)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH shr AS ($shingleRows),
+         |d AS (SELECT doc_id, list(sh) AS shs, min(md5('0:' || sh)) AS sig0
+         |      FROM shr GROUP BY doc_id)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
+         |FROM d a JOIN d b ON a.sig0 = b.sig0 AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |q AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+        |      FROM e),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin
+  )
+}
