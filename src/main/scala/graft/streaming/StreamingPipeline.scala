@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twin of the batch pipeline (SURVEY.md §2.8).
+  * The reference approximates incrementality with a 2-minute cron
+  * re-run; here the same semantics are event-time native:
+  * `Trigger.AvailableNow` = "process what's there, then stop" — exactly
+  * the cron contract — while watermarks bound state for true
+  * continuous runs.
+  */
+object StreamingPipeline {
+
+  /** Raw nanosecond schema of the events parquet (ts read as long via
+    * the nanosAsLong conf, then truncated to µs like Tables.events).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events table: the source path must be
+    * a DIRECTORY for a file stream, so point at the sf dir and glob the
+    * table's file(s).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** 30-min-gap sessions via the native session_window: one state store
+    * keyed by (user, window); watermark bounds state growth in
+    * continuous mode. Edge note: session_window starts a NEW session
+    * when the gap is ≥ the timeout (half-open windows), whereas the
+    * batch sessionizer's pandas semantics use strictly >.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Tumbling hourly rollup — the streaming twin of the hourly
+    * aggregate (reference elb_logs.py:351-368).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class SessState(lastTs: Long, sessionNumber: Long)
+  case class SessionizedEvent(event_id: Long, user_id: Long, ts: Timestamp, session_id: String)
+
+  /** Custom-state sessionizer producing the batch pipeline's exact
+    * `"{key}_s{n}"` ids via flatMapGroupsWithState — the escape hatch
+    * for state machines session_window can't express. Events are sorted
+    * in-memory per (key, trigger): correct when a key's per-trigger
+    * volume fits an executor, the standard caveat for this operator.
+    */
+  def sessionIds(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes.toLong * 60 * 1000000
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SessState, SessionizedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          val out = sorted.map { case (eid, uid, ts) =>
+            val micros = ts.getTime * 1000
+            val newSession = st.lastTs != Long.MinValue &&
+              micros - st.lastTs > gapMicros
+            val n = if (newSession) st.sessionNumber + 1 else st.sessionNumber
+            st = SessState(micros, n)
+            SessionizedEvent(eid, uid, ts, s"${uid}_s$n")
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run a streaming DataFrame to completion over static input
+    * (Trigger.AvailableNow + memory sink) and return the result — the
+    * cron-batch contract, executed by the streaming engine.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}
