@@ -24,16 +24,24 @@ object ElbColumns {
   def unquote(token: Column): Column =
     regexp_replace(token, "^\"|\"$", "")
 
-  /** Tokenize + quote-strip in one pass: the regex runs once per line and
-    * the strip is a cheap `substr` inside a single `transform`, keeping
-    * the generated code small enough for whole-stage codegen (a
-    * regexp_replace per field blew the 64 KB method limit and forced
-    * interpreted fallback).
+  /** Tokenize + quote-strip in one pass. NOTE: `transform` is a
+    * higher-order function — CodegenFallback — so running it on the hot
+    * parse path drops the whole projection out of whole-stage codegen;
+    * the parser uses [[unquoteScalar]] per field instead.
     */
   def elbTokenizeUnquoted(line: Column): Column =
     transform(elbTokenize(line), t =>
       when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
         t.substr(lit(2), length(t) - 2)).otherwise(t))
+
+  /** Scalar quote-strip: pure when/substr — codegen-friendly and small
+    * enough that 29 of them fit one generated method (a regexp_replace
+    * per field blew the 64 KB limit; an array `transform` killed
+    * codegen entirely).
+    */
+  def unquoteScalar(t: Column): Column =
+    when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
+      t.substr(lit(2), length(t) - 2)).otherwise(t)
 
   /** Strict ELB timestamp: `%Y-%m-%dT%H:%M:%S.%fZ` → UTC instant
     * (reference elb_logs.py:83). Unparseable → null (caller drops row).

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd dot product of two `array<bigint>` columns.
+  *
+  * The pure-builtin alternative — `aggregate(zip_with(a, b, _*_), 0, +)`
+  * — is a higher-order function chain that falls back to interpreted
+  * evaluation and allocates an intermediate array per row; on an O(n²)
+  * similarity join that interpreter overhead dominates the query. This
+  * expression is a tight primitive loop in both the interpreted and the
+  * generated path: no allocation, no virtual dispatch per element.
+  *
+  * Results are identical to the builtin formulation: quantized vectors
+  * keep every partial sum exact in Long, so operation order is
+  * irrelevant.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(LongType, false) ||
+        left.dataType == ArrayType(LongType, true)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"LongArrayDot needs array<bigint> inputs, got ${left.dataType}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongArrayDot {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column API: exact dot product of two quantized (long) vectors. */
+  def long_dot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      LongArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

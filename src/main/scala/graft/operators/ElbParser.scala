@@ -35,17 +35,20 @@ object ElbParser {
       if (hasSource) lines
       else lines.withColumn("log_source_file", input_file_name())
 
+    // One-pass tokenize + unquote + arity check via the compact codegen
+    // expression (see ElbParseFields for why the builtin formulations
+    // fell out of whole-stage codegen); null fields array = short line,
+    // dropped here (reference elb_logs.py:77-78).
     val toks = withSource
-      .withColumn("_tokens", F.elbTokenizeUnquoted(col(lineCol)))
-      .filter(size(col("_tokens")) >= ElbSchema.columns.size)
+      .withColumn("_fields",
+        graft.functions.ElbParseFields.elb_parse_fields(col(lineCol)))
+      .filter(col("_fields").isNotNull)
 
-    // Zip the first 29 tokens onto the declared schema in one projection
-    // (reference elb_logs.py:80); quotes were already stripped during
-    // tokenization.
+    // Zip the fields onto the declared schema (reference elb_logs.py:80).
     val raw = toks.select(
       col("log_source_file") +:
         ElbSchema.columns.zipWithIndex.map { case (name, i) =>
-          get(col("_tokens"), lit(i)).as(name)
+          get(col("_fields"), lit(i)).as(name)
         }: _*)
 
     val floatOk = ElbSchema.floatColumns

@@ -79,8 +79,13 @@ object ElbSynth {
       lit("1"), timeStr, q(lit("waf,forward")),
       q(lit("-")), q(lit("-")), q(lit("172.31.0.1:80")), q(status), classification, classificationReason)
 
+    // cache(): the line-synthesis expression tree is large; without a
+    // materialization point it gets re-evaluated inside the downstream
+    // parse projection (filter + field refs), multiplying harness cost
+    // that isn't part of the operator under test.
     events.select(
       when(eid % 101 === 0, lit("garbage short line")).otherwise(line).as("value"),
       lit("synthetic.log.gz").as("log_source_file"))
+      .cache()
   }
 }

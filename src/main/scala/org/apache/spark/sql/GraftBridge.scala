@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge for graft's custom Catalyst expressions.
+  * Spark 4 hides the classic converters behind `private[sql]`; exposing
+  * them from inside the package is the standard extension-library trick
+  * (the public alternative — registering every expression in the
+  * session FunctionRegistry — needs a live session at call-graph build
+  * time, which session-agnostic operator code doesn't have).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
