@@ -121,19 +121,27 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3): DataFrame = {
-    val base = df.select(
-      col(idCol),
-      shingles(col(textCol), shingleK).as("sh"),
-      array_min(transform(shingles(col(textCol), shingleK), sh =>
-        md5(concat(lit("0:"), sh)))).as("sig0"))
-    val a = base.select(col("sig0"), col(idCol).as("doc_a"), col("sh").as("sh_a"))
-    val b = base.select(col("sig0"), col(idCol).as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, "sig0")
+    // Exploded-row formulation: the shingle array materializes once per
+    // doc, and min-hash, set sizes, and intersections all run on the
+    // codegen'd row path (the array_intersect/array_union + per-side
+    // array HOF version spent its time in interpreted evaluation).
+    val s = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), shingleK)).as("sh"))
+    val stats = s.groupBy(col("doc")).agg(
+      min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
+      count(lit(1)).as("n_sh"))
+    val cand = stats.select(col("sig0"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
+      .join(stats.select(col("sig0"), col("doc").as("doc_b"), col("n_sh").as("n_b")), "sig0")
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
+      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
+    val common = cand
+      .join(s.select(col("doc").as("doc_a"), col("sh")), "doc_a")
+      .join(s.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common.select(col("doc_a"), col("doc_b"),
+      (col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
   /** Quantize an embedding to integers (round(x·10⁴)): dot products and

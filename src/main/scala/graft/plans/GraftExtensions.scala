@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot}
+
+/** Session extensions exposing graft's custom Catalyst expressions to
+  * SQL. Install with either:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  * after which `SELECT elb_parse_fields(line)`, `elb_unquote(s)`, and
+  * `long_dot(a, b)` work from plain SQL — the same codegen'd expressions
+  * the DataFrame API uses, no UDF registration per session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The function set, shared between builder-time injection and
+    * live-session registration.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("elb_parse_fields"),
+      info("elb_parse_fields",
+        "elb_parse_fields(line) - parse an ELB log line into its 29 quote-stripped fields, null if short"),
+      (args: Seq[Expression]) => ElbParseFields(args.head)),
+    (FunctionIdentifier("elb_unquote"),
+      info("elb_unquote", "elb_unquote(s) - strip one layer of surrounding double quotes"),
+      (args: Seq[Expression]) => ElbUnquote(args.head)),
+    (FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(a, b) - exact dot product of two array<bigint> vectors"),
+      (args: Seq[Expression]) => LongArrayDot(args(0), args(1))))
+
+  /** Register on an already-running session (extensions only apply at
+    * builder time; getOrCreate on a live context skips them).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -37,6 +37,9 @@ object TextQueries {
       T.stopwordRatio(col("text")).as("stopword_ratio"),
       T.qualityScore(col("text")).as("quality_score"))
 
+  // winnowMin (array-HOF) measured FASTER here than the exploded-join
+  // form: one narrow pass beats an explode + aggregate + join shuffle
+  // when every doc needs exactly one output row.
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

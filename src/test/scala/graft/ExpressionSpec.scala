@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ElbParseFields, LongArrayDot}
+
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ElbParseFields matches the regex tokenizer on tricky quoting") {
+    val lines = Seq(
+      // quoted fields with spaces, empty quotes, dashes
+      ("a " * 26) + "\"quoted with spaces\" \"\" tail",
+      // unterminated quote falls back to a plain run
+      ("x " * 28) + "\"unterminated",
+      // quote adjacent to text, quote mid-token
+      ("y " * 27) + "\"q v\"adjacent mid\"quote")
+    val viaExpr = lines.toDF("value")
+      .select(graft.functions.ElbParseFields.elb_parse_fields($"value").as("f"))
+    val viaRegex = lines.toDF("value").select(
+      transform(
+        graft.functions.ElbColumns.elbTokenize($"value"),
+        t => when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
+          t.substr(lit(2), length(t) - 2)).otherwise(t)).as("toks"))
+    val a = viaExpr.as[Seq[String]].collect()
+    val b = viaRegex.as[Seq[String]].collect().map(_.take(ElbSchema.columns.size))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("ElbParseFields returns null (row drop) for short lines") {
+    val out = Seq("only three tokens", "")
+      .toDF("value")
+      .select(graft.functions.ElbParseFields.elb_parse_fields($"value").as("f"))
+    assert(out.where($"f".isNotNull).count() === 0)
+  }
+
+  test("LongArrayDot equals the builtin aggregate/zip_with formulation") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, -5L, 6L))).toDF("a", "b")
+    val both = df.select(
+      LongArrayDot.long_dot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("ref"))
+      .as[(Long, Long)].head()
+    assert(both._1 === both._2)
+    assert(both._1 === (4 - 10 + 18))
+  }
+
+  test("custom expressions are SQL-callable once registered") {
+    graft.plans.GraftExtensions.register(spark)
+    val line = ("t " * 29).trim
+    val r = spark.sql(
+      "SELECT long_dot(array(1L, 2L), array(3L, 4L)) AS d, " +
+        "elb_unquote('\"x y\"') AS u, " +
+        s"size(elb_parse_fields('$line')) AS n")
+      .collect().head
+    assert(r.getLong(0) === 11L)
+    assert(r.getString(1) === "x y")
+    assert(r.getInt(2) === 29)
+  }
+}
