@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{ElbParseFields, LongArrayDot}
+
+/** Property tests (SURVEY.md §5.2). The parser scanner and dot-product
+  * expressions are pure functions, so ScalaCheck drives them directly —
+  * no Spark job per sample. Sessionization properties batch all samples
+  * into one DataFrame pass against a Scala reference model.
+  * (Generators are sampled manually with fixed seeds — the
+  * scalatest/scalacheck bridge artifact isn't in the offline cache.)
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sample stream from a Gen. */
+  def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  def forAllSampled[A](g: Gen[A], n: Int = 200)(check: A => Unit): Unit =
+    samples(g, n).foreach(check)
+
+  // -- tokenizer round-trip ------------------------------------------
+
+  val plainChar: Gen[Char] = Gen.oneOf(
+    ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq('-', '_', '.', ':', '/', '=', '?'))
+  val plainToken: Gen[String] = Gen.nonEmptyListOf(plainChar).map(_.mkString)
+  val quotedContent: Gen[String] =
+    Gen.listOf(Gen.oneOf(plainChar, Gen.const(' '))).map(_.mkString)
+  /** (rendered, expected-parsed-value) */
+  val token: Gen[(String, String)] = Gen.oneOf(
+    plainToken.map(t => (t, t)),
+    quotedContent.map(c => ("\"" + c + "\"", c)))
+
+  def parseLine(line: String): Option[Seq[String]] =
+    Option(ElbParseFields.parse(UTF8String.fromString(line)))
+      .map(a => (0 until a.numElements()).map(i => a.getUTF8String(i).toString))
+
+  test("scanner recovers exactly the token values; arity-29 invariant holds") {
+    val gen = for {
+      toks <- Gen.listOfN(35, token).flatMap(ts => Gen.choose(0, 35).map(ts.take))
+      pad <- Gen.choose(1, 3)
+    } yield (toks, pad)
+    forAllSampled(gen, 400) { case (toks, pad) =>
+      val line = toks.map(_._1).mkString(" " * pad)
+      val expected = toks.map(_._2)
+      parseLine(line) match {
+        case Some(fields) =>
+          assert(toks.length >= ElbSchema.columns.size)
+          assert(fields === expected.take(ElbSchema.columns.size))
+        case None =>
+          assert(toks.length < ElbSchema.columns.size)
+      }
+    }
+  }
+
+  test("scanner agrees with shlex-style semantics on edge inputs") {
+    // unterminated quote → literal token including the quote
+    assert(parseLine(("t " * 28) + "\"unterminated") ===
+      Some(("t " * 28).trim.split(" ").toSeq :+ "\"unterminated"))
+    // empty quotes → empty field
+    assert(parseLine(("t " * 28) + "\"\"").get.last === "")
+    // leading/trailing whitespace ignored
+    assert(parseLine("   " + ("t " * 29) + "  ").get.size === 29)
+  }
+
+  // -- dot product ----------------------------------------------------
+
+  val vec: Gen[Array[Long]] =
+    Gen.listOfN(16, Gen.choose(-3000L, 3000L)).map(_.toArray)
+
+  def dot(a: Array[Long], b: Array[Long]): Long =
+    LongArrayDot(null, null)
+      .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+      .asInstanceOf[Long]
+
+  test("dot product: commutative, Cauchy-Schwarz bounded, matches BigInt model") {
+    forAllSampled(Gen.zip(vec, vec), 300) { case (a, b) =>
+      val d = dot(a, b)
+      assert(d === dot(b, a))
+      val model = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      assert(BigInt(d) === model)
+      val bound = (a.map(x => BigInt(x) * x).sum * b.map(x => BigInt(x) * x).sum)
+      assert(BigInt(d) * d <= bound || d == 0)
+    }
+  }
+
+  // -- sessionization vs reference model ------------------------------
+
+  def referenceSessionize(times: Seq[Long], gapMicros: Long): Seq[Long] = {
+    var n = 0L
+    var last = Long.MinValue
+    times.sorted.map { t =>
+      if (last != Long.MinValue && t - last > gapMicros) n += 1
+      last = t
+      n
+    }
+  }
+
+  test("sessionize matches the reference model over random timelines") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // 200 random per-user timelines, batched into ONE DataFrame
+    val rows = (0 until 200).flatMap { user =>
+      val base = 1700000000000000L + rng.nextInt(1000000)
+      var t = base
+      (0 until (1 + rng.nextInt(30))).map { i =>
+        t += (rng.nextInt(4) match {
+          case 0 => rng.nextInt(1000)                       // bursts
+          case 1 => rng.nextInt(60) * 1000000L              // seconds
+          case 2 => (20 + rng.nextInt(20)) * 60000000L      // near the gap
+          case _ => (31 + rng.nextInt(120)) * 60000000L     // new session
+        })
+        (user.toLong, new Timestamp(t / 1000), i.toLong, t)
+      }
+    }
+    val df = rows.toDF("user", "time", "seq", "micros")
+    val out = operators.Sessionize
+      .sessionize(df, "user", "time", org.apache.spark.sql.functions.col("seq"))
+      .select("user", "micros", "session_number")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (user, userRows) =>
+      val expected = referenceSessionize(userRows.map(_._4), 30L * 60 * 1000000)
+      val got = out(user).sortBy(_._2).map(_._3).toSeq
+      assert(got === expected, s"user $user")
+    }
+    // invariant: session count = 1 + number of >30min gaps
+    rows.groupBy(_._1).foreach { case (user, userRows) =>
+      val times = userRows.map(_._4).sorted
+      val gaps = times.zip(times.drop(1)).count { case (a, b) => b - a > 30L * 60 * 1000000 }
+      assert(out(user).map(_._3).max === gaps.toLong)
+    }
+  }
+}
