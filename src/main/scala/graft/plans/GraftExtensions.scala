@@ -18,8 +18,10 @@ import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot}
   * the DataFrame API uses, no UDF registration per session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => RewriteLongDot)
+  }
 }
 
 object GraftExtensions {
@@ -45,8 +47,13 @@ object GraftExtensions {
   /** Register on an already-running session (extensions only apply at
     * builder time; getOrCreate on a live context skips them).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteLongDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteLongDot
+    }
+  }
 }

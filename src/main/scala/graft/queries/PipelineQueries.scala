@@ -19,6 +19,11 @@ object PipelineQueries {
     * time/processing features: the enriched frame all three reports
     * consume (reference elb_logs.py:422-431).
     */
+  // NOT memoized/cached: caching the wide enriched frame across the
+  // three report queries was measured NET-NEGATIVE at sf0.1 — it saved
+  // ~4 s of re-parsing but cost ~8 s of storage/GC interference on
+  // unrelated CPU-heavy queries later in the same session. The narrow
+  // ElbSynth.lines cache upstream is the right materialization point.
   private def enriched(spark: SparkSession, sfDir: String): DataFrame = {
     val parsed = ElbParser.parse(ElbSynth.lines(Tables.events(spark, sfDir)))
     val empty = GeoCache.load(spark, s"$sfDir/_no_such_cache_")

@@ -45,6 +45,21 @@ class ExpressionSpec extends SparkSpec {
     assert(both._1 === (4 - 10 + 18))
   }
 
+  test("RewriteLongDot turns the builtin HOF dot idiom into LongArrayDot") {
+    graft.plans.GraftExtensions.register(spark)
+    // non-foldable source: constant folding would otherwise collapse a
+    // literal input to a LocalRelation before the rewrite is observable
+    val df = spark.range(1, 2)
+      .select(array($"id", $"id" + 1).as("a"), array($"id" + 2, $"id" + 3).as("b"))
+      .select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.LongArrayDot])),
+      s"rule did not fire:\n$optimized")
+    assert(df.as[Long].head() === 1 * 3 + 2 * 4)
+  }
+
   test("custom expressions are SQL-callable once registered") {
     graft.plans.GraftExtensions.register(spark)
     val line = ("t " * 29).trim
