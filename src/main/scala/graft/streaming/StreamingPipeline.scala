@@ -81,17 +81,61 @@ object StreamingPipeline {
       .flatMapGroupsWithState[SessState, SessionizedEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[SessState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+          val sorted = rows.toSeq.sortBy(r => (micros(r._3), r._1))
           var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
           val out = sorted.map { case (eid, uid, ts) =>
-            val micros = ts.getTime * 1000
-            val newSession = st.lastTs != Long.MinValue &&
-              micros - st.lastTs > gapMicros
+            val t = micros(ts)
+            val newSession = st.lastTs != Long.MinValue && t - st.lastTs > gapMicros
             val n = if (newSession) st.sessionNumber + 1 else st.sessionNumber
-            st = SessState(micros, n)
+            st = SessState(t, n)
             SessionizedEvent(eid, uid, ts, s"${uid}_s$n")
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Exact epoch micros: Timestamp.getTime is ms-truncated; the µs live
+    * in getNanos.
+    */
+  def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+
+  case class RollState(recent: List[(Long, Double)])
+  case class RollingEvent(event_id: Long, user_id: Long, ts: Timestamp,
+      rolling_5min_count: Long, rolling_1h_avg: Option[Double])
+
+  /** Exact per-event trailing windows in streaming — the one rolling
+    * shape sliding event-time windows can't express (SURVEY.md §2.8):
+    * for every event, the count of events in the last 5 minutes and the
+    * mean value over the last hour, with the batch operator's pandas
+    * left-open `(t−Δ, t]` bounds. State per key is the (time, value)
+    * pairs within the largest window — bounded by per-key rate × 1 h.
+    * Within-trigger events are sorted; cross-trigger order relies on
+    * the file source's single-batch AvailableNow here (production use
+    * needs watermark-ordered input or allowed-lateness pruning).
+    */
+  def rollingFeatures(events: DataFrame, gapCount: Long = 5L * 60 * 1000000,
+      gapAvg: Long = 60L * 60 * 1000000): Dataset[RollingEvent] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[(Long, Long, Timestamp, Option[Double])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RollState, RollingEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[RollState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (micros(r._3), r._1)).map {
+            case (eid, uid, ts, value) =>
+              val t = micros(ts)
+              recent = (t, value.getOrElse(Double.NaN)) ::
+                recent.filter { case (pt, _) => pt > t - gapAvg }
+              val count5 = recent.count { case (pt, _) => pt > t - gapCount }
+              val avgVals = recent.collect { case (_, v) if !v.isNaN => v }
+              val avg = if (avgVals.isEmpty) None else Some(avgVals.sum / avgVals.size)
+              RollingEvent(eid, uid, ts, count5, avg)
+          }
+          state.update(RollState(recent))
           out.iterator
       }
   }

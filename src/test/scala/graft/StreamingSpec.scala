@@ -28,6 +28,39 @@ class StreamingSpec extends SparkSpec {
     assert(joined.where($"session_id" =!= $"batch_sid").count() === 0)
   }
 
+  test("flatMapGroupsWithState rolling features match the batch window operator") {
+    val events = StreamingPipeline.readEvents(spark, "/root/testdata/sf0.001")
+    val rolled = StreamingPipeline.rollingFeatures(events)
+    val q = rolled.writeStream.format("memory").queryName("fmgws_rolling")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("fmgws_rolling")
+      .select($"event_id", $"rolling_5min_count", $"rolling_1h_avg")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val w5 = graft.operators.Rolling.trailing(col("user_id"), col("ts"),
+      graft.operators.Rolling.FiveMinutes)
+    val w1 = graft.operators.Rolling.trailing(col("user_id"), col("ts"),
+      graft.operators.Rolling.OneHour)
+    val batch = e
+      .withColumn("c5", count(col("event_id")).over(w5))
+      .withColumn("a1", avg(col("value")).over(w1))
+      .select($"event_id", $"c5", $"a1")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case ((ge, gc, ga), (be, bc, ba)) =>
+      assert(ge === be)
+      assert(gc === bc, s"count mismatch at event $ge")
+      (ga, ba) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"avg at $ge")
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
   test("multimodal plumbing: payload bytes survive the round trip; stub decode is deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.attachPayload(docs, "doc_id", "text")
