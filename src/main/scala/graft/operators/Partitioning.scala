@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for cluster scale: bucketed co-located
+  * joins (pre-shuffle once at write time, join forever without an
+  * exchange) and deterministic key salting for skewed joins.
+  */
+object Partitioning {
+
+  /** Write a bucketed, bucket-sorted parquet table. Repartitioning by
+    * the bucket key first yields one file per (task, bucket) instead of
+    * numTasks × numBuckets small files — the small-file knob that
+    * matters at 100 TB.
+    *
+    * Reading both sides back via the catalog lets the planner prove
+    * co-partitioning: an equi-join on the bucket key plans with NO
+    * shuffle exchange (asserted in PartitioningSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Skew-safe equi-join: replicate the (small) build side `saltFactor`
+    * times and scatter the probe side's hot keys across the replicas
+    * with a DETERMINISTIC salt derived from a unique probe column —
+    * rand() salting would break retry/replay reproducibility.
+    * Result set is identical to `probe.join(build, key, joinType)`;
+    * only the partitioning of the hot keys changes.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      probeUniqueCol: String,
+      saltFactor: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(col(probeUniqueCol)), lit(saltFactor)).cast("int"))
+    val replicated = build
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

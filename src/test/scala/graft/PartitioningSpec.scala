@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Partitioning
+
+class PartitioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    Partitioning.writeBucketed(
+      Tables.orders(spark, sf), "b_orders", "o_custkey", 4)
+    Partitioning.writeBucketed(
+      Tables.customer(spark, sf).withColumn("o_custkey", $"c_custkey"),
+      "b_customer", "o_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), "o_custkey")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$physical")
+      assert(joined.count() === Tables.orders(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = Partitioning.saltedJoin(
+        orders, customer, "o_custkey", probeUniqueCol = "o_orderkey")
+      .select("o_orderkey", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // left joins preserve unmatched probe rows too
+    val leftSalted = Partitioning.saltedJoin(
+      orders.limit(50), customer.where($"o_custkey" < 0),
+      "o_custkey", "o_orderkey", joinType = "left")
+    assert(leftSalted.count() === 50)
+  }
+}
