@@ -64,23 +64,36 @@ object ElbPipeline {
     // Step 5: enrich + filter/categorize (elb_logs.py:422-423). Filters
     // touch only probe-side columns, so Catalyst pushes them below the
     // join even though the reference enriches first.
+    // Deterministic sessionize tie-break for duplicate (ip, time) pairs:
+    // a hash of per-request fields, stable under any partition layout
+    // (monotonically_increasing_id would reorder across re-splits).
     val enriched = ElbParser.filterCategorize(GeoCache.enrich(parsed, cacheDf))
       .withColumn("time_abs_order",
-        org.apache.spark.sql.functions.monotonically_increasing_id())
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("trace_id"),
+          org.apache.spark.sql.functions.col("request"),
+          org.apache.spark.sql.functions.col("client_ip_port"),
+          org.apache.spark.sql.functions.col("request_creation_time")))
 
-    // Step 6: features + sessionization + rolling (elb_logs.py:426-431)
+    // Step 6: features + sessionization + rolling (elb_logs.py:426-431).
+    // Persisted (memory, spilling to disk) before fan-out: the five
+    // sinks are five independent jobs, and without a materialization
+    // point each would re-run the whole parse → enrich → window DAG.
     val featured = features(enriched).drop("time_abs_order")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Step 7: the four sinks (elb_logs.py:434-437)
-    Sinks.cleanedLogs(featured, s"$outputDir/cleaned_logs")
-    Sinks.parquet(Aggregates.hourlyAggregates(featured),
-      s"$outputDir/aggregated_stats/hourly_traffic_by_geo.parquet")
-    Sinks.csv(Aggregates.errorSummary(featured),
-      s"$outputDir/reports/error_summary_geo.csv")
-    Sinks.parquet(Aggregates.botDetails(featured),
-      s"$outputDir/reports/bot_traffic_details.parquet")
-    Sinks.csv(Aggregates.botOriginSummary(featured),
-      s"$outputDir/reports/bot_traffic_by_origin_summary.csv")
+    try {
+      Sinks.cleanedLogs(featured, s"$outputDir/cleaned_logs")
+      Sinks.parquet(Aggregates.hourlyAggregates(featured),
+        s"$outputDir/aggregated_stats/hourly_traffic_by_geo.parquet")
+      Sinks.csv(Aggregates.errorSummary(featured),
+        s"$outputDir/reports/error_summary_geo.csv")
+      Sinks.parquet(Aggregates.botDetails(featured),
+        s"$outputDir/reports/bot_traffic_details.parquet")
+      Sinks.csv(Aggregates.botOriginSummary(featured),
+        s"$outputDir/reports/bot_traffic_by_origin_summary.csv")
+    } finally featured.unpersist()
     featured
   }
 }

@@ -20,28 +20,11 @@ object ElbColumns {
   def elbTokenize(line: Column): Column =
     regexp_extract_all(line, lit("\"[^\"]*\"|\\S+"), lit(0))
 
-  /** Strip one layer of surrounding double quotes (shlex removes them). */
-  def unquote(token: Column): Column =
-    regexp_replace(token, "^\"|\"$", "")
-
-  /** Tokenize + quote-strip in one pass. NOTE: `transform` is a
-    * higher-order function — CodegenFallback — so running it on the hot
-    * parse path drops the whole projection out of whole-stage codegen;
-    * the parser uses [[unquoteScalar]] per field instead.
-    */
-  def elbTokenizeUnquoted(line: Column): Column =
-    transform(elbTokenize(line), t =>
-      when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
-        t.substr(lit(2), length(t) - 2)).otherwise(t))
-
-  /** Scalar quote-strip: pure when/substr — codegen-friendly and small
-    * enough that 29 of them fit one generated method (a regexp_replace
-    * per field blew the 64 KB limit; an array `transform` killed
-    * codegen entirely).
-    */
-  def unquoteScalar(t: Column): Column =
-    when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
-      t.substr(lit(2), length(t) - 2)).otherwise(t)
+  // Quote-stripping lives in the codegen'd ElbUnquote / ElbParseFields
+  // expressions (see those files for why the builtin formulations — a
+  // regexp_replace per field, a when/substr per field, or an array-wide
+  // transform — each fell out of whole-stage codegen on the 29-field
+  // parse projection).
 
   /** Strict ELB timestamp: `%Y-%m-%dT%H:%M:%S.%fZ` → UTC instant
     * (reference elb_logs.py:83). Unparseable → null (caller drops row).

@@ -24,23 +24,35 @@ case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(LongType, false) ||
-        left.dataType == ArrayType(LongType, true)) {
+    def ok(t: DataType) =
+      t == ArrayType(LongType, false) || t == ArrayType(LongType, true)
+    if (ok(left.dataType) && ok(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"LongArrayDot needs array<bigint> inputs, got ${left.dataType}")
+        s"LongArrayDot needs array<bigint> inputs, got (${left.dataType}, ${right.dataType})")
     }
   }
 
+  /** Same null semantics as the builtin aggregate(zip_with(·,·,*),0,+)
+    * idiom: length mismatch (zip_with null-pads the short side) or a
+    * null element yields NULL, so RewriteLongDot is exactly
+    * semantics-preserving.
+    */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -49,10 +61,15 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |${ev.value} = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
        """.stripMargin
     })

@@ -71,6 +71,9 @@ object Dedup {
     * one row per (doc, band).
     */
   def lshBands(df: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) — " +
+        "trailing signatures would be silently unused")
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"sig_$s"))

@@ -88,7 +88,6 @@ object ElbParser {
       .withColumn("ua_browser_family", Ua.browserFamily(col("user_agent")))
       .withColumn("ua_os_family", Ua.osFamily(col("user_agent")))
       .withColumn("is_bot", Ua.isBot(col("user_agent")))
-      .drop("_tokens", lineCol)
   }
 
   /** Not-null + health-check filters, status bucketing, WAF flag

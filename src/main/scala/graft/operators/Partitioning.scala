@@ -40,6 +40,12 @@ object Partitioning {
       probeUniqueCol: String,
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would null-extend every unmatched build REPLICA
+    // (saltFactor copies of each unmatched build row) — not expressible
+    // with this scheme, so refuse rather than silently duplicate.
+    val probeSided = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(probeSided.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports probe-sided join types only, got $joinType")
     val salted = probe.withColumn("_salt",
       pmod(xxhash64(col(probeUniqueCol)), lit(saltFactor)).cast("int"))
     val replicated = build

@@ -43,9 +43,12 @@ object RewriteLongDot extends Rule[LogicalPlan] {
 
   private object IdentityFinish {
     def unapply(f: Expression): Boolean = f match {
+      // functions.aggregate without a finish builds an explicit
+      // identity lambda; anything else must NOT match or the rewrite
+      // would silently drop the finish transform.
       case LambdaFunction(v: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
         v.exprId == a.exprId
-      case _ => true // ArrayAggregate's default finish is identity
+      case _ => false
     }
   }
 

@@ -45,6 +45,29 @@ class ExpressionSpec extends SparkSpec {
     assert(both._1 === (4 - 10 + 18))
   }
 
+  test("LongArrayDot matches builtin null semantics: length mismatch and null elements") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val viaBuiltin = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .collect().head
+    val viaExpr = df.select(LongArrayDot.long_dot($"a", $"b")).collect().head
+    assert(viaBuiltin.isNullAt(0) && viaExpr.isNullAt(0))
+    val withNull = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L)))
+      .toDF("a", "b")
+      .select(LongArrayDot.long_dot($"a", $"b")).collect().head
+    assert(withNull.isNullAt(0))
+  }
+
+  test("RewriteLongDot leaves a non-identity finish lambda alone") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = spark.range(1, 2)
+      .select(array($"id", $"id" + 1).as("a"), array($"id" + 2, $"id" + 3).as("b"))
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v, acc -> acc + 1) AS d")
+    assert(!df.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.LongArrayDot])))
+    assert(df.as[Long].head() === (1 * 3 + 2 * 4) + 1)
+  }
+
   test("RewriteLongDot turns the builtin HOF dot idiom into LongArrayDot") {
     graft.plans.GraftExtensions.register(spark)
     // non-foldable source: constant folding would otherwise collapse a

@@ -9,6 +9,19 @@ class PartitioningSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    // the in-memory catalog is fresh each JVM but the warehouse dirs
+    // persist — clear orphans or saveAsTable refuses the location
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Partitioning.writeBucketed(
       Tables.orders(spark, sf), "b_orders", "o_custkey", 4)
     Partitioning.writeBucketed(
