@@ -72,10 +72,38 @@ object EventQueries {
       .select("event_id", "user_id", "ts", "rolling_5min_count", "rolling_1h_avg_value")
   }
 
+  /** Multi-level rollup with grouping indicators — the grouping-sets
+    * surface the reference lacks but any OLAP consumer of this engine
+    * expects. Spark `grouping()` yields TINYINT; cast to long to match
+    * DuckDB's BIGINT.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("m", month(col("ts")))
+      .rollup(col("event_type"), col("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("m")).cast("long").as("g_month"))
+
+  /** The same engine through the pure-SQL entry path: temp view +
+    * spark.sql — proves the catalog/SQL surface works end-to-end.
+    */
+  def sqlDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_v")
+    spark.sql(
+      """SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |  count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM events_v GROUP BY 1, 2""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hourly_agg" -> hourlyAgg,
     "sessionize" -> sessionizeQ,
-    "rolling_window" -> rollingQ
+    "rolling_window" -> rollingQ,
+    "rollup_agg" -> rollupAgg,
+    "sql_daily" -> sqlDaily
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,6 +138,18 @@ object EventQueries {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM s""".stripMargin,
+    "rollup_agg" ->
+      """SELECT event_type, m,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 3) AS sum_value,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(m) AS BIGINT) AS g_month
+        |FROM (SELECT event_type, month(ts) AS m, value FROM events)
+        |GROUP BY ROLLUP (event_type, m)""".stripMargin,
+    "sql_daily" ->
+      """SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "rolling_window" ->
       """SELECT event_id, user_id, ts,
         |  count(event_id) OVER w5 AS rolling_5min_count,
