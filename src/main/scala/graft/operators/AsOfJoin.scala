@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Point-in-time (as-of) join: for every left row, attach the single
+  * most recent right row with the same key and `rightTime ≤ leftTime` —
+  * the lookup that keeps feature engineering leak-free (a training
+  * example may only see state that existed at its own timestamp).
+  *
+  * Spark has no native as-of join. Rather than a custom
+  * LogicalPlan/Strategy (preference order: compose builtins first,
+  * SURVEY.md §7.3), this is the union-sort formulation: tag both sides,
+  * union, and carry the latest right-side ROW forward as one struct via
+  * `last(ignoreNulls = true)` over a single
+  * `partitionBy(key).orderBy(time, side, tieBreak)` window. Carrying a
+  * struct (not per-column lasts) means a legitimately-null right column
+  * never "sees through" to an older right row.
+  *
+  * Scale shape: ONE shuffle + sort over |left| + |right| rows — no
+  * per-row range probe and no O(|left| × matches) join blowup; skew is
+  * bounded per key like any window. Right rows at exactly the left
+  * row's timestamp DO match (≤ semantics): the right side sorts before
+  * the left at equal times. Right-side timestamp ties resolve toward
+  * the largest `rightTieBreak`, keeping output deterministic.
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: Column,
+      rightValueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rvType = StructType(rightValueCols.map(c => right.schema(c)))
+
+    val l = left.select(
+      (col(key) +: col(leftTime).cast("timestamp").as("_t") +: lit(1).as("_side") +:
+        lit(null).cast("long").as("_rtb") +:
+        lit(null).cast(rvType).as("_rv") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val r = right.select(
+      (col(key) +: col(rightTime).cast("timestamp").as("_t") +: lit(0).as("_side") +:
+        rightTieBreak.cast("long").as("_rtb") +:
+        struct(rightValueCols.map(col): _*).as("_rv") +:
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_side").asc, col("_rtb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select((leftCols.map(col) ++
+        rightValueCols.map(c => col(s"_rv.$c").as(c))): _*)
+  }
+}

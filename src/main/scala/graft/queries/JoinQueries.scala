@@ -71,7 +71,21 @@ object JoinQueries {
         "regionName", "city", "lat", "lon", "isp", "api_fetch_timestamp")
   }
 
+  /** Point-in-time join: each event sees the customer's most recent
+    * order as of the event timestamp (leak-free feature lookup).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_custkey", "user_id")
+    graft.operators.AsOfJoin.asOf(
+      ev, ord, key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+      rightTieBreak = col("o_orderkey"),
+      rightValueCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> asofJoin,
     "join_enrich" -> joinEnrich,
     "anti_join" -> antiJoin,
     "cache_upsert" -> cacheUpsert,
@@ -80,6 +94,21 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    o.o_orderkey, o.o_totalprice, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey, o_totalprice, o_orderdate
+        |FROM cand WHERE rn = 1
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, e.ts, NULL, NULL, NULL
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)""".stripMargin,
     "join_enrich" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus,
         |  c_name, c_mktsegment, c_acctbal
