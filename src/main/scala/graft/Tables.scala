@@ -27,6 +27,16 @@ object Tables {
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
+
+  /** `documents`/`embeddings` ship as single-row-group files — ONE scan
+    * partition, so CPU-heavy per-row work (md5 shingling, hashing)
+    * would run on one core no matter the cluster size. Spread the rows
+    * first; the shuffle is tiny next to the per-row compute it
+    * parallelizes. (At 100 TB the same applies to any small-file or
+    * single-row-group input feeding heavy narrow compute.)
+    */
+  def distributed(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -18,7 +18,7 @@ import graft.operators.Dedup
 object DocQueries {
 
   private def docsWithCopy(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val d = Tables.distributed(spark, sfDir, "documents").select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
@@ -27,18 +27,18 @@ object DocQueries {
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashCandidates(
-      Tables.documents(spark, sfDir), "text", "doc_id",
+      Tables.distributed(spark, sfDir, "documents"), "text", "doc_id",
       shingleK = 3, numHashes = 9, rowsPerBand = 3)
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.distributed(spark, sfDir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
 
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "text", "doc_id")
+    Dedup.ngramJaccardPairs(Tables.distributed(spark, sfDir, "documents"), "text", "doc_id")
 
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val both = e.unionByName(
       e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
     Dedup.embeddingNearDups(both, "vec_id", "embedding", threshold = 0.45)

@@ -84,8 +84,32 @@ object JoinQueries {
       rightValueCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
   }
 
+  /** Ranked top-k per group — the classic window + filter shape (rank
+    * ties are impossible under the (price, orderkey) total order).
+    */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    o.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  /** Set operators: INTERSECT/EXCEPT distinct semantics. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val buyers = e.where(col("event_type") === "purchase").select("user_id")
+    val errorers = e.where(col("event_type") === "error").select("user_id")
+    buyers.intersect(errorers).withColumn("tag", lit("both"))
+      .unionByName(buyers.except(errorers).withColumn("tag", lit("buy_only")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofJoin,
+    "topk_per_group" -> topkPerGroup,
+    "set_ops" -> setOps,
     "join_enrich" -> joinEnrich,
     "anti_join" -> antiJoin,
     "cache_upsert" -> cacheUpsert,
@@ -94,6 +118,20 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "set_ops" ->
+      """WITH buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |     errorers AS (SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM buyers
+        |  INTERSECT SELECT user_id FROM errorers)
+        |UNION ALL
+        |SELECT user_id, 'buy_only' AS tag FROM (SELECT user_id FROM buyers
+        |  EXCEPT SELECT user_id FROM errorers)""".stripMargin,
     "asof_join" ->
       """WITH cand AS (
         |  SELECT e.event_id, e.user_id, e.ts,

@@ -16,7 +16,7 @@ object MiscQueries {
 
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.attachPayload(
-      Tables.documents(spark, sfDir), "doc_id", "text")
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
     Multimodal.decodeFeatures(media).toDF()
   }
 

@@ -13,7 +13,7 @@ import graft.operators.{TextAnalysis => T}
 object TextQueries {
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    Tables.distributed(spark, sfDir, "documents").select(
       col("doc_id"),
       T.wordCount(col("text")).as("n_words"),
       T.bpeTokenCount(col("text")).as("bpe_tokens"),
@@ -23,7 +23,7 @@ object TextQueries {
       T.digitRatio(col("text")).as("digit_ratio"))
 
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    Tables.distributed(spark, sfDir, "documents").select(
       col("doc_id"),
       T.langId(col("text")).as("lang_pred"),
       T.markerCount(col("text"), "en").as("en_hits"),
@@ -32,7 +32,7 @@ object TextQueries {
       T.markerCount(col("text"), "fr").as("fr_hits"))
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    Tables.distributed(spark, sfDir, "documents").select(
       col("doc_id"),
       T.stopwordRatio(col("text")).as("stopword_ratio"),
       T.qualityScore(col("text")).as("quality_score"))
@@ -41,7 +41,7 @@ object TextQueries {
   // form: one narrow pass beats an explode + aggregate + join shuffle
   // when every doc needs exactly one output row.
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    Tables.distributed(spark, sfDir, "documents").select(
       col("doc_id"),
       T.fingerprint(col("text")).as("fingerprint"),
       T.winnowMin(col("text")).as("winnow_min"))

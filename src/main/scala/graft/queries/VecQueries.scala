@@ -12,7 +12,7 @@ import graft.operators.Similarity
 object VecQueries {
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
 
   def topkBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
