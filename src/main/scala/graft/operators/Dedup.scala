@@ -183,4 +183,27 @@ object Dedup {
       .where(col("cosine") > threshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** The scale path for embedding near-dup: candidates restricted to
+    * pairs sharing a random-hyperplane LSH bucket (high-cosine vectors
+    * land together with high probability), then exact quantized cosine.
+    * Replaces the O(n²) cross join with one bucket-keyed self-join —
+    * candidate volume ~ n²/2^bits for uniform data. Recall < 1 by
+    * construction; tune `bits` down (or OR multiple hash tables) for
+    * recall, up for speed.
+    */
+  def embeddingNearDupsLsh(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      bits: Int = 8, dims: Int = 64): DataFrame = {
+    val q = df.select(col(idCol), quantize(col(embCol)).as("q"))
+      .withColumn("n2", squaredNorm(col("q")))
+      .withColumn("bucket", Similarity.lshBucket(col("q"), bits, dims))
+    val a = q.select(col("bucket"), col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = q.select(col("bucket"), col(idCol).as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+    a.join(b, "bucket")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", quantizedCosine(col("qa"), col("qb"), col("n2a"), col("n2b")))
+      .where(col("cosine") > threshold)
+      .select("vec_a", "vec_b", "cosine", "bucket")
+  }
 }

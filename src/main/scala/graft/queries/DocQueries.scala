@@ -44,7 +44,19 @@ object DocQueries {
     Dedup.embeddingNearDups(both, "vec_id", "embedding", threshold = 0.45)
   }
 
+  /** LSH-blocked near-dup (the scale path): identical copies land in
+    * identical buckets by construction, so the planted +100000 twins are
+    * always recalled; natural pairs only when buckets agree.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val both = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDupsLsh(both, "vec_id", "embedding", threshold = 0.45)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -82,6 +94,22 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+         |      FROM e),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2,
+         |        CAST(${VecQueries.bucketExpr("qv")} AS BIGINT) AS bucket FROM q)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |  a.bucket
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin,
     "dedup_exact" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)

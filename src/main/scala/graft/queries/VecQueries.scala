@@ -41,7 +41,7 @@ object VecQueries {
       |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)""".stripMargin
 
   /** Same ±1 hyperplane formula as Similarity.planeSign, in SQL. */
-  private def bucketExpr(qv: String): String = {
+  private[queries] def bucketExpr(qv: String): String = {
     val bitTerms = (0 until 8).map { j =>
       s"""(CASE WHEN CAST(list_dot_product($qv,
          |  list_transform(generate_series(0, 63),

@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape regression tests: the scale claims in SCALE.md, asserted
+  * against the actual physical plans so a future refactor can't
+  * silently reintroduce a shuffle or lose the broadcast.
+  */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("enrichment joins broadcast the small side") {
+    assert(plan("join_enrich").contains("BroadcastHashJoin"))
+    assert(plan("geo_enrichment").contains("BroadcastHashJoin"))
+  }
+
+  test("rolling windows share one exchange; sessionize uses exactly one") {
+    val rolling = plan("rolling_window")
+    assert(countOccurrences(rolling, "Exchange hashpartitioning") === 1,
+      s"rolling_window should shuffle once:\n$rolling")
+    val sess = plan("sessionize")
+    assert(countOccurrences(sess, "Exchange hashpartitioning") === 1,
+      s"sessionize should shuffle once:\n$sess")
+  }
+
+  test("the parse pipeline is shuffle-free") {
+    val p = plan("elb_parse")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"elb_parse should be a narrow pipeline:\n$p")
+  }
+
+  test("hourly aggregate does partial (map-side) aggregation") {
+    val p = plan("hourly_agg")
+    // partial + final pairs around each exchange
+    assert(p.contains("Exchange hashpartitioning"))
+    assert(countOccurrences(p, "HashAggregate") >= 2, p)
+  }
+
+  test("brute-force top-k never shuffles the corpus side") {
+    val p = plan("similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
