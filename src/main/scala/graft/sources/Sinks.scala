@@ -10,15 +10,21 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   /** Hive-partitioned parquet (reference `export_cleaned_logs`,
-    * elb_logs.py:343-349). Partition keys are low-cardinality
-    * (date × country ≈ thousands of dirs/day at worst); Spark writes one
-    * file per (task, partition-key) — at cluster scale pair this with a
-    * `repartition(partitionCols)` upstream if small-file pressure shows.
+    * elb_logs.py:343-349). Without the repartition, every write task
+    * opens a file in every partition dir it touches — numTasks ×
+    * numPartitionKeys small files (measured: the dominant cost of the
+    * whole pipeline at sf0.1). Clustering rows by the partition keys
+    * first writes one file per populated (year, month, day, country)
+    * dir.
     */
-  def cleanedLogs(df: DataFrame, basePath: String): Unit =
-    df.write.mode("append")
-      .partitionBy("request_year", "request_month", "request_day", "countryCode")
+  def cleanedLogs(df: DataFrame, basePath: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("request_year", "request_month", "request_day", "countryCode")
+    df.repartition(keys.map(col): _*)
+      .write.mode("append")
+      .partitionBy(keys: _*)
       .parquet(basePath)
+  }
 
   /** Flat parquet (reference elb_logs.py:367,390,225). */
   def parquet(df: DataFrame, path: String): Unit =
