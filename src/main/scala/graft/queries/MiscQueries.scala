@@ -33,13 +33,50 @@ object MiscQueries {
       StreamingPipeline.hourlyAgg(events), "graft_stream_hourly")
   }
 
+  /** Reproducible train/val/test assignment + an independent 25%
+    * sample flag, both pure functions of the row id.
+    */
+  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.assignSplit(
+        Tables.events(spark, sfDir).select("event_id", "user_id"),
+        "event_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .withColumn("in_quarter_sample",
+        md5(concat(lit("sample:"), col("event_id").cast("string")))
+          < lit(Sampling.fractionThreshold(0.25)))
+  }
+
+  /** Deterministic per-group downsample: at most 20 docs per language. */
+  def capPerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      Tables.documents(spark, sfDir).select("doc_id", "lang"),
+      groupCol = "lang", idCol = "doc_id", cap = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split" -> sampleSplit,
+    "cap_per_group" -> capPerGroup,
     "multimodal_features" -> multimodalFeatures,
     "streaming_sessions" -> streamingSessions,
     "streaming_hourly" -> streamingHourly
   )
 
+  private val t80 = graft.operators.Sampling.fractionThreshold(0.8)
+  private val t90 = graft.operators.Sampling.fractionThreshold(0.9)
+  private val t25 = graft.operators.Sampling.fractionThreshold(0.25)
+
   val oracle: Map[String, String] = Map(
+    "sample_split" ->
+      s"""SELECT event_id, user_id,
+         |  CASE WHEN md5('split:' || CAST(event_id AS VARCHAR)) < '$t80' THEN 'train'
+         |       WHEN md5('split:' || CAST(event_id AS VARCHAR)) < '$t90' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  md5('sample:' || CAST(event_id AS VARCHAR)) < '$t25' AS in_quarter_sample
+         |FROM events""".stripMargin,
+    "cap_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("split assignment is exhaustive, disjoint, near the weights, and repartition-stable") {
+    val split = Sampling.assignSplit(events.select("event_id"), "event_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 1000)
+    assert(counts("train") > 740 && counts("train") < 860, counts.toString)
+    assert(counts("val") > 60 && counts("val") < 145, counts.toString)
+    // identical assignment under a different partition layout
+    val re = Sampling.assignSplit(
+      events.select("event_id").repartition(17), "event_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.join(re.withColumnRenamed("split", "s2"), "event_id")
+      .where($"split" =!= $"s2").count() === 0)
+  }
+
+  test("deterministic sample hits ~fraction and is a subset property of the id") {
+    val s = Sampling.deterministicSample(events.select("event_id"), "event_id", 0.25)
+    val n = s.count()
+    assert(n > 190 && n < 310, n.toString)
+    // same rows again
+    assert(Sampling.deterministicSample(
+      events.select("event_id"), "event_id", 0.25).exceptAll(s).count() === 0)
+  }
+
+  test("capPerGroup keeps at most cap rows per group, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang")
+    val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 20)
+    val sizes = capped.groupBy("lang").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 20))
+    val again = Sampling.capPerGroup(docs.repartition(13), "lang", "doc_id", 20)
+    assert(capped.exceptAll(again).count() === 0)
+  }
+}
