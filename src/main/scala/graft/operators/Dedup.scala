@@ -117,27 +117,46 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
-  /** Exact n-gram Jaccard over candidate pairs that share the seed-0
-    * minhash (a cheap high-recall block): |A∩B| / |A∪B| on distinct
-    * shingle sets. Integer set sizes → the division is bit-identical
-    * across engines.
+  /** Exact n-gram Jaccard over multi-band MinHash-LSH candidate pairs:
+    * |A∩B| / |A∪B| on distinct shingle sets. Integer set sizes → the
+    * division is bit-identical across engines.
+    *
+    * Scale posture: candidates come from the SAME multi-band blocking as
+    * [[minhashCandidates]] (docs must share ALL `rowsPerBand` consecutive
+    * min-hashes of some band), never from a single hash — a single
+    * popular min-shingle would otherwise collect every doc that contains
+    * it into one O(block²) bucket with a single-key shuffle hotspot. The
+    * exploded shingle table is built once and shared by signature
+    * aggregation and intersection counting; the candidate pair list is
+    * broadcast into both intersection joins, so the big table is never
+    * shuffled on a skewed key.
     */
   def ngramJaccardPairs(
-      df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3): DataFrame = {
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3,
+      numHashes: Int = 9, rowsPerBand: Int = 3): DataFrame = {
     // Exploded-row formulation: the shingle array materializes once per
     // doc, and min-hash, set sizes, and intersections all run on the
     // codegen'd row path (the array_intersect/array_union + per-side
     // array HOF version spent its time in interpreted evaluation).
     val s = df.select(col(idCol).as("doc"),
       explode(shingles(col(textCol), shingleK)).as("sh"))
-    val stats = s.groupBy(col("doc")).agg(
-      min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
-      count(lit(1)).as("n_sh"))
-    val cand = stats.select(col("sig0"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
-      .join(stats.select(col("sig0"), col("doc").as("doc_b"), col("n_sh").as("n_b")), "sig0")
+    val sigAggs = (0 until numHashes).map { seed =>
+      min(md5(concat(lit(s"$seed:"), col("sh")))).as(s"sig_$seed")
+    }
+    val stats = s.groupBy(col("doc"))
+      .agg(sigAggs.head, sigAggs.tail :+ count(lit(1)).as("n_sh"): _*)
+    val bands = lshBands(stats, "doc", numHashes, rowsPerBand)
+    val cand = bands.select(col("band_idx"), col("band_hash"), col("doc").as("doc_a"))
+      .join(bands.select(col("band_idx"), col("band_hash"), col("doc").as("doc_b")),
+        Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
-    val common = cand
+      .select("doc_a", "doc_b").distinct()
+      .join(stats.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(stats.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+    // Candidate pairs are a tiny fraction of the corpus (that is the
+    // point of LSH): broadcast them so the exploded shingle table joins
+    // map-side — pruned to candidate docs first, then matched on shingle.
+    val common = broadcast(cand)
       .join(s.select(col("doc").as("doc_a"), col("sh")), "doc_a")
       .join(s.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))

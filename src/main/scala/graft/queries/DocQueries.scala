@@ -129,12 +129,16 @@ object DocQueries {
          |      FROM documents)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH shr AS ($shingleRows),
-         |d AS (SELECT doc_id, list(sh) AS shs, min(md5('0:' || sh)) AS sig0
-         |      FROM shr GROUP BY doc_id)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |         WHERE a.doc_id < b.doc_id),
+         |d AS (SELECT doc_id, list(sh) AS shs FROM shr GROUP BY doc_id)
+         |SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
          |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
-         |FROM d a JOIN d b ON a.sig0 = b.sig0 AND a.doc_id < b.doc_id""".stripMargin,
+         |FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
