@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `Array[Float]` embedding
@@ -47,9 +46,26 @@ object Similarity {
     df.select(col(idCol), Dedup.quantize(col(embCol)).as("q"))
       .withColumn("n2", Dedup.squaredNorm(col("q")))
 
+  /** Turn a per-query best-first top-k struct array into
+    * (rank, neighbor_id, cosine) rows; rank is 1-based and int like the
+    * row_number it replaces.
+    */
+  private def rankRows(grouped: DataFrame, keep: Seq[String]): DataFrame =
+    grouped
+      .select(keep.map(col) :+ posexplode(col("topk")).as(Seq("pos", "nc")): _*)
+      .withColumn("neighbor_id", col("nc.neighbor_id"))
+      .withColumn("rank", (col("pos") + 1).cast("int"))
+      .withColumn("cosine", col("nc.cosine"))
+
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small (it is broadcast); ranking ties break by
     * neighbor id for total determinism.
+    *
+    * Ranking is a bounded-heap aggregate ([[graft.functions.TopKByScore]]),
+    * NOT a `row_number` window: the window would shuffle all |Q|·N scored
+    * rows into |Q| partitions (a |Q|-task stage no matter the cluster),
+    * while the aggregate's partial mode keeps ≤ k candidates per (task,
+    * query) map-side, so the only exchange carries tiny k-entry buffers.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -58,18 +74,20 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("q").as("qc"), col("n2").as("n2c"))
     val qs = prepared(queries, idCol, embCol)
       .select(col(idCol).as("query_id"), col("q").as("qq"), col("n2").as("n2q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+    val grouped = c.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+    rankRows(grouped, Seq("query_id"))
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket; then
-    * exact cosine top-k within it. One shuffle on the bucket id.
+    * exact cosine top-k within it. One shuffle on the bucket id, then the
+    * same bounded-heap ranking as [[bruteForceTopK]] (bucket rides along
+    * in the grouping key — it is functionally dependent on query_id).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -83,14 +101,14 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("q"), bits, dims))
       .select(col("bucket"), col(idCol).as("query_id"),
         col("q").as("qq"), col("n2").as("n2q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(qs, "bucket")
+    val grouped = c.join(qs, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .groupBy(col("query_id"), col("bucket"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+    rankRows(grouped, Seq("query_id", "bucket"))
       .select("query_id", "neighbor_id", "rank", "cosine", "bucket")
   }
 }

@@ -45,4 +45,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("top-k ranking is a bounded-heap aggregate, not a |Q|-partition window") {
+    for (q <- Seq("similarity_topk", "similarity_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q should rank via TopKByScore, not a row_number window:\n$p")
+      // partial (map-side) + final object hash aggregate pair: the
+      // exchange between them carries k-entry buffers, never scored rows
+      assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+        s"$q should do two-phase object hash aggregation:\n$p")
+    }
+  }
 }
