@@ -25,7 +25,11 @@ object GeoCache {
     StructField("api_fetch_timestamp", TimestampType)))
 
   /** Load the cache; absent path → empty typed table (reference
-    * `load_geolocation_cache`, elb_logs.py:150-163).
+    * `load_geolocation_cache`, elb_logs.py:150-163, which catches ONLY
+    * FileNotFoundError). Any other failure — permissions, corrupt
+    * footer, transient store error — rethrows: swallowing it would
+    * silently present an empty cache, mass-refetch every IP through the
+    * rate-limited provider, and overwrite the accumulated cache.
     */
   def load(spark: SparkSession, path: String): DataFrame =
     try {
@@ -33,9 +37,16 @@ object GeoCache {
       df.queryExecution.analyzed // force resolution so a missing path throws here
       df
     } catch {
-      case _: Exception =>
+      case e: Exception if isPathNotFound(e) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  private def isPathNotFound(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getCondition == "PATH_NOT_FOUND"
+    case _ => false
+  }
 
   /** Distinct probe-side keys absent from the cache (reference
     * elb_logs.py:408-409): distinct + LEFT ANTI join. The cache side is
@@ -49,19 +60,22 @@ object GeoCache {
         col("_probe_ip") === col("_cache_ip"), "left_anti")
       .select(col("_probe_ip").as(ipCol))
 
-  /** Fetch geolocation for each new IP via the provider.
-    *
-    * Deliberately `coalesce(1)`: the free-tier API rate limit is GLOBAL,
-    * so the side-effecting stage runs in one task, exactly like the
-    * reference's sequential loop (elb_logs.py:413-419). Throughput is
-    * bounded by the API (≤1.67 req/s), not by Spark — parallelism here
-    * would only trip the limiter. The new-IP set is tiny relative to log
-    * volume (only never-seen addresses), so this is not a scale
-    * bottleneck; a paid-tier provider could partition freely.
+  /** Fetch geolocation for each new IP via the provider, at the
+    * provider's declared parallelism: a rate-limited HTTP provider
+    * declares `maxParallelism = Some(1)` and runs as one task, exactly
+    * like the reference's sequential loop (elb_logs.py:413-419) — its
+    * throughput is bounded by the API (≤1.67 req/s), not Spark. A pure
+    * provider (static lookup table, paid tier) declares None and keeps
+    * the upstream distinct's partitioning, fanning out across the
+    * cluster.
     */
   def fetch(newIps: Dataset[String], provider: GeoProvider): Dataset[GeoRecord] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[GeoRecord]
-    newIps.coalesce(1).mapPartitions(_.map(provider.lookup))
+    val sized = provider.maxParallelism match {
+      case Some(n) => newIps.coalesce(n)
+      case None    => newIps
+    }
+    sized.mapPartitions(_.map(provider.lookup))
   }
 
   /** Keyed upsert, keep-newest (reference `update_geolocation_cache`,

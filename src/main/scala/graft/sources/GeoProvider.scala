@@ -26,6 +26,13 @@ case class GeoRecord(
   */
 trait GeoProvider extends Serializable {
   def lookup(ip: String): GeoRecord
+
+  /** Upper bound on concurrent lookup tasks, or None for a pure provider
+    * that can fan out across the whole cluster. Rate-limited providers
+    * return Some(1): their limit is global, so the fetch stage must be a
+    * single task (the reference's sequential loop, elb_logs.py:413-419).
+    */
+  def maxParallelism: Option[Int] = None
 }
 
 object GeoProvider {
@@ -70,6 +77,11 @@ case class StaticGeoProvider(clock: Timestamp) extends GeoProvider {
   */
 class HttpGeoProvider(rateLimitMillis: Long = 600, timeoutMillis: Int = 5000)
     extends GeoProvider {
+
+  /** The free-tier limit is per-source-IP GLOBAL: one task, like the
+    * reference's sequential loop.
+    */
+  override def maxParallelism: Option[Int] = Some(1)
 
   override def lookup(ip: String): GeoRecord = {
     val now = new Timestamp(System.currentTimeMillis())

@@ -37,16 +37,30 @@ object Sinks {
   /** Overwrite a parquet path that the writing plan may itself be
     * reading (the geo-cache upsert, reference elb_logs.py:225). Spark
     * cannot overwrite an input in place, so write to a sibling temp dir
-    * and atomically swap via the Hadoop FileSystem.
+    * and swap via the Hadoop FileSystem.
+    *
+    * The swap renames the CURRENT data aside before renaming staging into
+    * place (never delete-then-rename: a crash between the two would lose
+    * the accumulated cache with no copy left). Every rename result is
+    * checked; on failure the old data is restored or still present under
+    * `path._old`.
     */
   def overwriteInPlace(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "._staging")
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
     val fs = target.getFileSystem(hconf)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a past crash
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
+      throw new java.io.IOException(s"could not move $target aside to $old")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(old, target) // best-effort rollback
+      throw new java.io.IOException(s"could not move staging $tmp into $target")
+    }
+    if (hadTarget) fs.delete(old, true)
   }
 }

@@ -19,6 +19,29 @@ class GeoCacheSpec extends SparkSpec {
     assert(df.schema === GeoCache.schema)
   }
 
+  test("load of a CORRUPT cache rethrows instead of silently emptying") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt-cache")
+    java.nio.file.Files.writeString(
+      dir.resolve("part-00000.parquet"), "this is not parquet")
+    try intercept[Exception] {
+      GeoCache.load(spark, dir.toString).count()
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("fetch fans out for a pure provider, single task for rate-limited") {
+    val ips = spark.range(0, 64, 1, 8)
+      .select(concat(lit("10.0.0."), $"id" % 250).as("v")).as[String]
+    val pure = GeoCache.fetch(ips, StaticGeoProvider(clock))
+    assert(pure.rdd.getNumPartitions === 8,
+      "pure provider must keep upstream partitioning")
+    val limited = GeoCache.fetch(ips, new graft.sources.HttpGeoProvider())
+    assert(limited.rdd.getNumPartitions === 1,
+      "rate-limited provider must run as one task")
+  }
+
   test("upsert keeps the newest row per key; timestamp ties keep the old side") {
     val old = Seq(
       ("1.1.1.1", "US", t("2025-01-01 00:00:00")),
