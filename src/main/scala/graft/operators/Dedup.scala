@@ -188,10 +188,21 @@ object Dedup {
     graft.functions.LongArrayDot.long_dot(q, q)
 
   /** Embedding-cosine near-dup pairs above `threshold` — exhaustive
-    * O(n²) baseline; see Similarity for the LSH-bucketed scale path.
+    * O(n²) baseline via an explicit cross join. This is deliberately the
+    * EXACTNESS reference, not the scale path: `maxRows` guards against
+    * accidentally pointing it at a large table (n² pairs is a cartesian
+    * scale-killer — 1e6 rows is already 5e11 comparisons). Raise the cap
+    * consciously for a bigger ground-truth run, or use
+    * [[embeddingNearDupsLsh]], which buckets candidates and scales.
     */
   def embeddingNearDups(
-      df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      maxRows: Long = 100000): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"embeddingNearDups is the exhaustive O(n²) baseline and the input has " +
+        s"$n rows (cap $maxRows): that cross join is a cartesian scale-killer. " +
+        "Use embeddingNearDupsLsh for large tables, or raise maxRows deliberately.")
     val q = df.select(col(idCol), quantize(col(embCol)).as("q"))
       .withColumn("n2", squaredNorm(col("q")))
     val a = q.select(col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
