@@ -22,14 +22,31 @@ object Ua {
 
   def browserFamily(ua: Column): Column =
     when(ua.isNull, lit("Other"))
+      // Chromium-derived mobile browsers embed a full Chrome UA — their
+      // own token must win before any Chrome rule (ua-parser order).
+      .when(ua.rlike("EdgiOS/|EdgA/"), lit("Edge Mobile"))
       .when(ua.rlike("Edge?/"), lit("Edge"))
+      .when(ua.rlike("SamsungBrowser/"), lit("Samsung Internet"))
+      .when(ua.rlike("YaBrowser/"), lit("Yandex Browser"))
+      .when(ua.rlike("UCBrowser/"), lit("UC Browser"))
+      .when(ua.rlike("Opera Mini/"), lit("Opera Mini"))
+      .when(ua.rlike("Opera Mobi"), lit("Opera Mobile"))
       .when(ua.rlike("OPR/|Opera"), lit("Opera"))
       .when(ua.rlike("CriOS/"), lit("Chrome Mobile iOS"))
       .when(ua.rlike("Chromium/"), lit("Chromium"))
+      // Android WebView carries both Version/ and Chrome/ tokens; plain
+      // Android Chrome carries Chrome/… Mobile. Both precede desktop
+      // Chrome, mirroring uap-core's regex order.
+      .when(ua.rlike("Version/[0-9.]+ Chrome/"), lit("Chrome Mobile WebView"))
+      .when(ua.rlike("Chrome/[0-9.]+ Mobile"), lit("Chrome Mobile"))
       .when(ua.rlike("Chrome/"), lit("Chrome"))
       .when(ua.rlike("FxiOS/"), lit("Firefox iOS"))
+      .when(ua.rlike("Firefox/[0-9.]+.*(Mobile|Tablet)|(Mobile|Tablet).*Firefox/"),
+        lit("Firefox Mobile"))
       .when(ua.rlike("Firefox/"), lit("Firefox"))
       .when(ua.rlike("MSIE |Trident/"), lit("IE"))
+      .when(ua.rlike("(iPhone|iPad|iPod).*Version/[0-9.]+.*Safari/"),
+        lit("Mobile Safari"))
       .when(ua.rlike("Version/.*Safari/|Safari/"), lit("Safari"))
       .when(ua.rlike("^curl/"), lit("curl"))
       .when(ua.rlike("^Wget/"), lit("Wget"))
