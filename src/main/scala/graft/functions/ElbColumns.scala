@@ -34,12 +34,27 @@ object ElbColumns {
 
   /** Lenient timestamp (reference's `pd.to_datetime`, elb_logs.py:86):
     * failure → null, row kept.
+    *
+    * The bare `try_to_timestamp` is Spark's lenient cast parser and
+    * already covers ISO forms with offsets (`+00:00`), any fractional
+    * precision (ns truncates to µs, like pandas→parquet), space or `T`
+    * separators, and date-only strings. The explicit formats extend it
+    * to the remaining common pandas/dateutil shapes: slashed and
+    * compact dates, and US month-first. Branches are tried in frequency
+    * order and coalesce short-circuits, so well-formed rows pay one
+    * parse. (RFC-1123 `EEE, dd MMM yyyy HH:mm:ss zzz` is NOT covered:
+    * Spark's post-3.0 pattern dialect rejects that formatter.)
     */
   def parseLenientTime(s: Column): Column =
     coalesce(
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-      try_to_timestamp(s))
+      try_to_timestamp(s),
+      try_to_timestamp(s, lit("yyyy/MM/dd HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy/MM/dd")),
+      try_to_timestamp(s, lit("yyyyMMdd")),
+      try_to_timestamp(s, lit("MM/dd/yyyy HH:mm:ss")),
+      try_to_timestamp(s, lit("MM/dd/yyyy")))
 
   /** Float coercion with `'-'` sentinel → null (reference elb_logs.py:91-95). */
   def coerceFloat(c: Column): Column =

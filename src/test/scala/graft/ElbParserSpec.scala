@@ -122,4 +122,35 @@ class ElbParserSpec extends SparkSpec {
     assert(r.getAs[Int]("path_depth") === 3)
     assert(r.getAs[String]("path_main_segment") === "api")
   }
+
+  test("lenient timestamp parses the pandas-parseable form table") {
+    import org.apache.spark.sql.functions.col
+    // (input, expected UTC instant as "yyyy-MM-dd HH:mm:ss[.f]") —
+    // every row is accepted by pd.to_datetime; RFC-1123 is the one
+    // documented gap (Spark's pattern dialect rejects that formatter).
+    val table = Seq(
+      "2024-03-05T10:11:12.123456Z" -> "2024-03-05 10:11:12.123456",
+      "2024-03-05T10:11:12Z" -> "2024-03-05 10:11:12.0",
+      "2024-03-05T10:11:12+00:00" -> "2024-03-05 10:11:12.0",
+      "2024-03-05T10:11:12.123+02:00" -> "2024-03-05 08:11:12.123",
+      "2024-03-05 10:11:12" -> "2024-03-05 10:11:12.0",
+      "2024-03-05 10:11:12.123" -> "2024-03-05 10:11:12.123",
+      "2024-03-05" -> "2024-03-05 00:00:00.0",
+      "2024-03-05T10:11:12.123Z" -> "2024-03-05 10:11:12.123",
+      "2024-03-05T10:11:12.123456789Z" -> "2024-03-05 10:11:12.123456",
+      "2024/03/05 10:11:12" -> "2024-03-05 10:11:12.0",
+      "20240305" -> "2024-03-05 00:00:00.0",
+      "03/05/2024" -> "2024-03-05 00:00:00.0",
+      "03/05/2024 10:11:12" -> "2024-03-05 10:11:12.0")
+    import spark.implicits._
+    val got = table.map(_._1).toDF("s")
+      .select(graft.functions.ElbColumns.parseLenientTime(col("s")))
+      .collect().map(_.getTimestamp(0).toString)
+    table.zip(got).foreach { case ((in, want), g) =>
+      assert(g === want, s"for input: $in")
+    }
+    val bad = Seq("not a date").toDF("s")
+      .select(graft.functions.ElbColumns.parseLenientTime(col("s")))
+    assert(bad.collect().head.isNullAt(0))
+  }
 }
