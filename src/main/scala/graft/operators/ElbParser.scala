@@ -23,6 +23,30 @@ import graft.functions.{ElbColumns => F, Ua}
   */
 object ElbParser {
 
+  /** Observation names for [[parse]]'s malformed-row drop counters. */
+  val DropsArity = "elb_parse_drops_arity"
+  val DropsTime = "elb_parse_drops_time"
+  val DropsFloat = "elb_parse_drops_float"
+
+  /** Collect the drop counts observed by [[parse]] from an executed
+    * query: short/long lines, unparseable strict timestamps, and
+    * non-sentinel unparseable floats.
+    *
+    * Call with the EXACT DataFrame an action ran on (collect / write /
+    * foreach fill that dataset's own observed metrics). `df.count()`
+    * does NOT qualify — it executes a separate aggregate plan, leaving
+    * this dataset's metric accumulators at zero. Any frame DERIVED from
+    * a parse output works too: the CollectMetrics nodes ride along in
+    * its plan.
+    */
+  def dropCounts(df: DataFrame): Map[String, Long] = {
+    val m = df.queryExecution.observedMetrics
+    Seq(DropsArity -> "dropped_arity", DropsTime -> "dropped_time",
+      DropsFloat -> "dropped_float").flatMap { case (name, field) =>
+      m.get(name).map(row => name -> row.getAs[Long](field))
+    }.toMap
+  }
+
   /** Parse a DataFrame of raw log lines.
     *
     * @param lines must contain `lineCol` (string); if a
@@ -39,9 +63,17 @@ object ElbParser {
     // expression (see ElbParseFields for why the builtin formulations
     // fell out of whole-stage codegen); null fields array = short line,
     // dropped here (reference elb_logs.py:77-78).
+    //
+    // Each drop point is observed (CollectMetrics): the reference warns
+    // per dropped line (elb_logs.py:130-132); per-line logging is not a
+    // thing a distributed engine should do, so we surface the same
+    // information as per-batch drop COUNTS, readable after any action
+    // via queryExecution.observedMetrics (see [[dropCounts]]).
     val toks = withSource
       .withColumn("_fields",
         graft.functions.ElbParseFields.elb_parse_fields(col(lineCol)))
+      .observe(DropsArity,
+        count(when(col("_fields").isNull, 1)).as("dropped_arity"))
       .filter(col("_fields").isNotNull)
 
     // Zip the fields onto the declared schema (reference elb_logs.py:80).
@@ -57,7 +89,11 @@ object ElbParser {
 
     val parsedTime = raw
       .withColumn("time", F.parseElbTime(col("time")))
+      .observe(DropsTime,
+        count(when(col("time").isNull, 1)).as("dropped_time"))
       .filter(col("time").isNotNull)           // strict strptime → row drop
+      .observe(DropsFloat,
+        count(when(!floatOk, 1)).as("dropped_float"))
       .filter(floatOk)                          // float() raise → row drop
       .withColumn("request_creation_time", F.parseLenientTime(col("request_creation_time")))
 

@@ -78,4 +78,24 @@ class ElbPipelineSpec extends SparkSpec {
       StaticGeoProvider(java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
     assert(spark.read.parquet(cachePath).count() === 2)
   }
+
+  test("parse observes one drop count per malformed-row class") {
+    import spark.implicits._
+    val good = line("2025-05-26T14:00:00.000000Z", "10.1.2.3", 200,
+      "curl/8.0.1", "https://x.com/a")
+    val lines = Seq(
+      good,
+      "way too few tokens",                                     // arity drop
+      good.replaceFirst("2025-05-26T14:00:00\\.000000Z", "not-a-time"), // time drop
+      good.replaceFirst("0\\.042", "not-a-float"))              // float drop
+    val parsed = graft.operators.ElbParser.parse(lines.toDF("value"))
+    // collect(), not count(): metrics land on the executed dataset's own
+    // queryExecution (count() runs a separate aggregate plan)
+    val kept = parsed.collect().length
+    val drops = graft.operators.ElbParser.dropCounts(parsed)
+    assert(kept === 1)
+    assert(drops(graft.operators.ElbParser.DropsArity) === 1)
+    assert(drops(graft.operators.ElbParser.DropsTime) === 1)
+    assert(drops(graft.operators.ElbParser.DropsFloat) === 1)
+  }
 }
