@@ -27,6 +27,20 @@ object MiscQueries {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** The row-level streaming sessionizer (batch `{key}_s{n}` ids)
+    * through the real streaming engine. Gap semantics match both the
+    * batch sessionizer and session_window (all strictly >, boundary
+    * pinned by StreamingSpec); this query is the oracle-checked proof.
+    */
+  def streamingSessionIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = StreamingPipeline.readEvents(spark, sfDir)
+    StreamingPipeline.runToMemory(
+      StreamingPipeline.sessionIds(events).toDF(),
+      "graft_stream_session_ids",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("event_id", "user_id", "ts", "session_id")
+  }
+
   def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
@@ -57,6 +71,7 @@ object MiscQueries {
     "cap_per_group" -> capPerGroup,
     "multimodal_features" -> multimodalFeatures,
     "streaming_sessions" -> streamingSessions,
+    "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly
   )
 
@@ -90,7 +105,7 @@ object MiscQueries {
       """WITH d AS (
         |  SELECT user_id, ts,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-        |      OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |      OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
         |    THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -99,6 +114,18 @@ object MiscQueries {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sn""".stripMargin,
+    "streaming_session_ids" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sn FROM d)
+        |SELECT event_id, user_id, ts,
+        |  user_id || '_s' || sn AS session_id
+        |FROM s""".stripMargin,
     "streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

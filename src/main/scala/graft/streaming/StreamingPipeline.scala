@@ -38,9 +38,15 @@ object StreamingPipeline {
 
   /** 30-min-gap sessions via the native session_window: one state store
     * keyed by (user, window); watermark bounds state growth in
-    * continuous mode. Edge note: session_window starts a NEW session
-    * when the gap is ≥ the timeout (half-open windows), whereas the
-    * batch sessionizer's pandas semantics use strictly >.
+    * continuous mode.
+    *
+    * Boundary semantics, pinned empirically by StreamingSpec: session
+    * windows MERGE when they touch, so an event at exactly
+    * `prev + gap` extends the session — the SAME strictly-> gap rule as
+    * the batch sessionizer and pandas. (An earlier note here claimed ≥
+    * divergence; the boundary test disproved it.) For row-level ids in
+    * the batch `{key}_s{n}` format use [[sessionIds]], whose
+    * oracle-verified twin is the `streaming_session_ids` query.
     */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -61,6 +61,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("exactly-30:00 gap: session_window, sessionIds, and batch all keep one session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gap").toFile
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2025-01-01 00:30:00") // gap == timeout
+    val dataDir = new java.io.File(dir, "events").toString
+    Seq((1L, t0, 7L, "click", 1.0, ""), (2L, t1, 7L, "click", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dataDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def stream = spark.readStream.schema(schema).parquet(dataDir)
+
+    // Session windows MERGE when they touch: event at start+gap extends
+    // the session, so == gap stays together — the batch > rule.
+    val windowed = StreamingPipeline.runToMemory(
+      StreamingPipeline.sessionAgg(stream), "gap_windowed")
+    assert(windowed.count() === 1, "session_window: ==-gap events merge")
+    assert(windowed.select("n_events").head().getLong(0) === 2)
+
+    val exact = StreamingPipeline.runToMemory(
+      StreamingPipeline.sessionIds(stream).toDF(), "gap_exact", OutputMode.Append())
+    assert(exact.select("session_id").distinct().count() === 1,
+      "sessionIds: strictly-> gap keeps one session, matching batch")
+
+    val batch = graft.operators.Sessionize.sessionize(
+      Seq((1L, t0, 7L), (2L, t1, 7L)).toDF("event_id", "ts", "user_id"),
+      keyCol = "user_id", timeCol = "ts", tieBreak = col("event_id"))
+    assert(batch.select("session_id").distinct().count() === 1)
+  }
+
   test("multimodal plumbing: payload bytes survive the round trip; stub decode is deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.attachPayload(docs, "doc_id", "text")
