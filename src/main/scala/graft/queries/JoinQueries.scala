@@ -97,6 +97,48 @@ object JoinQueries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
   }
 
+  /** Bucketed co-located join: both sides written bucketed on the join
+    * key (the write's repartition is the ONLY shuffle, paid once), read
+    * back through the catalog, and equi-joined — the planner proves
+    * co-partitioning and plans NO exchange (PlanSpec pins the plan with
+    * broadcast disabled). This is the 100 TB fact-to-fact join shape:
+    * shuffle at ingest, join forever for free.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def reset(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // the in-memory catalog forgets tables between JVMs but warehouse
+      // dirs persist; clear orphans or saveAsTable refuses the location
+      val wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      val dir = new java.io.File(wh, table)
+      if (dir.exists()) rm(dir)
+    }
+    reset("graft_b_orders"); reset("graft_b_customer")
+    graft.operators.Partitioning.writeBucketed(
+      Tables.orders(spark, sfDir), "graft_b_orders", "o_custkey", 8)
+    graft.operators.Partitioning.writeBucketed(
+      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_b_customer", "o_custkey", 8)
+    spark.table("graft_b_orders").join(spark.table("graft_b_customer"), "o_custkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+  }
+
+  /** Deterministic skew-salted join — result-identical to the plain
+    * join (PartitioningSpec proves set equality; this query hash-proves
+    * it against the oracle's PLAIN join SQL).
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Partitioning.saltedJoin(
+        Tables.orders(spark, sfDir),
+        Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+        key = "o_custkey", probeUniqueCol = "o_orderkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+
   /** Set operators: INTERSECT/EXCEPT distinct semantics. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
@@ -107,6 +149,8 @@ object JoinQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> bucketedJoin,
+    "salted_join" -> saltedJoin,
     "asof_join" -> asofJoin,
     "topk_per_group" -> topkPerGroup,
     "set_ops" -> setOps,
@@ -118,6 +162,12 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

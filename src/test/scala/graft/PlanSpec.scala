@@ -46,6 +46,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bucketed_join query plans with zero exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("bucketed_join")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join should be co-located, no shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("top-k ranking is a bounded-heap aggregate, not a |Q|-partition window") {
     for (q <- Seq("similarity_topk", "similarity_lsh")) {
       val p = plan(q)
