@@ -11,11 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.ElbSchema.columns.size]] quote-stripped fields, or null when
   * the line is short (the arity drop, reference elb_logs.py:77-78).
   *
-  * Token grammar is identical to the regex `"[^\"]*"|\S+` used by the
-  * declarative tokenizer (ElbColumns.elbTokenize): a double-quoted run
-  * (falling back to a plain run when unterminated) or a maximal
-  * non-space run. Scanning is byte-level — quotes and spaces are ASCII,
-  * so UTF-8 continuation bytes can never false-match.
+  * Token grammar matches the reference's `shlex.split` surface: a
+  * double-quoted run or a maximal non-whitespace run (space, tab, CR,
+  * LF, FF, VT all delimit, like `\S+`), and an UNTERMINATED quote nulls
+  * the whole line — shlex raises there and the reference drops the row
+  * (elb_logs.py:130-132). This is stricter than the declarative
+  * `elbTokenize` regex, which keeps an unterminated quote as a plain
+  * run. Scanning is byte-level — quotes and whitespace are ASCII, so
+  * UTF-8 continuation bytes can never false-match.
   *
   * Why an expression instead of builtins: the 29-field projection
   * references the token array 29 times; once the collapsed projection
@@ -57,8 +60,12 @@ object ElbParseFields {
 
   private val NumFields = graft.ElbSchema.columns.size
 
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0x0b
+
   /** Scan a line into the first [[NumFields]] tokens, quote-stripped;
-    * null if fewer tokens exist.
+    * null if fewer tokens exist or a quote never closes (shlex raises on
+    * an unterminated quote; the reference drops such rows).
     */
   def parse(line: UTF8String): ArrayData = {
     val bytes = line.getBytes  // materialized copy; lines are short
@@ -67,20 +74,19 @@ object ElbParseFields {
     var count = 0
     var i = 0
     while (i < n && count < NumFields) {
-      while (i < n && bytes(i) == ' ') i += 1
+      while (i < n && isSpace(bytes(i))) i += 1
       if (i < n) {
         var start = i
         var end = -1
         if (bytes(i) == '"') {
           var j = i + 1
           while (j < n && bytes(j) != '"') j += 1
-          if (j < n) {            // terminated quote: token = contents
-            start = i + 1; end = j; i = j + 1
-          }
+          if (j >= n) return null // unterminated quote: drop the line
+          start = i + 1; end = j; i = j + 1
         }
-        if (end < 0) {            // plain (or unterminated-quote) run
+        if (end < 0) {            // plain run
           var j = start
-          while (j < n && bytes(j) != ' ') j += 1
+          while (j < n && !isSpace(bytes(j))) j += 1
           end = j; i = j
         }
         out(count) = UTF8String.fromBytes(bytes, start, end - start)

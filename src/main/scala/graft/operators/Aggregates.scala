@@ -11,15 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** pandas `groupby(dropna=True)` — the reference's default — silently
+    * drops rows whose group KEY is null, while Spark keeps a null-keyed
+    * group. The live HTTP provider can return null countryName/city
+    * (missing API fields), so grouped reports filter null keys first to
+    * match the reference's output surface. Provider FAILURES are not
+    * affected — they carry the non-null 'Error' sentinel and group as
+    * such on both engines.
+    */
+  private def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
   /** Hourly geo traffic rollup (reference `export_hourly_aggregates`,
     * elb_logs.py:351-368): 6 group keys, 9 aggregates. `median` is
     * Spark's exact median — `percentile_approx` would diverge from the
     * pandas/DuckDB exact result (SURVEY.md §7.4 trap 2). pandas `count`
     * on client_ip equals count(*) post-filter (nulls already dropped);
-    * `nunique` maps to countDistinct.
+    * `nunique` maps to countDistinct. Null group keys drop (pandas
+    * dropna; see [[dropNullKeys]]).
     */
   def hourlyAggregates(df: DataFrame): DataFrame =
-    df.groupBy(
+    dropNullKeys(df, Seq("countryName", "city")).groupBy(
         col("request_year"), col("request_month"), col("request_day"),
         col("request_hour"), col("countryName"), col("city"))
       .agg(
@@ -51,11 +63,13 @@ object Aggregates {
       .select("time", "client_ip", "city", "countryName", "isp",
         "full_url", "user_agent")
 
-  /** Bot origin rollup: groupby().size() counts rows including rows with
-    * null group values — count(*), not count(col) (SURVEY.md §2 op 34).
+  /** Bot origin rollup: groupby().size() is count(*), not count(col) —
+    * rows with nulls in non-key columns still count (SURVEY.md §2
+    * op 34) — but null group KEYS drop (pandas dropna;
+    * see [[dropNullKeys]]).
     */
   def botOriginSummary(df: DataFrame): DataFrame =
-    df.filter(col("is_bot"))
+    dropNullKeys(df.filter(col("is_bot")), Seq("countryName", "isp"))
       .groupBy("countryName", "isp")
       .agg(count(lit(1)).as("bot_request_count"))
 }

@@ -12,8 +12,6 @@ class ExpressionSpec extends SparkSpec {
     val lines = Seq(
       // quoted fields with spaces, empty quotes, dashes
       ("a " * 26) + "\"quoted with spaces\" \"\" tail",
-      // unterminated quote falls back to a plain run
-      ("x " * 28) + "\"unterminated",
       // quote adjacent to text, quote mid-token
       ("y " * 27) + "\"q v\"adjacent mid\"quote")
     val viaExpr = lines.toDF("value")
@@ -28,11 +26,25 @@ class ExpressionSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("ElbParseFields returns null (row drop) for short lines") {
-    val out = Seq("only three tokens", "")
+  test("ElbParseFields returns null (row drop) for short lines and unterminated quotes") {
+    val out = Seq(
+        "only three tokens",
+        "",
+        // shlex raises "No closing quotation" → reference drops the row,
+        // even when the line would otherwise have enough tokens
+        ("x " * 28) + "\"unterminated")
       .toDF("value")
       .select(graft.functions.ElbParseFields.elb_parse_fields($"value").as("f"))
     assert(out.where($"f".isNotNull).count() === 0)
+  }
+
+  test("ElbParseFields delimits on tab/CR like \\S+ and shlex, not only space") {
+    val spaced = ("a " * 28) + "tail"
+    val tabbed = ("a\t" * 14) + ("a\r" * 14) + "tail"
+    val both = Seq(spaced, tabbed).toDF("value")
+      .select(graft.functions.ElbParseFields.elb_parse_fields($"value").as("f"))
+      .as[Seq[String]].collect()
+    assert(both(0) === both(1))
   }
 
   test("LongArrayDot equals the builtin aggregate/zip_with formulation") {
