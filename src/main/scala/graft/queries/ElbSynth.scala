@@ -82,7 +82,10 @@ object ElbSynth {
     // cache(): the line-synthesis expression tree is large; without a
     // materialization point it gets re-evaluated inside the downstream
     // parse projection (filter + field refs), multiplying harness cost
-    // that isn't part of the operator under test.
+    // that isn't part of the operator under test. Spark's CacheManager
+    // dedupes by logical plan, so repeated calls share ONE entry per sf
+    // dir rather than leaking one per call; a long-lived session can
+    // reclaim it with spark.catalog.clearCache().
     events.select(
       when(eid % 101 === 0, lit("garbage short line")).otherwise(line).as("value"),
       lit("synthetic.log.gz").as("log_source_file"))

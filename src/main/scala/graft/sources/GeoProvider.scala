@@ -72,10 +72,14 @@ case class StaticGeoProvider(clock: Timestamp) extends GeoProvider {
   * failure → Error sentinel, and a hard inter-request sleep for the free
   * tier's rate limit (the reference sleeps 0.6 s, elb_logs.py:417).
   * Run on a SINGLE partition (see GeoCache.fetch) so the limit is global,
-  * not per-task. Untested here (zero-egress environment) by design — the
-  * static provider covers the pipeline's logic.
+  * not per-task. `baseUrl` is injectable so the wire path is testable
+  * against a loopback HTTP server (GeoProviderHttpSpec) in this
+  * zero-egress environment; the default is the reference's endpoint.
   */
-class HttpGeoProvider(rateLimitMillis: Long = 600, timeoutMillis: Int = 5000)
+class HttpGeoProvider(
+    rateLimitMillis: Long = 600,
+    timeoutMillis: Int = 5000,
+    baseUrl: String = "http://ip-api.com/json")
     extends GeoProvider {
 
   /** The free-tier limit is per-source-IP GLOBAL: one task, like the
@@ -88,7 +92,7 @@ class HttpGeoProvider(rateLimitMillis: Long = 600, timeoutMillis: Int = 5000)
     try {
       Thread.sleep(rateLimitMillis)
       val url = new java.net.URL(
-        s"http://ip-api.com/json/$ip?fields=status,message,country,countryCode,region,regionName,city,lat,lon,isp,query")
+        s"$baseUrl/$ip?fields=status,message,country,countryCode,region,regionName,city,lat,lon,isp,query")
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(timeoutMillis)
       conn.setReadTimeout(timeoutMillis)
