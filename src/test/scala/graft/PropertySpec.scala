@@ -60,13 +60,16 @@ class PropertySpec extends SparkSpec {
   }
 
   test("scanner agrees with shlex-style semantics on edge inputs") {
-    // unterminated quote → literal token including the quote
-    assert(parseLine(("t " * 28) + "\"unterminated") ===
-      Some(("t " * 28).trim.split(" ").toSeq :+ "\"unterminated"))
+    // unterminated quote → whole line dropped (shlex raises there and
+    // the reference drops the row)
+    assert(parseLine(("t " * 28) + "\"unterminated") === None)
     // empty quotes → empty field
     assert(parseLine(("t " * 28) + "\"\"").get.last === "")
     // leading/trailing whitespace ignored
     assert(parseLine("   " + ("t " * 29) + "  ").get.size === 29)
+    // tab/CR delimit exactly like space
+    assert(parseLine(("t\t" * 14) + ("t\r" * 14) + "t") ===
+      parseLine(("t " * 28) + "t"))
   }
 
   // -- dot product ----------------------------------------------------
