@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-heap top-k aggregate: keeps the `k` (score, id) pairs with the
   * highest score (ties broken by ascending id — a total, deterministic
@@ -130,6 +131,122 @@ case class TopKByScore(
     copy(score = newLeft, id = newRight)
 }
 
+/** String-keyed sibling of [[TopKByScore]]: keeps the `k` highest-score
+  * (score, token) pairs, ties broken by ascending token (binary UTF-8
+  * order — what unaccented SQL engines sort varchar by). The scale
+  * story is identical: map-side partial heaps, k-entry buffers on the
+  * wire, no |groups|-partition window. This is the vocabulary-top-k
+  * primitive — at 100 TB the (token, count) aggregate output can be
+  * hundreds of millions of rows, which a per-language row_number window
+  * would funnel into |languages| tasks.
+  */
+case class TopKStringByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, UTF8String)]]
+    with BinaryLike[Expression] {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  private val evictFirst: Ordering[(Double, UTF8String)] =
+    new Ordering[(Double, UTF8String)] {
+      override def compare(a: (Double, UTF8String), b: (Double, UTF8String)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.binaryCompare(b._2)
+      }
+    }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, UTF8String)] =
+    mutable.PriorityQueue.empty(evictFirst)
+
+  private def insert(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      cand: (Double, UTF8String)): Unit = {
+    if (buf.size < k) buf.enqueue(cand)
+    else if (evictFirst.compare(cand, buf.head) < 0) {
+      buf.dequeue(); buf.enqueue(cand)
+    }
+  }
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      input: InternalRow): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      // clone: the input UTF8String may point into a reused row buffer
+      insert(buf, (s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone()))
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      other: mutable.PriorityQueue[(Double, UTF8String)]): mutable.PriorityQueue[(Double, UTF8String)] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, UTF8String)]): Any = {
+    val bestFirst = buf.toArray.sorted(evictFirst)
+    new GenericArrayData(bestFirst.map { case (s, t) =>
+      InternalRow(t, s)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, UTF8String)]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, t) =>
+      out.writeDouble(s)
+      val tb = t.getBytes
+      out.writeInt(tb.length)
+      out.write(tb)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(storage: Array[Byte]): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(storage))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) {
+      val s = in.readDouble()
+      val len = in.readInt()
+      val tb = new Array[Byte](len)
+      in.readFully(tb)
+      buf.enqueue((s, UTF8String.fromBytes(tb)))
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStringByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStringByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKStringByScore =
+    copy(score = newLeft, id = newRight)
+}
+
 object TopKByScore {
   import org.apache.spark.sql.GraftBridge
 
@@ -139,5 +256,11 @@ object TopKByScore {
   def top_k_by(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(
       TopKByScore(GraftBridge.expression(score), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Column API: top-k (score desc, token asc) for string ids. */
+  def top_k_string_by(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKStringByScore(GraftBridge.expression(score), GraftBridge.expression(id), k)
         .toAggregateExpression())
 }

@@ -81,6 +81,35 @@ object TextAnalysis {
       when(wordCount(text) >= 20, 0.3).otherwise(0.1) -
       punctRatio(text) * 0.5 - digitRatio(text) * 0.5
 
+  // -- PII redaction ---------------------------------------------------
+
+  /** PII patterns — syntax shared by Java regex and RE2 (no lookaround)
+    * so SQL oracles match identically. Deliberately high-recall shapes:
+    * training-data scrubbing prefers over-redaction to leakage.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** Redact emails → `[EMAIL]`, IPv4s → `[IP]`, +intl phone runs →
+    * `[PHONE]`, in that order (counts are taken on the ORIGINAL text;
+    * the three patterns cannot overlap-match the same span: emails have
+    * no `+`-led digit runs, IPs no `@`). Narrow map — three codegen'd
+    * regex passes, embarrassingly parallel; at 100 TB this is a scan,
+    * not a shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ips"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
   /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text. Robust to formatting-only edits.
     */
@@ -104,4 +133,28 @@ object TextAnalysis {
     df.select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("sh"))
       .groupBy(col(idCol))
       .agg(min(md5(col("sh"))).as("winnow_min"))
+
+  /** Per-group top-k vocabulary: (group, token, rank, cnt), rank by
+    * count desc then token asc (a total order, so reproducible).
+    *
+    * Two-phase shape built for 100 TB: the (group, token) count is a
+    * partial-aggregating hash aggregate (one row per distinct token
+    * crosses the wire), and the ranking is the bounded-heap
+    * [[graft.functions.TopKStringByScore]] — map-side heaps of k
+    * entries, never a row_number window that would funnel the whole
+    * vocabulary into |groups| partitions.
+    */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore
+        .top_k_string_by(col("cnt").cast("double"), col("token"), k).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "ts")))
+      .select(col(groupCol), col("ts.token").as("token"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("ts.score").cast("long").as("cnt"))
 }

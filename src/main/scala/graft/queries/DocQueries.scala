@@ -55,7 +55,23 @@ object DocQueries {
     Dedup.embeddingNearDupsLsh(both, "vec_id", "embedding", threshold = 0.45)
   }
 
+  /** Decontamination pass: the corpus split 80/20 train/test by the
+    * same deterministic md5 rule as sample_split, then test docs
+    * flagged by 5-gram overlap with the training side (df-capped — see
+    * Contamination for why the cap is both methodology and skew armor).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t80 = graft.operators.Sampling.fractionThreshold(0.8)
+    val docs = Tables.distributed(spark, sfDir, "documents")
+      .withColumn("_is_train",
+        md5(concat(lit("split:"), col("doc_id").cast("string"))) < lit(t80))
+    graft.operators.Contamination.sharedShingles(
+      docs.where(col("_is_train")), docs.where(!col("_is_train")),
+      "doc_id", "text", shingleK = 5, maxTrainDf = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> decontaminate,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -94,6 +110,25 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    md5('split:' || CAST(doc_id AS VARCHAR))
+         |      < '${graft.operators.Sampling.fractionThreshold(0.8)}' AS is_train,
+         |    list_distinct(list_transform(generate_series(1, len(words) - 4),
+         |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         |           words[i+3] || ' ' || words[i+4])) AS shs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |tr AS (SELECT unnest(shs) AS sh FROM s WHERE is_train),
+         |ev AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM tr GROUP BY 1)
+         |       WHERE dfc <= 20),
+         |te AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh
+         |       FROM s WHERE NOT is_train)
+         |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+         |  CAST(te.n_sh AS INT) AS n_sh,
+         |  CAST(count(*) AS DOUBLE) / te.n_sh AS contamination_ratio
+         |FROM te JOIN ev USING (sh)
+         |GROUP BY te.doc_id, te.n_sh""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),

@@ -46,11 +46,37 @@ object TextQueries {
       T.fingerprint(col("text")).as("fingerprint"),
       T.winnowMin(col("text")).as("winnow_min"))
 
+  /** PII scrubbing over the corpus with deterministic synthetic PII
+    * planted in every third doc (the raw corpus is clean words, so the
+    * plant guarantees the redactor is actually exercised; the oracle
+    * plants identically).
+    */
+  def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.distributed(spark, sfDir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" from 10."), col("doc_id") % 250, lit(".0."), col("doc_id") % 97,
+          lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+    planted.select(
+      col("doc_id") +: T.piiCounts(col("text")) :+
+        T.redactPii(col("text")).as("clean_text"): _*)
+  }
+
+  /** Per-language top-20 vocabulary by frequency. */
+  def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
+    T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
+      textCol = "text", groupCol = "lang", k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_topk" -> vocabTopk,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
-    "text_fingerprint" -> textFingerprint
+    "text_fingerprint" -> textFingerprint,
+    "text_pii_redact" -> textPiiRedact
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -72,6 +98,15 @@ object TextQueries {
        | / greatest($nWords, 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "vocab_topk" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM t
+        |      WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, token ASC) AS rn FROM c)
+        |SELECT lang, token, CAST(rn AS INT) AS rank, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn <= 20""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  $nWords AS n_words,
@@ -100,6 +135,24 @@ object TextQueries {
          |    + CASE WHEN $nWords >= 20 THEN 0.3 ELSE 0.1 END
          |    - ($punct) * 0.5 - ($digit) * 0.5 AS quality_score
          |FROM documents""".stripMargin,
+    "text_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text
+         |      || ' contact user' || doc_id || '@example.com'
+         |      || ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 97)
+         |      || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${T.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${T.Ipv4Re}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${T.PhoneRe}')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${T.EmailRe}', '[EMAIL]', 'g'),
+         |    '${T.Ipv4Re}', '[IP]', 'g'),
+         |    '${T.PhoneRe}', '[PHONE]', 'g') AS clean_text
+         |FROM planted""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),

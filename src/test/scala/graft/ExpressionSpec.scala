@@ -47,6 +47,20 @@ class ExpressionSpec extends SparkSpec {
     assert(both(0) === both(1))
   }
 
+  test("TopKStringByScore: best-first, ties break by binary token order, across partitions") {
+    // 20 distinct (score, token) pairs spread over 7 partitions so the
+    // partial + merge paths both run; "tok19" < "tok9" in binary order
+    val df = spark.range(0, 20, 1, 7).select(
+      (col("id") % 10).cast("double").as("s"),
+      concat(lit("tok"), col("id")).as("t"))
+    val top = df.agg(graft.functions.TopKByScore
+        .top_k_string_by(col("s"), col("t"), 3).as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select("e.token", "e.score")
+      .as[(String, Double)].collect().toSeq
+    assert(top === Seq(("tok19", 9.0), ("tok9", 9.0), ("tok18", 8.0)))
+  }
+
   test("LongArrayDot equals the builtin aggregate/zip_with formulation") {
     val df = Seq((Seq(1L, 2L, 3L), Seq(4L, -5L, 6L))).toDF("a", "b")
     val both = df.select(
