@@ -134,6 +134,22 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(md5(col("sh"))).as("winnow_min"))
 
+  /** Duplicate word-n-gram fraction within a document (the Gopher
+    * repetition signal: boilerplate and looping generations score
+    * high): `1 − distinct_ngrams / total_ngrams`, 0 for texts shorter
+    * than n words. Pure array expression — narrow map, no shuffle.
+    */
+  def repNgramFraction(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val total = size(words) - (n - 1)
+    val grams = transform(
+      sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    when(size(words) >= n,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   /** Per-group top-k vocabulary: (group, token, rank, cnt), rank by
     * count desc then token asc (a total order, so reproducible).
     *

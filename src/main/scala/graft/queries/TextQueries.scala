@@ -70,7 +70,34 @@ object TextQueries {
     T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
       textCol = "text", groupCol = "lang", k = 20)
 
+  /** Gopher-style repetition metrics: duplicate 2-/3-gram fractions. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.distributed(spark, sfDir, "documents").select(
+      col("doc_id"),
+      T.repNgramFraction(col("text"), 2).as("rep2"),
+      T.repNgramFraction(col("text"), 3).as("rep3"))
+
+  /** Per-language corpus length profile with EXACT quantiles (linear
+    * interpolation, like pandas/DuckDB quantile_cont) — the
+    * distribution check run before setting sequence-length budgets.
+    */
+  def docLengthStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.distributed(spark, sfDir, "documents")
+      .select(col("lang"), T.wordCount(col("text")).as("n_words"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_words")).as("min_words"),
+        max(col("n_words")).as("max_words"),
+        round(avg(col("n_words")), 6).as("avg_words"),
+        round(percentile(col("n_words"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("n_words"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n_words"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("n_words"), lit(0.95)), 6).as("p95"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
+    "doc_length_stats" -> docLengthStats,
     "vocab_topk" -> vocabTopk,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -97,7 +124,31 @@ object TextQueries {
     s"""(${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")})::DOUBLE
        | / greatest($nWords, 1)""".stripMargin
 
+  private def repN(n: Int): String = {
+    val gram = (0 until n).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(words) >= $n THEN
+       |  1.0 - len(list_distinct(list_transform(
+       |    generate_series(1, len(words) - ${n - 1}), i -> $gram)))::DOUBLE
+       |    / (len(words) - ${n - 1})
+       |  ELSE 0.0 END""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""SELECT doc_id, ${repN(2)} AS rep2, ${repN(3)} AS rep3
+         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "doc_length_stats" ->
+      s"""SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(n_words) AS min_words,
+         |  max(n_words) AS max_words,
+         |  round(avg(n_words), 6) AS avg_words,
+         |  round(quantile_cont(n_words, 0.25), 6) AS p25,
+         |  round(quantile_cont(n_words, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_words, 0.75), 6) AS p75,
+         |  round(quantile_cont(n_words, 0.95), 6) AS p95
+         |FROM (SELECT lang, CAST($nWords AS INT) AS n_words FROM documents)
+         |GROUP BY lang""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
         |           FROM documents),
