@@ -22,8 +22,17 @@ object Contamination {
 
   /** Per-test-document count of distinct shingles that occur in ≤
     * `maxTrainDf` training documents: (id, n_shared, n_sh, ratio).
-    * Test docs with zero shared shingles are absent (inner join) — the
-    * clean majority never crosses the wire.
+    * Test docs with zero shared shingles are absent — the clean
+    * majority never appears in the output.
+    *
+    * Shape note: ONE pass over the exploded test shingles — a LEFT join
+    * against the evidence set marks hits, and a single aggregate counts
+    * rows (= distinct shingles, the explode input is distinct) and hits
+    * together. The tempting alternative — `size(shingles)` in one
+    * column and `explode(shingles)` in another — evaluates the
+    * higher-order shingle expression twice per row (HOFs are
+    * interpreted, and interpreted projections get no common
+    * subexpression elimination; measured 2× on this operator).
     */
   def sharedShingles(
       train: DataFrame, test: DataFrame,
@@ -33,13 +42,13 @@ object Contamination {
       .select(explode(Dedup.shingles(col(textCol), shingleK)).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("train_df"))
       .where(col("train_df") <= maxTrainDf)
-      .select("sh")
+      .select(col("sh"), lit(1).as("_hit"))
     test
-      .select(col(idCol), Dedup.shingles(col(textCol), shingleK).as("shs"))
-      .select(col(idCol), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      .join(evidence, "sh")
-      .groupBy(col(idCol), col("n_sh"))
-      .agg(count(lit(1)).as("n_shared"))
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), shingleK)).as("sh"))
+      .join(evidence, Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_sh"), count(col("_hit")).as("n_shared"))
+      .where(col("n_shared") > 0)
       .select(col(idCol), col("n_shared"), col("n_sh"),
         (col("n_shared").cast("double") / col("n_sh")).as("contamination_ratio"))
   }
