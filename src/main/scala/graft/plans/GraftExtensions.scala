@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot}
+import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot, TopKByScore, TopKStringByScore}
 
 /** Session extensions exposing graft's custom Catalyst expressions to
   * SQL. Install with either:
@@ -42,7 +42,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => ElbUnquote(args.head)),
     (FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - exact dot product of two array<bigint> vectors"),
-      (args: Seq[Expression]) => LongArrayDot(args(0), args(1))))
+      (args: Seq[Expression]) => LongArrayDot(args(0), args(1))),
+    (FunctionIdentifier("top_k_by"),
+      info("top_k_by",
+        "top_k_by(score, id, k) - aggregate: k highest-score (bigint id) pairs, best-first"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1), literalK(args(2)))),
+    (FunctionIdentifier("top_k_string_by"),
+      info("top_k_string_by",
+        "top_k_string_by(score, token, k) - aggregate: k highest-score (string token) pairs, best-first"),
+      (args: Seq[Expression]) => TopKStringByScore(args(0), args(1), literalK(args(2)))))
+
+  /** k is a structural parameter of the bounded heap, not a per-row
+    * input: demand a literal.
+    */
+  private def literalK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other =>
+      throw new IllegalArgumentException(s"k must be an integer literal, got: $other")
+  }
 
   /** Register on an already-running session (extensions only apply at
     * builder time; getOrCreate on a live context skips them).

@@ -84,6 +84,22 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("top_k aggregates are SQL-callable once registered") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.range(0, 20).select((col("id") % 10).cast("double").as("s"),
+        col("id").as("i"), concat(lit("tok"), col("id")).as("t"))
+      .createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql(
+      """SELECT top_k_by(s, i, 2) AS a, top_k_string_by(s, t, 2) AS b
+        |FROM topk_in""".stripMargin).head()
+    val a = viaSql.getSeq[org.apache.spark.sql.Row](0)
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))) ===
+      Seq((9L, 9.0), (19L, 9.0)))
+    val b = viaSql.getSeq[org.apache.spark.sql.Row](1)
+    assert(b.map(r => (r.getString(0), r.getDouble(1))) ===
+      Seq(("tok19", 9.0), ("tok9", 9.0)))
+  }
+
   test("RewriteLongDot leaves a non-identity finish lambda alone") {
     graft.plans.GraftExtensions.register(spark)
     val df = spark.range(1, 2)

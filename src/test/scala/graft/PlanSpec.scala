@@ -57,7 +57,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top-k ranking is a bounded-heap aggregate, not a |Q|-partition window") {
-    for (q <- Seq("similarity_topk", "similarity_lsh")) {
+    for (q <- Seq("similarity_topk", "similarity_lsh", "vocab_topk")) {
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q should rank via TopKByScore, not a row_number window:\n$p")
