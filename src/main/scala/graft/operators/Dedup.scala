@@ -25,15 +25,16 @@ object Dedup {
 
   /** Distinct word k-shingles of a text column. Texts shorter than k
     * words collapse to a single whole-text shingle.
+    *
+    * Backed by the codegen'd [[graft.functions.WordShingles]] — the
+    * equivalent builtin chain (`array_distinct(transform(sequence(...),
+    * i => concat_ws(" ", slice(words, i+1, k))))`) is a higher-order
+    * function that evaluates interpreted, per gram, with a slice
+    * allocation each — and shingling is the front half of five
+    * operators.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(text, " ")
-    val grams = transform(
-      sequence(lit(0), size(words) - k),
-      i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    array_distinct(
-      when(size(words) >= k, grams).otherwise(array(concat_ws(" ", words))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.WordShingles.word_shingles(text, k)
 
   /** MinHash signature columns `sig_0 … sig_{n-1}`: per seed, the
     * lexicographic min of md5(seed:shingle) over the shingle set — a

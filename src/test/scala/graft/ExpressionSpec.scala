@@ -47,6 +47,33 @@ class ExpressionSpec extends SparkSpec {
     assert(both(0) === both(1))
   }
 
+  test("WordShingles matches the builtin HOF formulation on edge inputs") {
+    val texts = Seq(
+      "a b c d e",            // normal
+      "a b",                  // shorter than k → whole-text shingle
+      "",                     // empty → one empty shingle
+      "a  b c",               // double space → empty token preserved
+      "a b a b a b",          // duplicate grams → distinct, first-occurrence order
+      "x " * 50 + "y")        // trailing content
+    def builtin(k: Int) = {
+      val words = split($"t", " ")
+      array_distinct(
+        when(size(words) >= k,
+          transform(sequence(lit(0), size(words) - k),
+            i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+          .otherwise(array(concat_ws(" ", words))))
+    }
+    for (k <- Seq(1, 3, 5)) {
+      val df = texts.toDF("t").select(
+        graft.operators.Dedup.shingles($"t", k).as("fast"),
+        builtin(k).as("slow"))
+      df.as[(Seq[String], Seq[String])].collect().zip(texts).foreach {
+        case ((fast, slow), t) =>
+          assert(fast === slow, s"k=$k text='$t'")
+      }
+    }
+  }
+
   test("TopKStringByScore: best-first, ties break by binary token order, across partitions") {
     // 20 distinct (score, token) pairs spread over 7 partitions so the
     // partial + merge paths both run; "tok19" < "tok9" in binary order
