@@ -52,8 +52,14 @@ object ElbParser {
     * @param lines must contain `lineCol` (string); if a
     *              `log_source_file` column is present it is carried
     *              through (reference elb_logs.py:128).
+    * @param observed attach the drop-count metrics (default). Pass
+    *                 false for AUXILIARY parse passes that may appear
+    *                 in the same query as the main one through a
+    *                 different plan instance — Spark rejects duplicate
+    *                 metric names unless the subtrees are identical.
     */
-  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+  def parse(lines: DataFrame, lineCol: String = "value",
+      observed: Boolean = true): DataFrame = {
     val hasSource = lines.columns.contains("log_source_file")
     val withSource =
       if (hasSource) lines
@@ -69,11 +75,13 @@ object ElbParser {
     // thing a distributed engine should do, so we surface the same
     // information as per-batch drop COUNTS, readable after any action
     // via queryExecution.observedMetrics (see [[dropCounts]]).
-    val toks = withSource
-      .withColumn("_fields",
-        graft.functions.ElbParseFields.elb_parse_fields(col(lineCol)))
-      .observe(DropsArity,
-        count(when(col("_fields").isNull, 1)).as("dropped_arity"))
+    def obs(df: DataFrame, name: String, metric: org.apache.spark.sql.Column): DataFrame =
+      if (observed) df.observe(name, metric) else df
+
+    val toks = obs(
+      withSource.withColumn("_fields",
+        graft.functions.ElbParseFields.elb_parse_fields(col(lineCol))),
+      DropsArity, count(when(col("_fields").isNull, 1)).as("dropped_arity"))
       .filter(col("_fields").isNotNull)
 
     // Zip the fields onto the declared schema (reference elb_logs.py:80).
@@ -87,13 +95,11 @@ object ElbParser {
       .map(c => F.floatRowOk(col(c)))
       .reduce(_ && _)
 
-    val parsedTime = raw
-      .withColumn("time", F.parseElbTime(col("time")))
-      .observe(DropsTime,
-        count(when(col("time").isNull, 1)).as("dropped_time"))
-      .filter(col("time").isNotNull)           // strict strptime → row drop
-      .observe(DropsFloat,
-        count(when(!floatOk, 1)).as("dropped_float"))
+    val parsedTime = obs(
+      obs(raw.withColumn("time", F.parseElbTime(col("time"))),
+        DropsTime, count(when(col("time").isNull, 1)).as("dropped_time"))
+        .filter(col("time").isNotNull),        // strict strptime → row drop
+      DropsFloat, count(when(!floatOk, 1)).as("dropped_float"))
       .filter(floatOk)                          // float() raise → row drop
       .withColumn("request_creation_time", F.parseLenientTime(col("request_creation_time")))
 
