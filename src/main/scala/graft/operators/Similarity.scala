@@ -84,6 +84,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) ANN with a deterministic coarse quantizer:
+    * `nCentroids` vectors are chosen as centroids by md5 order (a
+    * reproducible pseudo-random sample — production would k-means, but
+    * the INDEX STRUCTURE, not centroid quality, is what matters for the
+    * execution shape), every vector is assigned to its nearest centroid
+    * by EXACT integer squared-L2 (`n2v + n2c − 2·dot`, ties by centroid
+    * id), and search probes only the query's cell.
+    *
+    * Scale posture: the centroid table is tiny and broadcast — the
+    * corpus never shuffles for assignment (narrow map over a broadcast
+    * nested loop + partial-aggregating argmin). The only corpus-wide
+    * exchange is the cell join, keyed by centroid id; ranking is the
+    * bounded-heap aggregate like every other top-k here. Recall is
+    * tuned by nCentroids (fewer → bigger cells → higher recall).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nCentroids: Int = 16): DataFrame = {
+    val prep = prepared(corpus, idCol, embCol)
+    val cents = prep
+      .orderBy(md5(concat(lit("centroid:"), col(idCol).cast("string"))), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("q").as("qcent"),
+        col("n2").as("n2cent"))
+
+    // exact-integer argmin assignment: min(struct(dist, cent_id)) is a
+    // total order, so ties are deterministic; partial aggregation keeps
+    // the broadcast fan-out (|rows| × nCentroids) map-side
+    def assign(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          col("n2") + col("n2cent")
+            - lit(2L) * graft.functions.LongArrayDot.long_dot(col("q"), col("qcent")))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+          first(col("q")).as("q"), first(col("n2")).as("n2"))
+        .select(col(idCol), col("best.cent_id").as("cell"), col("q"), col("n2"))
+
+    val c = assign(prep)
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col("q").as("qc"), col("n2").as("n2c"))
+    val qs = assign(prepared(queries, idCol, embCol))
+      .select(col("cell"), col(idCol).as("query_id"),
+        col("q").as("qq"), col("n2").as("n2q"))
+    val grouped = c.join(qs, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+    rankRows(grouped, Seq("query_id", "cell"))
+      .select("query_id", "neighbor_id", "rank", "cosine", "cell")
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket; then
     * exact cosine top-k within it. One shuffle on the bucket id, then the
     * same bounded-heap ranking as [[bruteForceTopK]] (bucket rides along

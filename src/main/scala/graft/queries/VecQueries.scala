@@ -26,9 +26,16 @@ object VecQueries {
       "vec_id", "embedding", k = 5, bits = 8, dims = 64)
   }
 
+  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.ivfTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> topkBrute,
-    "similarity_lsh" -> topkLsh
+    "similarity_lsh" -> topkLsh,
+    "similarity_ivf" -> topkIvf
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -64,6 +71,28 @@ object VecQueries {
          |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
          |  FROM n a, n b
          |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+    "similarity_ivf" ->
+      s"""WITH $qCte,
+         |cents AS (SELECT vec_id AS cent_id, qv AS qcent, n2 AS n2cent FROM n
+         |          ORDER BY md5('centroid:' || CAST(vec_id AS VARCHAR)), vec_id
+         |          LIMIT 16),
+         |asg AS (SELECT vec_id, qv, n2, cell FROM (
+         |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY v.n2 + c.n2cent
+         |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+         |        c.cent_id) AS rn
+         |  FROM n v CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank, cosine, cell FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell,
+         |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |      / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10)
          |WHERE rank <= 5""".stripMargin,
     "similarity_lsh" ->
       s"""WITH $qCte,
