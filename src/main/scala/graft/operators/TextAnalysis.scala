@@ -150,6 +150,24 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Inverted index build: one posting list per token — sorted doc ids
+    * plus document frequency. The classic IR construction as one
+    * partial-aggregating hash aggregate: explode is map-side, the
+    * shuffle carries one partially-built posting per (task, token), and
+    * `sort_array` makes the list deterministic regardless of partition
+    * arrival order. At 100 TB the caveat is posting-list width for
+    * stopword-grade tokens — cap with `maxDf` (lists longer than the
+    * cap are usually stopwords you'd skip-list anyway).
+    */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(sort_array(collect_list(col(idCol))).as("postings"),
+        count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+
   /** Per-group top-k vocabulary: (group, token, rank, cnt), rank by
     * count desc then token asc (a total order, so reproducible).
     *

@@ -65,6 +65,11 @@ object TextQueries {
         T.redactPii(col("text")).as("clean_text"): _*)
   }
 
+  /** Inverted index with a df cap (stopword-grade tokens skipped). */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    T.invertedIndex(Tables.distributed(spark, sfDir, "documents"),
+      idCol = "doc_id", textCol = "text", maxDf = 400)
+
   /** Per-language top-20 vocabulary by frequency. */
   def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
     T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
@@ -96,6 +101,7 @@ object TextQueries {
         round(percentile(col("n_words"), lit(0.95)), 6).as("p95"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inverted_index" -> invertedIndex,
     "text_repetition" -> textRepetition,
     "doc_length_stats" -> docLengthStats,
     "vocab_topk" -> vocabTopk,
@@ -134,6 +140,13 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "inverted_index" ->
+      """SELECT token, list_sort(list(doc_id)) AS postings,
+        |  CAST(count(*) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token HAVING count(*) <= 400""".stripMargin,
     "text_repetition" ->
       s"""SELECT doc_id, ${repN(2)} AS rep2, ${repN(3)} AS rep3
          |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
