@@ -168,6 +168,38 @@ object TextAnalysis {
         count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
 
+  /** Top-k TF-IDF terms per document: tf·ln(N/df), rounded to 6 dp
+    * BEFORE ranking so the (score desc, token asc) order is total and
+    * engine-portable (ln may differ in the last ulp across libms; the
+    * rounding absorbs it).
+    *
+    * `totalDocs` is the corpus size — passed in, not counted here, so
+    * the operator stays action-free (callers usually know N or count
+    * once). Shape: tf is a partial-aggregating (doc, token) count, df a
+    * token-keyed aggregate of it, the join is token-keyed (planner
+    * broadcasts while vocab is small; sort-merge when it isn't), and
+    * ranking is the bounded-heap string aggregate.
+    */
+  def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, totalDocs: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val tokens = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+    val tf = tokens.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfc"))
+    val scored = tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(totalDocs.toDouble) / col("dfc")), 6))
+    scored.groupBy(col(idCol))
+      .agg(graft.functions.TopKByScore
+        .top_k_string_by(col("tfidf"), col("token"), k).as("topk"))
+      .select(col(idCol), posexplode(col("topk")).as(Seq("pos", "ts")))
+      .select(col(idCol), col("ts.token").as("token"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("ts.score").as("tfidf"))
+  }
+
   /** Per-group top-k vocabulary: (group, token, rank, cnt), rank by
     * count desc then token asc (a total order, so reproducible).
     *

@@ -41,6 +41,16 @@ object MiscQueries {
       .select("event_id", "user_id", "ts", "session_id")
   }
 
+  /** Streaming twin of exact dedup: distinct content hashes through
+    * the real streaming engine's dropDuplicates state store.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame =
+    StreamingPipeline.runToMemory(
+      StreamingPipeline.dedupHashes(
+        StreamingPipeline.readDocuments(spark, sfDir)),
+      "graft_stream_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
@@ -72,7 +82,8 @@ object MiscQueries {
     "multimodal_features" -> multimodalFeatures,
     "streaming_sessions" -> streamingSessions,
     "streaming_session_ids" -> streamingSessionIds,
-    "streaming_hourly" -> streamingHourly
+    "streaming_hourly" -> streamingHourly,
+    "streaming_dedup" -> streamingDedup
   )
 
   private val t80 = graft.operators.Sampling.fractionThreshold(0.8)
@@ -126,6 +137,8 @@ object MiscQueries {
         |SELECT event_id, user_id, ts,
         |  user_id || '_s' || sn AS session_id
         |FROM s""".stripMargin,
+    "streaming_dedup" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

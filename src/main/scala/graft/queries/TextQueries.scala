@@ -70,6 +70,16 @@ object TextQueries {
     T.invertedIndex(Tables.distributed(spark, sfDir, "documents"),
       idCol = "doc_id", textCol = "text", maxDf = 400)
 
+  /** Top-5 TF-IDF terms per document. N comes from the table itself
+    * (one count action at plan-build time, like the reference corpus
+    * stats any tf-idf needs).
+    */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+    T.tfIdfTopK(docs, idCol = "doc_id", textCol = "text",
+      totalDocs = docs.count(), k = 5)
+  }
+
   /** Per-language top-20 vocabulary by frequency. */
   def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
     T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
@@ -101,6 +111,7 @@ object TextQueries {
         round(percentile(col("n_words"), lit(0.95)), 6).as("p95"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
     "text_repetition" -> textRepetition,
     "doc_length_stats" -> docLengthStats,
@@ -140,6 +151,19 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tf.token,
+        |    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfc), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token),
+        |r AS (SELECT doc_id, token, tfidf, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+        |SELECT doc_id, token, CAST(rn AS INT) AS rank, tfidf
+        |FROM r WHERE rn <= 5""".stripMargin,
     "inverted_index" ->
       """SELECT token, list_sort(list(doc_id)) AS postings,
         |  CAST(count(*) AS BIGINT) AS df

@@ -146,6 +146,28 @@ object StreamingPipeline {
       }
   }
 
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents table. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming exact dedup — the dedup family's streaming twin: the
+    * running set of distinct content hashes via dropDuplicates state.
+    * Emits each hash on FIRST arrival (Append mode), so the output SET
+    * is deterministic even though arrival order is not; in continuous
+    * mode add a watermark + dropDuplicatesWithinWatermark to bound
+    * state by the dedup horizon.
+    */
+  def dedupHashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash"))
+      .dropDuplicates("text_hash")
+
   /** Run a streaming DataFrame to completion over static input
     * (Trigger.AvailableNow + memory sink) and return the result — the
     * cron-batch contract, executed by the streaming engine.
