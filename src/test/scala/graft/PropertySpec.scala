@@ -72,6 +72,53 @@ class PropertySpec extends SparkSpec {
       parseLine(("t " * 28) + "t"))
   }
 
+  // -- shingles vs model ----------------------------------------------
+
+  test("WordShingles matches a Scala reference model over random texts") {
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "e", "")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    def model(text: String, k: Int): Seq[String] = {
+      val words = text.split(" ", -1).toSeq
+      if (words.length < k) Seq(words.mkString(" "))
+      else words.sliding(k).map(_.mkString(" ")).toSeq.distinct
+    }
+    for (k <- Seq(1, 2, 4)) {
+      samples(textGen, 150).foreach { text =>
+        val got = Option(graft.functions.WordShingles.shingle(
+            UTF8String.fromString(text), k))
+          .map(a => (0 until a.numElements()).map(i => a.getUTF8String(i).toString))
+        assert(got === Some(model(text, k)), s"k=$k text='$text'")
+      }
+    }
+  }
+
+  // -- bounded-heap top-k vs sort model -------------------------------
+
+  test("TopKByScore agrees with sort-take over random scored sets") {
+    import spark.implicits._
+    // many groups in one DataFrame pass; scores drawn from a tiny range
+    // so ties are common and the tie-break order is truly exercised
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 60).flatMap { g =>
+      (0 until (1 + rng.nextInt(25))).map { i =>
+        (g.toLong, rng.nextInt(5).toDouble, rng.nextInt(1000).toLong)
+      }
+    }.distinct
+    val got = rows.toDF("g", "s", "i")
+      .groupBy($"g")
+      .agg(graft.functions.TopKByScore.top_k_by($"s", $"i", 4).as("topk"))
+      .select($"g", $"topk")
+      .as[(Long, Seq[(Long, Double)])].collect().toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val expect = rs.map(r => (r._3, r._2)).distinct
+        .sortBy { case (id, s) => (-s, id) }.take(4)
+      assert(got(g) === expect, s"group $g")
+    }
+  }
+
   // -- dot product ----------------------------------------------------
 
   val vec: Gen[Array[Long]] =
