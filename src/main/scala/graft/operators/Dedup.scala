@@ -167,6 +167,56 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list: every node gets
+    * the MINIMUM id reachable from it — the canonical dedup-clustering
+    * step that turns near-dup PAIRS into duplicate groups (keep one doc
+    * per cluster). Iterative min-label propagation, Pregel-style: each
+    * round every node takes the min of its own label and its neighbors'
+    * labels, until a fixpoint. The fixpoint is unique (min over the
+    * component), so the result is deterministic regardless of iteration
+    * or partition order; rounds needed = graph diameter (near-dup
+    * clusters are shallow — a handful of rounds in practice).
+    *
+    * Scale notes: each round is one join + partial-aggregating min —
+    * shuffles keyed by node id, no skew beyond the graph's own degree
+    * distribution. `localCheckpoint` materializes each round and cuts
+    * the lineage, which would otherwise grow linearly and blow up the
+    * planner; the driver-side convergence count is the standard Pregel
+    * control loop, not a data collect.
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.node") === neighborMin("src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      val changes = updated.as("u")
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") =!= col("prev")).count()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Quantize an embedding to integers (round(x·10⁴)): dot products and
     * norms become EXACT integer arithmetic — order-independent and
     * bit-identical in every engine, so similarity thresholds never

@@ -70,7 +70,24 @@ object DocQueries {
       "doc_id", "text", shingleK = 5, maxTrainDf = 20)
   }
 
+  /** Near-dup clusters: MinHash-LSH candidate pairs → connected
+    * components → every doc labeled with its cluster's min doc id
+    * (singletons label themselves). THE dedup output a curation
+    * pipeline acts on: keep one doc per cluster.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 9, rowsPerBand = 3)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
     "decontaminate" -> decontaminate,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_exact" -> dedupExact,
@@ -110,6 +127,22 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE shr AS ($shingleRows),
+         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |          WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION
+         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
+         |       FROM reach GROUP BY s)
+         |SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster
+         |FROM documents LEFT JOIN cl ON doc_id = cl.node""".stripMargin,
     "decontaminate" ->
       s"""WITH s AS (
          |  SELECT doc_id,

@@ -25,4 +25,19 @@ class DedupSpec extends SparkSpec {
       threshold = 0.9).count()
     assert(pairs === 3) // all 3 unordered pairs of identical unit vectors
   }
+
+  test("connectedComponents labels every node with its component's min id") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // pair 10-11, triangle 20-21-22 with a redundant edge
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
 }
