@@ -51,6 +51,25 @@ object MiscQueries {
       "graft_stream_dedup",
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** The reference's cron-driven cache refresh through the streaming
+    * engine: events-derived client IPs stream into foreachBatch, each
+    * batch runs detect-fetch-upsert-swap against a real parquet cache
+    * path, and the query returns the final persisted cache (fully
+    * deterministic with the static provider and fixed clock).
+    */
+  def streamingGeoCache(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cache")
+    val cachePath = dir.resolve("geolocation_cache.parquet").toString
+    val ips = StreamingPipeline.readEvents(spark, sfDir).select(
+      concat(lit("10."), col("user_id") % 200, lit("."), col("event_id") % 250,
+        lit("."), (col("event_id") * 7) % 250).as("client_ip"))
+    val q = StreamingPipeline.cacheRefreshStream(ips, cachePath,
+      graft.sources.StaticGeoProvider(JoinQueries.FixedClock))
+    q.awaitTermination()
+    spark.read.schema(graft.operators.GeoCache.schema).parquet(cachePath)
+  }
+
   def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
@@ -83,7 +102,8 @@ object MiscQueries {
     "streaming_sessions" -> streamingSessions,
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
-    "streaming_dedup" -> streamingDedup
+    "streaming_dedup" -> streamingDedup,
+    "streaming_geo_cache" -> streamingGeoCache
   )
 
   private val t80 = graft.operators.Sampling.fractionThreshold(0.8)
@@ -139,6 +159,19 @@ object MiscQueries {
         |FROM s""".stripMargin,
     "streaming_dedup" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    "streaming_geo_cache" ->
+      """SELECT DISTINCT
+        |  '10.' || b || '.' || c || '.' || d AS client_ip,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'C' || (d % 5) END AS countryCode,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'Country-' || (d % 5) END AS countryName,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'R' || (c % 10) END AS regionName,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'City-' || ((c + d) % 20) END AS city,
+        |  CASE WHEN d % 97 = 0 THEN NULL ELSE (d % 180) - 90 + 0.5 END AS lat,
+        |  CASE WHEN d % 97 = 0 THEN NULL ELSE (c % 360) - 180 + 0.25 END AS lon,
+        |  CASE WHEN d % 97 = 0 THEN 'Error' ELSE 'ISP-' || (b % 3) END AS isp,
+        |  TIMESTAMP '2026-01-01 00:00:00' AS api_fetch_timestamp
+        |FROM (SELECT user_id % 200 AS b, event_id % 250 AS c,
+        |        (event_id*7) % 250 AS d FROM events)""".stripMargin,
     "streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -168,6 +168,28 @@ object StreamingPipeline {
     docs.select(md5(col(textCol)).as("text_hash"))
       .dropDuplicates("text_hash")
 
+  /** The reference's cron job as a stream: each micro-batch of logs
+    * refreshes the persistent geolocation cache (detect new IPs → fetch
+    * → keep-newest upsert → atomic swap of the parquet path) via
+    * foreachBatch — the canonical shape for a streaming pipeline whose
+    * side output is a keyed table. AvailableNow processes the backlog
+    * and stops, exactly the cron contract; a continuous trigger would
+    * incrementally maintain the same cache.
+    */
+  def cacheRefreshStream(
+      logs: DataFrame,
+      cachePath: String,
+      provider: graft.sources.GeoProvider): org.apache.spark.sql.streaming.StreamingQuery =
+    logs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val old = graft.operators.GeoCache.load(spark, cachePath)
+        val updated = graft.operators.GeoCache.refresh(batch.toDF(), old, provider)
+        graft.sources.Sinks.overwriteInPlace(updated, cachePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming DataFrame to completion over static input
     * (Trigger.AvailableNow + memory sink) and return the result — the
     * cron-batch contract, executed by the streaming engine.
