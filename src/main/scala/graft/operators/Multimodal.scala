@@ -88,4 +88,57 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedMedia(media_id: Long, media_type: String,
+      width: Int, height: Int, out_len: Long, checksum: String)
+
+  /** Resize shape: per record, produce the target-dimension metadata
+    * and the transformed payload's stats. STUB transform (no codecs in
+    * this environment): "resized" bytes = the first
+    * `targetW·targetH/64` payload bytes — deterministic, so the oracle
+    * can recompute the checksum. A real implementation swaps only the
+    * byte transform; the partition-wise streaming shape (no shuffle,
+    * per-partition setup, 1:1 rows) is exactly what a codec-backed
+    * resize uses.
+    */
+  def resizeStub(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    val keep = targetW.toLong * targetH / 64
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val outLen = math.min(r.payload.length.toLong, keep).toInt
+        val checksum = md.digest(r.payload.take(outLen)).map("%02x".format(_)).mkString
+        ResizedMedia(r.media_id, r.meta.media_type, targetW, targetH,
+          outLen.toLong, checksum)
+      }
+    }
+  }
+
+  case class FrameSample(media_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Frame sampling shape: every `everyN`-th frame index of each
+    * record, one output row per sampled frame (a 1:many flatMap — the
+    * shape that matters; a video pipeline fans out exactly like this).
+    * STUB frame extraction: "frame i" = a 32-byte payload window at a
+    * deterministic offset derived from i, so frame checksums are
+    * engine-recomputable.
+    */
+  def sampleFramesStub(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val len = r.payload.length
+        (0 until r.meta.n_frames by everyN).iterator.map { i =>
+          val start = if (len <= 32) 0 else (i * 97) % (len - 31)
+          val sliceLen = math.min(32, len - start)
+          val digest = md.digest(r.payload.slice(start, start + sliceLen))
+            .map("%02x".format(_)).mkString
+          FrameSample(r.media_id, i, digest)
+        }
+      }
+    }
+  }
 }

@@ -20,6 +20,18 @@ object MiscQueries {
     Multimodal.decodeFeatures(media).toDF()
   }
 
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.attachPayload(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
+    Multimodal.resizeStub(media, targetW = 128, targetH = 128).toDF()
+  }
+
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.attachPayload(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
+    Multimodal.sampleFramesStub(media, everyN = 30).toDF()
+  }
+
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
@@ -99,6 +111,8 @@ object MiscQueries {
     "sample_split" -> sampleSplit,
     "cap_per_group" -> capPerGroup,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_resize" -> multimodalResize,
+    "multimodal_frames" -> multimodalFrames,
     "streaming_sessions" -> streamingSessions,
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
@@ -157,6 +171,25 @@ object MiscQueries {
         |SELECT event_id, user_id, ts,
         |  user_id || '_s' || sn AS session_id
         |FROM s""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(128 AS INT) AS width, CAST(128 AS INT) AS height,
+        |  CAST(least(octet_length(text::BLOB), 256) AS BIGINT) AS out_len,
+        |  md5(substr(text, 1, least(octet_length(text::BLOB), 256))) AS checksum
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(text::BLOB) AS len,
+        |             doc_id % 300 + 1 AS n_frames FROM documents),
+        |idx AS (SELECT doc_id, text, len,
+        |          unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 30)) AS i
+        |        FROM m)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substr(text,
+        |    CAST(CASE WHEN len <= 32 THEN 0 ELSE (i * 97) % (len - 31) END AS BIGINT) + 1,
+        |    32)) AS frame_md5
+        |FROM idx""".stripMargin,
     "streaming_dedup" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_geo_cache" ->
