@@ -26,6 +26,22 @@ object Partitioning {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-partitioned, sorted-within-partition parquet — the layout
+    * for range-predicate-heavy readers (time-series scans): every file
+    * covers a disjoint `sortCol` range and every row group's min/max
+    * stats are tight, so a pushed range filter skips whole files and
+    * row groups instead of scanning them (PartitioningSpec proves the
+    * scan-row reduction against an unsorted copy of the same data).
+    * This is the third layout primitive beside bucketing (equi-join
+    * co-location) and salting (skew): sort once at write time, prune on
+    * every read.
+    */
+  def writeSortedByRange(df: DataFrame, path: String, sortCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Skew-safe equi-join: replicate the (small) build side `saltFactor`
     * times and scatter the probe side's hot keys across the replicas
     * with a DETERMINISTIC salt derived from a unique probe column —

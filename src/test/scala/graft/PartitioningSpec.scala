@@ -39,6 +39,41 @@ class PartitioningSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range-sorted layout prunes scan rows for range predicates") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range").toFile
+    val e = Tables.events(spark, sf).select("event_id", "ts", "user_id")
+    val total = e.count()
+    // INT96 (Spark's legacy default) carries no usable min/max stats —
+    // range pruning on timestamps needs the modern micros physical type
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      Partitioning.writeSortedByRange(e, s"$tmp/sorted", "ts", 8)
+      // unsorted control: same rows, random layout → every row group
+      // spans the full ts range and nothing can be skipped
+      e.repartition(8).write.parquet(s"$tmp/unsorted")
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    val bounds = e.agg(min($"ts"), max($"ts")).head()
+    val lo = bounds.getTimestamp(0)
+    val hi = new java.sql.Timestamp(
+      lo.getTime + (bounds.getTimestamp(1).getTime - lo.getTime) / 20)
+
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter($"ts" >= lo && $"ts" <= hi)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val sorted = scanRows(s"$tmp/sorted")
+    val unsorted = scanRows(s"$tmp/unsorted")
+    assert(unsorted === total, "unsorted layout cannot skip any row group")
+    assert(sorted < total / 2,
+      s"sorted layout should skip most row groups: scanned $sorted of $total")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val sf = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, sf)
