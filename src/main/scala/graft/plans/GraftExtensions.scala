@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot, TopKByScore, TopKStringByScore}
+import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot, TopKByScore, TopKStringByScore, WordShingles}
 
 /** Session extensions exposing graft's custom Catalyst expressions to
   * SQL. Install with either:
@@ -43,6 +43,10 @@ object GraftExtensions {
     (FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - exact dot product of two array<bigint> vectors"),
       (args: Seq[Expression]) => LongArrayDot(args(0), args(1))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, k) - distinct word k-shingles, short texts collapse to one whole-text shingle"),
+      (args: Seq[Expression]) => WordShingles(args(0), literalK(args(1)))),
     (FunctionIdentifier("top_k_by"),
       info("top_k_by",
         "top_k_by(score, id, k) - aggregate: k highest-score (bigint id) pairs, best-first"),

@@ -111,6 +111,13 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("word_shingles is SQL-callable once registered") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(got === Seq("a b c", "b c d"))
+  }
+
   test("top_k aggregates are SQL-callable once registered") {
     graft.plans.GraftExtensions.register(spark)
     spark.range(0, 20).select((col("id") % 10).cast("double").as("s"),

@@ -17,6 +17,10 @@ class PlanSpec extends SparkSpec {
   test("enrichment joins broadcast the small side") {
     assert(plan("join_enrich").contains("BroadcastHashJoin"))
     assert(plan("geo_enrichment").contains("BroadcastHashJoin"))
+    // the memoized (cached) geo cache must still broadcast into the
+    // report pipeline — an InMemoryRelation build side is no excuse to
+    // shuffle the log table
+    assert(plan("elb_hourly_geo").contains("BroadcastHashJoin"))
   }
 
   test("rolling windows share one exchange; sessionize uses exactly one") {
