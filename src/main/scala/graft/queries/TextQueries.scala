@@ -85,6 +85,30 @@ object TextQueries {
     T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
       textCol = "text", groupCol = "lang", k = 20)
 
+  /** The same vocabulary query written in PURE SQL against the
+    * registered custom aggregate — proving the extension surface is a
+    * first-class way to drive the library, not just the Scala API.
+    */
+  def sqlVocabTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.distributed(spark, sfDir, "documents")
+      .createOrReplaceTempView("documents_v")
+    spark.sql(
+      """WITH tok AS (
+        |  SELECT lang, explode(split(text, ' ')) AS token FROM documents_v
+        |), counts AS (
+        |  SELECT lang, token, count(*) AS cnt FROM tok
+        |  WHERE token <> '' GROUP BY lang, token
+        |), ranked AS (
+        |  SELECT lang,
+        |    top_k_string_by(CAST(cnt AS DOUBLE), token, 20) AS topk
+        |  FROM counts GROUP BY lang
+        |)
+        |SELECT lang, ts.token AS token,
+        |  CAST(pos + 1 AS INT) AS rank, CAST(ts.score AS BIGINT) AS cnt
+        |FROM ranked LATERAL VIEW posexplode(topk) AS pos, ts""".stripMargin)
+  }
+
   /** Gopher-style repetition metrics: duplicate 2-/3-gram fractions. */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.distributed(spark, sfDir, "documents").select(
@@ -116,6 +140,7 @@ object TextQueries {
     "text_repetition" -> textRepetition,
     "doc_length_stats" -> docLengthStats,
     "vocab_topk" -> vocabTopk,
+    "sql_vocab_topk" -> sqlVocabTopk,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -150,7 +175,18 @@ object TextQueries {
        |  ELSE 0.0 END""".stripMargin
   }
 
+  private val vocabOracle: String =
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |c AS (SELECT lang, token, count(*) AS cnt FROM t
+      |      WHERE token <> '' GROUP BY 1, 2),
+      |r AS (SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang
+      |        ORDER BY cnt DESC, token ASC) AS rn FROM c)
+      |SELECT lang, token, CAST(rn AS INT) AS rank, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rn <= 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sql_vocab_topk" -> vocabOracle,
     "tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),
@@ -186,15 +222,7 @@ object TextQueries {
          |  round(quantile_cont(n_words, 0.95), 6) AS p95
          |FROM (SELECT lang, CAST($nWords AS INT) AS n_words FROM documents)
          |GROUP BY lang""".stripMargin,
-    "vocab_topk" ->
-      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
-        |           FROM documents),
-        |c AS (SELECT lang, token, count(*) AS cnt FROM t
-        |      WHERE token <> '' GROUP BY 1, 2),
-        |r AS (SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang
-        |        ORDER BY cnt DESC, token ASC) AS rn FROM c)
-        |SELECT lang, token, CAST(rn AS INT) AS rank, CAST(cnt AS BIGINT) AS cnt
-        |FROM r WHERE rn <= 20""".stripMargin,
+    "vocab_topk" -> vocabOracle,
     "text_stats" ->
       s"""SELECT doc_id,
          |  $nWords AS n_words,
