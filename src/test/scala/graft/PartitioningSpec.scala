@@ -74,6 +74,36 @@ class PartitioningSpec extends SparkSpec {
       s"sorted layout should skip most row groups: scanned $sorted of $total")
   }
 
+  test("salting spreads a hot key across shuffle partitions") {
+    // one key carries 90% of the probe rows — the classic skew shape
+    val probe = spark.range(0, 2000).select(
+      when($"id" < 1800, lit(7L)).otherwise($"id" % 50).as("k"),
+      $"id".as("uid"))
+    val build = spark.range(0, 50).select($"id".as("k"), ($"id" * 10).as("v"))
+
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("uid").rdd.mapPartitions(it => Iterator(it.size.toLong))
+        .collect().max
+
+    // force shuffle joins with static partitioning so the join output's
+    // partition sizes expose exactly what the join shuffled on
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plainMax = maxPartitionRows(probe.join(build, Seq("k")))
+      val saltedMax = maxPartitionRows(
+        Partitioning.saltedJoin(probe, build, "k", "uid", saltFactor = 8))
+      assert(plainMax >= 1800, s"hot key should pile into one partition, got $plainMax")
+      assert(saltedMax <= plainMax / 2,
+        s"salting should spread the hot key: max $saltedMax vs plain $plainMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val sf = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, sf)

@@ -50,6 +50,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pair-generating queries never plan a cartesian product") {
+    for (q <- Seq("dedup_ngram_jaccard", "decontaminate", "dedup_minhash",
+        "dedup_clusters", "dedup_embedding_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must block candidates, not cross-join:\n$p")
+    }
+  }
+
+  test("n-gram Jaccard broadcasts the candidate pair list into the intersection joins") {
+    assert(plan("dedup_ngram_jaccard").contains("BroadcastHashJoin"))
+  }
+
   test("bucketed_join query plans with zero exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
