@@ -104,6 +104,31 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning injects on a selective dim join") {
+    // At cluster scale this optimizer feature is ON by default: it
+    // builds a bloom filter from the (selective) dim side and prunes
+    // the fact scan before the shuffle — the 100 TB fact-join saver.
+    // Locally the application side is far under the 10 GB default
+    // threshold, so the test lowers it to prove the rewrite fires.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val sf = "/root/testdata/sf0.001"
+      val fact = Tables.orders(spark, sf)
+      val dim = Tables.customer(spark, sf).where($"c_acctbal" > 9000)
+      val j = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom"),
+        "runtime bloom filter should inject into the fact side")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val sf = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, sf)
