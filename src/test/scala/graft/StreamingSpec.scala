@@ -96,6 +96,64 @@ class StreamingSpec extends SparkSpec {
     assert(batch.select("session_id").distinct().count() === 1)
   }
 
+  test("watermark drops late events across checkpoint-recovered runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toFile
+    val data = new java.io.File(dir, "events").toString
+    val ckpt = new java.io.File(dir, "ckpt").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(name: String, rows: Seq[java.sql.Timestamp]): Unit =
+      rows.map(Tuple1(_)).toDF("ts")
+        .coalesce(1).write.parquet(s"$data/$name")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    // Update mode: the one output mode where the watermark's late-row
+    // filter applies and per-batch updates are observable (Complete
+    // retains all data by definition and never drops late rows; Append
+    // would emit nothing here — no window finalizes before the backlog
+    // ends). Each AvailableNow run shares the checkpoint, so run 2
+    // restores the watermark run 1 advanced — also pinning recovery.
+    // foreachBatch, not the memory sink: only recoverable sinks may
+    // resume from an existing checkpoint
+    val got = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, Long)]
+    def runOnce(): Seq[(java.sql.Timestamp, Long)] = {
+      got.clear()
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(data)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .select(col("window.start").as("h"), col("count"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+          }
+          () // foreachBatch wants Unit, not the buffer
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSeq
+    }
+
+    // run 1 advances the watermark to 11:20 − 10 min = 11:10. A late
+    // row is dropped only when its WINDOW END ≤ watermark, so the late
+    // probe below sits in [09:00, 10:00) — fully expired — while the
+    // 11:00 window (end 12:00) is still open.
+    writeBatch("b1", Seq(t("2025-01-01 11:00:00"),
+      t("2025-01-01 11:05:00"), t("2025-01-01 11:20:00")))
+    assert(runOnce() === Seq((t("2025-01-01 11:00:00"), 3L)))
+
+    // run 2: one event in an expired window (dropped), one on time
+    writeBatch("b2", Seq(t("2025-01-01 09:30:00"), t("2025-01-01 11:30:00")))
+    val second = runOnce()
+    assert(!second.exists(_._1 == t("2025-01-01 09:00:00")),
+      "the expired-window event must be dropped, not emit a 09:00 window")
+    assert(second === Seq((t("2025-01-01 11:00:00"), 4L)))
+  }
+
   test("multimodal plumbing: payload bytes survive the round trip; stub decode is deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.attachPayload(docs, "doc_id", "text")
