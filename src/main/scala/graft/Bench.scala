@@ -36,15 +36,20 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // A failed run records NO sample: a fast-fail elapsed time would
+    // silently deflate the median (a query failing in 0.1 s on 2 of 3
+    // repeats must not report a ~0.1 s "speedup").
     val samples = (1 to repeats).flatMap { _ =>
-      queries.map { case (name, fn) =>
+      queries.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -52,12 +57,17 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = queries.map { case (name, _) =>
-      name -> median(samples.collect { case (`name`, t) => t })
+      name -> (samples.collect { case (`name`, t) => t } match {
+        case Seq() => None // every repeat failed: no number at all
+        case ok    => Some(median(ok))
+      })
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + f"""":$v%.3f"""
+      case (k, None)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }

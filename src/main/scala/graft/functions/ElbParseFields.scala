@@ -60,8 +60,11 @@ object ElbParseFields {
 
   private val NumFields = graft.ElbSchema.columns.size
 
+  // exactly Python shlex's default whitespace set (' \t\r\n'): \f and \v
+  // are NOT delimiters there, so a line containing them must tokenize
+  // the same way the reference does (they stay inside the token)
   @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0x0b
+    b == ' ' || b == '\t' || b == '\r' || b == '\n'
 
   /** Scan a line into the first [[NumFields]] tokens, quote-stripped;
     * null if fewer tokens exist or a quote never closes (shlex raises on

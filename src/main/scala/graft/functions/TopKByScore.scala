@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -39,12 +39,18 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+    with ImplicitCastInputTypes
     with BinaryLike[Expression] {
 
   require(k > 0, s"top-k needs k > 0, got $k")
 
   override def left: Expression = score
   override def right: Expression = id
+
+  // Coerce (or reject at analysis time) rather than ClassCastException at
+  // runtime: an integer score (the natural shape for counts) widens to
+  // double, an int id widens to long; a string score fails analysis.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -147,12 +153,16 @@ case class TopKStringByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, UTF8String)]]
+    with ImplicitCastInputTypes
     with BinaryLike[Expression] {
 
   require(k > 0, s"top-k needs k > 0, got $k")
 
   override def left: Expression = score
   override def right: Expression = id
+
+  // See TopKByScore.inputTypes: analysis-time coercion, not runtime CCE.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, StringType)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training: documents are concatenated
+  * into one global token stream (ordered by a unique id) and cut into
+  * fixed-budget packs ("concat-and-chunk" — the packing rule most
+  * pre-training pipelines use). The output maps every document to its
+  * global token offset and the pack range it lands in; a writer can
+  * then group by pack id to emit training sequences.
+  *
+  * The interesting part at scale is the GLOBAL prefix sum: a naive
+  * `Window.orderBy(id)` puts the whole corpus in ONE partition. This
+  * implementation uses the classic two-phase formulation instead:
+  *
+  *   1. range-partition by id (so partitions are ordered slices) and
+  *      cumulative-sum WITHIN each partition — fully parallel;
+  *   2. aggregate one total per partition (O(numPartitions) rows),
+  *      prefix-sum that tiny table (a single-task window over ~100s of
+  *      rows, not the corpus), and broadcast-join the partition offsets
+  *      back.
+  *
+  * No collect(), no single-partition pass over the data; the only
+  * global step touches one row per partition. This is exactly how
+  * Spark's own rangepartitioner-style global operations scale.
+  */
+object Packing {
+
+  /** Adds `start_offset`: the row's start position in the global
+    * concatenated stream of `weightCol`, ordered by `idCol` (which must
+    * be unique — ties would make the order, and thus offsets,
+    * ambiguous).
+    */
+  def globalOffsets(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val id = col(idCol)
+    // ordered slices: partition p holds ids strictly below partition p+1
+    val parts = df.repartitionByRange(id).withColumn("_pid", spark_partition_id())
+    val local = parts.withColumn("_cum",
+      sum(col(weightCol).cast("long")).over(
+        Window.partitionBy("_pid").orderBy(id)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // partition totals need only a partial-aggregating sum (NOT the
+    // cumsum branch — that would recompute the sort+window); the bare
+    // orderBy window then runs over O(numPartitions) rows, not the data
+    val prefix = parts.groupBy("_pid")
+      .agg(sum(col(weightCol).cast("long")).as("_ptotal"))
+      .withColumn("_prefix",
+        coalesce(sum("_ptotal").over(
+          Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_prefix")
+    local.join(broadcast(prefix), "_pid")
+      .withColumn("start_offset",
+        col("_cum") - col(weightCol).cast("long") + col("_prefix"))
+      .drop("_pid", "_cum")
+  }
+
+  /** Concat-and-chunk pack assignment: with pack budget B, a document
+    * starting at global offset s with w tokens occupies packs
+    * floor(s/B) .. floor((s+w-1)/B) (documents straddle pack boundaries
+    * — they are split, not padded, exactly like GPT-style pre-training
+    * batches). Emits one row per document with its pack span.
+    */
+  def packAssignments(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = col(weightCol).cast("long")
+    globalOffsets(df, idCol, weightCol)
+      .withColumn("start_pack", floor(col("start_offset") / budget))
+      .withColumn("end_pack",
+        floor((col("start_offset") + w - 1) / budget))
+      .withColumn("n_packs", col("end_pack") - col("start_pack") + 1)
+  }
+
+  /** Sliding-window character chunking (the RAG/embedding-prep shape):
+    * windows of `size` chars every `stride` chars, last window
+    * truncated, single window for texts shorter than `size`. A narrow
+    * generate-and-explode — embarrassingly parallel, output rows ≈
+    * totalChars/stride.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "chunk size and stride must be positive")
+    val len = length(col(textCol))
+    // integer-arithmetic chunk count: 1 + ceil((len-size)/stride), all
+    // in LONG so the identical formula runs in the SQL oracle
+    val nChunks = when(len <= size, lit(1L))
+      .otherwise(floor((len - size + stride - 1) / lit(stride)) + 1)
+    df.withColumn("_ci", explode(sequence(lit(0L), nChunks.cast("long") - 1)))
+      .select(
+        col(idCol),
+        col("_ci").cast("int").as("chunk_idx"),
+        substring(col(textCol), (col("_ci") * stride + 1).cast("int"), lit(size))
+          .as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .withColumn("chunk_md5", md5(col("chunk")))
+      .drop("chunk")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Packing, RangeJoin, TextAnalysis => T}
+
+/** Driver-contract queries for the round-3 curation operators:
+  * sequence packing (global prefix-sum concat-and-chunk), sliding
+  * char-window chunking, per-label embedding centroids, and the binned
+  * interval join.
+  */
+object CurationQueries {
+
+  /** Concat-and-chunk pack assignment of the corpus into 512-token
+    * packs, ordered by doc_id. The global prefix sum is the two-phase
+    * partition-offset formulation (Packing.globalOffsets) — no
+    * single-partition window over the data.
+    */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packAssignments(
+      // no Tables.distributed here: packAssignments range-repartitions
+      // immediately, which both spreads the single-row-group input and
+      // establishes the ordered slices — a round-robin first would just
+      // add a shuffle
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), T.wordCount(col("text")).cast("long").as("n_tokens")),
+      idCol = "doc_id", weightCol = "n_tokens", budget = 512)
+      .select("doc_id", "n_tokens", "start_offset",
+        "start_pack", "end_pack", "n_packs")
+
+  /** RAG-style sliding chunks: 200-char windows every 150 chars. */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.chunk(Tables.distributed(spark, sfDir, "documents")
+        .select("doc_id", "text"),
+      idCol = "doc_id", textCol = "text", size = 200, stride = 150)
+
+  /** Per-label mean embedding (the cluster-centroid/class-prototype
+    * primitive). Sums run on quantized integers (Dedup.quantize's
+    * round(x·1e4) — exact in both engines), the mean divides once at
+    * the end. Shape: posexplode → partial-aggregating hash agg on
+    * (label, dim) — one row per (label, dim) crosses the wire.
+    */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.distributed(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("x") * 10000).cast("long")).as("qsum"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("qsum").cast("double") / (col("n_vecs") * 10000), 6)
+          .as("centroid"))
+
+  /** Interval join via bin bucketing: lineitem ship days against
+    * order-derived maintenance windows (every 1000th order opens a
+    * window of `o_orderkey % 30 + 1` days), aggregated per window.
+    * 2-decimal sums rounded to 3 dp are exact in both engines.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val windows = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("start_day"))
+      .withColumn("end_day", col("start_day") + col("window_id") % 30 + 1)
+    val items = Tables.load(spark, sfDir, "lineitem")
+      .select(datediff(col("l_shipdate").cast("date"), epoch).as("ship_day"),
+        col("l_quantity"), col("l_extendedprice"))
+    RangeJoin.intervalJoin(items, "ship_day", windows,
+        "start_day", "end_day", binWidth = 32)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 3).as("sum_qty"),
+        round(sum("l_extendedprice"), 3).as("sum_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_pack" -> seqPack,
+    "doc_chunks" -> docChunks,
+    "embedding_centroids" -> embeddingCentroids,
+    "range_join" -> rangeJoin
+  )
+
+  // -- oracle SQL ------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(${TextQueries.nWords} AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  CAST(start_offset // 512 AS BIGINT) AS start_pack,
+         |  CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_pack,
+         |  CAST((start_offset + n_tokens - 1) // 512
+         |    - start_offset // 512 + 1 AS BIGINT) AS n_packs
+         |FROM c""".stripMargin,
+    "doc_chunks" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE (length(text) - 200 + 149) // 150 + 1 END AS n_chunks
+        |  FROM documents),
+        |i AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(ci * 150 + 1 AS BIGINT), 200)) AS INT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(ci * 150 + 1 AS BIGINT), 200)) AS chunk_md5
+        |FROM i""".stripMargin,
+    "embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(CAST(round(embedding[i] * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
+        |    / (count(*) * 10000), 6) AS centroid
+        |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |GROUP BY label, i""".stripMargin,
+    "range_join" ->
+      """WITH w AS (SELECT o_orderkey AS window_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS start_day,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + o_orderkey % 30 + 1 AS end_day
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |p AS (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |        AS ship_day, l_quantity, l_extendedprice
+        |      FROM lineitem)
+        |SELECT window_id, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 3) AS sum_qty,
+        |  round(sum(l_extendedprice), 3) AS sum_price
+        |FROM p JOIN w ON p.ship_day BETWEEN w.start_day AND w.end_day
+        |GROUP BY window_id""".stripMargin
+  )
+}

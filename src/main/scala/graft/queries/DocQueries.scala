@@ -86,8 +86,35 @@ object DocQueries {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** The curation decision the cluster map exists FOR: keep exactly one
+    * document per near-dup cluster, chosen by quality score (tie → the
+    * smaller doc id). One aggregate over (cluster, quality) — the
+    * selection is `max(struct(quality, -doc_id))`, a partial-aggregating
+    * hash agg, NOT a per-cluster row_number window (which would funnel
+    * every row into |clusters| tasks — the same scale trap the top-k
+    * family avoids with bounded heaps).
+    */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 9, rowsPerBand = 3)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val clustered = docs
+      .join(cc, docs("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    clustered.groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster"), col("n_docs"),
+        (-col("best.negid")).as("canonical_doc"),
+        round(col("best.q"), 6).as("canonical_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_canonical" -> dedupCanonical,
     "decontaminate" -> decontaminate,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_exact" -> dedupExact,
@@ -127,6 +154,31 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE shr AS ($shingleRows),
+         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |          WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION
+         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |scored AS (SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster,
+         |    ${TextQueries.qualityExpr} AS q
+         |  FROM documents LEFT JOIN cl ON doc_id = cl.node),
+         |r AS (SELECT cluster, doc_id, q,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY q DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_docs
+         |  FROM scored)
+         |SELECT cluster, CAST(n_docs AS BIGINT) AS n_docs,
+         |  doc_id AS canonical_doc, round(q, 6) AS canonical_quality
+         |FROM r WHERE rn = 1""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE shr AS ($shingleRows),
          |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),

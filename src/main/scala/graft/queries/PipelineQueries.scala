@@ -34,8 +34,14 @@ object PipelineQueries {
   private val cacheMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private def geoCache(spark: SparkSession, sfDir: String): DataFrame =
-    cacheMemo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir", {
+  private def geoCache(spark: SparkSession, sfDir: String): DataFrame = {
+    // drop entries bound to stopped sessions: their cached blocks are
+    // gone with the context, and holding the DataFrame pins dead plans
+    cacheMemo.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    // sessionUUID is stable and unique per session (identity hashCodes
+    // can be reused after GC and would alias a dead session's entry)
+    cacheMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
       // unobserved auxiliary parse: the memoized plan appears inside
       // queries that carry their own observed parse instance
       val parsed = ElbParser.parse(
@@ -43,6 +49,7 @@ object PipelineQueries {
       val empty = GeoCache.load(spark, s"$sfDir/_no_such_cache_")
       GeoCache.refresh(parsed, empty, StaticGeoProvider(JoinQueries.FixedClock)).cache()
     })
+  }
 
   private def enriched(spark: SparkSession, sfDir: String): DataFrame = {
     val parsed = ElbParser.parse(ElbSynth.lines(Tables.events(spark, sfDir)))

@@ -65,10 +65,17 @@ object TextQueries {
         T.redactPii(col("text")).as("clean_text"): _*)
   }
 
-  /** Inverted index with a df cap (stopword-grade tokens skipped). */
+  /** Inverted index with a df cap (stopword-grade tokens skipped). The
+    * posting list is emitted as a comma-joined string: the driver's
+    * compare harness hashes flat scalar columns, and the joined form is
+    * byte-identical across engines while `sort_array` already fixed the
+    * element order.
+    */
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     T.invertedIndex(Tables.distributed(spark, sfDir, "documents"),
       idCol = "doc_id", textCol = "text", maxDf = 400)
+      .withColumn("postings",
+        array_join(col("postings").cast("array<string>"), ","))
 
   /** Top-5 TF-IDF terms per document. N comes from the table itself
     * (one count action at plan-build time, like the reference corpus
@@ -155,7 +162,7 @@ object TextQueries {
     s"len(regexp_extract_all(lower(text), '$pat'))"
   }
 
-  private val nWords = """len(string_split_regex(trim(text), '\s+'))"""
+  private[queries] val nWords = """len(string_split_regex(trim(text), '\s+'))"""
   private val punct =
     """len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / greatest(length(text), 1)"""
   private val digit =
@@ -165,6 +172,16 @@ object TextQueries {
   private val stopRatio =
     s"""(${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")})::DOUBLE
        | / greatest($nWords, 1)""".stripMargin
+
+  /** The full quality-score formula over a `text` column, verbatim from
+    * the `text_quality` oracle — shared so cluster-canonical selection
+    * scores documents identically.
+    */
+  private[queries] val qualityExpr: String =
+    s"""least($stopRatio, 0.5) * 0.8
+       |    + CASE WHEN $awl >= 3 AND $awl <= 10 THEN 0.3 ELSE 0.0 END
+       |    + CASE WHEN $nWords >= 20 THEN 0.3 ELSE 0.1 END
+       |    - ($punct) * 0.5 - ($digit) * 0.5""".stripMargin
 
   private def repN(n: Int): String = {
     val gram = (0 until n).map(j => s"words[i+$j]").mkString(" || ' ' || ")
@@ -201,7 +218,8 @@ object TextQueries {
         |SELECT doc_id, token, CAST(rn AS INT) AS rank, tfidf
         |FROM r WHERE rn <= 5""".stripMargin,
     "inverted_index" ->
-      """SELECT token, list_sort(list(doc_id)) AS postings,
+      """SELECT token,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings,
         |  CAST(count(*) AS BIGINT) AS df
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
         |      FROM documents)
@@ -246,10 +264,7 @@ object TextQueries {
     "text_quality" ->
       s"""SELECT doc_id,
          |  $stopRatio AS stopword_ratio,
-         |  least($stopRatio, 0.5) * 0.8
-         |    + CASE WHEN $awl >= 3 AND $awl <= 10 THEN 0.3 ELSE 0.0 END
-         |    + CASE WHEN $nWords >= 20 THEN 0.3 ELSE 0.1 END
-         |    - ($punct) * 0.5 - ($digit) * 0.5 AS quality_score
+         |  $qualityExpr AS quality_score
          |FROM documents""".stripMargin,
     "text_pii_redact" ->
       s"""WITH planted AS (

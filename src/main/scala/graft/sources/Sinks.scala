@@ -58,8 +58,13 @@ object Sinks {
     if (hadTarget && !fs.rename(target, old))
       throw new java.io.IOException(s"could not move $target aside to $old")
     if (!fs.rename(tmp, target)) {
-      if (hadTarget) fs.rename(old, target) // best-effort rollback
-      throw new java.io.IOException(s"could not move staging $tmp into $target")
+      val rolledBack = hadTarget && fs.rename(old, target)
+      if (hadTarget && !rolledBack)
+        throw new java.io.IOException(
+          s"could not move staging $tmp into $target AND rollback failed: " +
+            s"previous cache data is intact under $old — restore it manually")
+      throw new java.io.IOException(s"could not move staging $tmp into $target" +
+        (if (rolledBack) s" (previous data restored at $target)" else ""))
     }
     if (hadTarget) fs.delete(old, true)
   }
