@@ -75,11 +75,50 @@ object CurationQueries {
         round(sum("l_extendedprice"), 3).as("sum_price"))
   }
 
+  /** Deterministic global corpus shuffle: every doc gets a dense 0-based
+    * rank in md5-key order — the "shuffle the corpus before packing"
+    * step of a pre-training pipeline, reproducible on any partitioning
+    * (same property as Sampling's md5 membership). The dense rank is
+    * Packing.globalOffsets with weight 1: range-partition on the key,
+    * rank within slices, offset slices by partition counts — never a
+    * single-partition window over the data.
+    */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.globalOffsets(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuffle:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        .withColumn("_one", lit(1L)),
+      idCol = "shuffle_key", weightCol = "_one")
+      .select(col("doc_id"), col("shuffle_key"),
+        col("start_offset").as("shuffle_rank"))
+
+  /** The end-to-end curation funnel, composed from the library's own
+    * operators: MinHash-LSH near-dup clusters → per-cluster canonical
+    * doc by quality → language filter (predicted, not labeled) →
+    * quality floor. What survives is the corpus a training run would
+    * actually consume; the oracle re-derives the whole funnel.
+    */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+    val canon = DocQueries.dedupCanonical(spark, sfDir)
+    docs.join(canon, docs("doc_id") === canon("canonical_doc"))
+      .where(T.langId(col("text")) === "en" &&
+        col("canonical_quality") >= 0.2)
+      .select(col("doc_id"), col("cluster"),
+        col("n_docs").as("cluster_size"),
+        col("canonical_quality").as("quality"),
+        T.wordCount(col("text")).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seq_pack" -> seqPack,
     "doc_chunks" -> docChunks,
     "embedding_centroids" -> embeddingCentroids,
-    "range_join" -> rangeJoin
+    "range_join" -> rangeJoin,
+    "corpus_shuffle" -> corpusShuffle,
+    "curate_corpus" -> curateCorpus
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -117,6 +156,22 @@ object CurationQueries {
         |    / (count(*) * 10000), 6) AS centroid
         |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
         |GROUP BY label, i""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR))) - 1
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
+    "curate_corpus" ->
+      s"""${DocQueries.clusterScoredCte},
+         |canon AS (SELECT cluster, n_docs, doc_id AS canonical_doc,
+         |    round(q, 6) AS quality
+         |  FROM r WHERE rn = 1)
+         |SELECT d.doc_id, c.cluster, CAST(c.n_docs AS BIGINT) AS cluster_size,
+         |  c.quality, ${TextQueries.nWords} AS n_tokens
+         |FROM documents d JOIN canon c ON d.doc_id = c.canonical_doc
+         |WHERE (${TextQueries.langPredExpr}) = 'en' AND c.quality >= 0.2""".stripMargin,
     "range_join" ->
       """WITH w AS (SELECT o_orderkey AS window_id,
         |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS start_day,

@@ -153,29 +153,36 @@ object DocQueries {
     terms.mkString(" + ")
   }
 
+  /** Clusters + per-doc quality, ranked within cluster — ends with CTE
+    * `r(cluster, doc_id, q, rn, n_docs)`; callers append their SELECT
+    * (or further CTEs starting with a comma).
+    */
+  private[queries] val clusterScoredCte: String =
+    s"""WITH RECURSIVE shr AS ($shingleRows),
+       |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b USING (band_idx, band_hash)
+       |          WHERE a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION
+       |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
+       |       FROM reach GROUP BY s),
+       |scored AS (SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster,
+       |    ${TextQueries.qualityExpr} AS q
+       |  FROM documents LEFT JOIN cl ON doc_id = cl.node),
+       |r AS (SELECT cluster, doc_id, q,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY q DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster) AS n_docs
+       |  FROM scored)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_canonical" ->
-      s"""WITH RECURSIVE shr AS ($shingleRows),
-         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b USING (band_idx, band_hash)
-         |          WHERE a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT s, d FROM edges
-         |          UNION
-         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-         |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
-         |       FROM reach GROUP BY s),
-         |scored AS (SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster,
-         |    ${TextQueries.qualityExpr} AS q
-         |  FROM documents LEFT JOIN cl ON doc_id = cl.node),
-         |r AS (SELECT cluster, doc_id, q,
-         |    row_number() OVER (PARTITION BY cluster
-         |      ORDER BY q DESC, doc_id ASC) AS rn,
-         |    count(*) OVER (PARTITION BY cluster) AS n_docs
-         |  FROM scored)
+      s"""$clusterScoredCte
          |SELECT cluster, CAST(n_docs AS BIGINT) AS n_docs,
          |  doc_id AS canonical_doc, round(q, 6) AS canonical_quality
          |FROM r WHERE rn = 1""".stripMargin,

@@ -173,6 +173,17 @@ object TextQueries {
     s"""(${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")})::DOUBLE
        | / greatest($nWords, 1)""".stripMargin
 
+  /** The arg-max language rule over a `text` column, verbatim from the
+    * `text_langid` oracle — shared with the curation-funnel oracle.
+    */
+  private[queries] val langPredExpr: String =
+    s"""CASE WHEN ${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")} = 0 THEN 'und'
+       |    WHEN ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("de")}
+       |      AND ${hits("en")} >= ${hits("fr")} THEN 'en'
+       |    WHEN ${hits("es")} >= ${hits("de")} AND ${hits("es")} >= ${hits("fr")} THEN 'es'
+       |    WHEN ${hits("de")} >= ${hits("fr")} THEN 'de'
+       |    ELSE 'fr' END""".stripMargin
+
   /** The full quality-score formula over a `text` column, verbatim from
     * the `text_quality` oracle — shared so cluster-canonical selection
     * scores documents identically.
@@ -252,12 +263,7 @@ object TextQueries {
          |FROM documents""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
-         |  CASE WHEN ${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")} = 0 THEN 'und'
-         |    WHEN ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("de")}
-         |      AND ${hits("en")} >= ${hits("fr")} THEN 'en'
-         |    WHEN ${hits("es")} >= ${hits("de")} AND ${hits("es")} >= ${hits("fr")} THEN 'es'
-         |    WHEN ${hits("de")} >= ${hits("fr")} THEN 'de'
-         |    ELSE 'fr' END AS lang_pred,
+         |  $langPredExpr AS lang_pred,
          |  ${hits("en")} AS en_hits, ${hits("es")} AS es_hits,
          |  ${hits("de")} AS de_hits, ${hits("fr")} AS fr_hits
          |FROM documents""".stripMargin,
