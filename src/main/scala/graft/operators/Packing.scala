@@ -35,8 +35,22 @@ object Packing {
     */
   def globalOffsets(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
     val id = col(idCol)
+    // CORRECTNESS INVARIANT: both plan branches below (the local cumsum
+    // and the partition-totals aggregate) contain the same range
+    // exchange, and the RangePartitioner's sampled boundaries must be
+    // IDENTICAL in both or `_pid` silently diverges and offsets corrupt.
+    // With spark.sql.exchange.reuse (default true; AQE stage reuse
+    // likewise keys on the canonicalized plan) the two exchanges dedupe
+    // into one physical shuffle, so the boundaries are shared by
+    // construction — PackingSpec asserts the ReusedExchange is present.
+    // If a session disables reuse, pin the slices by materializing them
+    // once instead (persist; storage is one slim pass over the input —
+    // callers project down to (id, weight) before packing).
+    val reuse = df.sparkSession.conf
+      .get("spark.sql.exchange.reuse", "true").toBoolean
     // ordered slices: partition p holds ids strictly below partition p+1
-    val parts = df.repartitionByRange(id).withColumn("_pid", spark_partition_id())
+    val parts0 = df.repartitionByRange(id).withColumn("_pid", spark_partition_id())
+    val parts = if (reuse) parts0 else parts0.persist()
     val local = parts.withColumn("_cum",
       sum(col(weightCol).cast("long")).over(
         Window.partitionBy("_pid").orderBy(id)
@@ -78,7 +92,10 @@ object Packing {
     * windows of `size` chars every `stride` chars, last window
     * truncated, single window for texts shorter than `size`. A narrow
     * generate-and-explode — embarrassingly parallel, output rows ≈
-    * totalChars/stride.
+    * totalChars/stride. Returns the chunk TEXT itself (`chunk`) plus
+    * `chunk_idx`/`chunk_len` — a RAG/embedding-prep consumer feeds the
+    * text to an embedder; callers that only need a fingerprint project
+    * it away (as the `doc_chunks` driver query does with md5).
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
@@ -95,7 +112,5 @@ object Packing {
         substring(col(textCol), (col("_ci") * stride + 1).cast("int"), lit(size))
           .as("chunk"))
       .withColumn("chunk_len", length(col("chunk")))
-      .withColumn("chunk_md5", md5(col("chunk")))
-      .drop("chunk")
   }
 }

@@ -33,14 +33,25 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val binned = intervals.withColumn("_bin",
+    // the join keeps every column from both sides, so any shared name
+    // would come back ambiguous — refuse up front rather than let a
+    // downstream resolve error (or a silently shadowed column) surface
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must have disjoint column names; shared: " +
+        shared.toSeq.sorted.mkString(", "))
+    // collision-proof temp key: probe until unused on either side
+    val taken = points.columns.toSet ++ intervals.columns.toSet
+    val bin = Iterator.from(0).map(i => if (i == 0) "_bin" else s"_bin$i")
+      .find(!taken.contains(_)).get
+    val binned = intervals.withColumn(bin,
       explode(sequence(
         floor(col(startCol) / binWidth).cast("long"),
         floor(col(endCol) / binWidth).cast("long"))))
     points
-      .withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
-      .join(binned, Seq("_bin"))
+      .withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, Seq(bin))
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("_bin")
+      .drop(bin)
   }
 }

@@ -35,6 +35,10 @@ object CurationQueries {
     Packing.chunk(Tables.distributed(spark, sfDir, "documents")
         .select("doc_id", "text"),
       idCol = "doc_id", textCol = "text", size = 200, stride = 150)
+      // the operator returns the chunk text (its real product); the
+      // driver compare wants flat scalars, so fingerprint + drop HERE
+      .withColumn("chunk_md5", md5(col("chunk")))
+      .drop("chunk")
 
   /** Per-label mean embedding (the cluster-centroid/class-prototype
     * primitive). Sums run on quantized integers (Dedup.quantize's
@@ -154,7 +158,9 @@ object CurationQueries {
         |  CAST(count(*) AS BIGINT) AS n_vecs,
         |  round(CAST(sum(CAST(round(embedding[i] * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
         |    / (count(*) * 10000), 6) AS centroid
-        |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |FROM (SELECT label, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings)
         |GROUP BY label, i""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id,

@@ -34,20 +34,47 @@ class PackingSpec extends SparkSpec {
     val text = "abcdefghij" * 5 // 50 chars
     val df = Seq((1L, text), (2L, "short")).toDF("id", "text")
     val chunks = Packing.chunk(df, "id", "text", size = 20, stride = 15)
-      .select("id", "chunk_idx", "chunk_len", "chunk_md5")
+      .select("id", "chunk_idx", "chunk_len", "chunk")
       .as[(Long, Int, Int, String)].collect()
     val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
     // 50 chars: starts 0,15,30 → 1 + ceil(30/15) = 3 chunks; last is 20
     assert(doc1.map(_._2).toSeq === Seq(0, 1, 2))
     assert(doc1.map(_._3).toSeq === Seq(20, 20, 20))
-    // reference md5s computed from plain substring semantics
+    // the operator returns the chunk TEXT (what an embedder consumes)
     val exp = Seq(0, 1, 2).map { i =>
-      val s = text.substring(i * 15, math.min(i * 15 + 20, text.length))
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      text.substring(i * 15, math.min(i * 15 + 20, text.length))
     }
     assert(doc1.map(_._4).toSeq === exp)
     val doc2 = chunks.filter(_._1 == 2L)
-    assert(doc2.length === 1 && doc2.head._3 === 5)
+    assert(doc2.length === 1 && doc2.head._3 === 5 && doc2.head._4 === "short")
+  }
+
+  test("global offsets share ONE range exchange (reuse) — and survive reuse off") {
+    // the two-branch prefix-sum is only correct if both branches see the
+    // same range boundaries: with exchange reuse the physical plan must
+    // carry a ReusedExchange/ReusedQueryStage; with reuse disabled the
+    // operator pins the slices by persisting them instead
+    val df = Seq.tabulate(100)(i => (i.toLong, (i % 11 + 1).toLong))
+      .toDF("id", "w").repartition(5)
+    val res = Packing.globalOffsets(df, "id", "w")
+    res.collect() // AQE dedupes canonically-equal stages at RUNTIME
+    val plan = res.queryExecution.executedPlan.toString
+    val rangeExchanges =
+      "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(rangeExchanges <= 1 || plan.contains("ReusedExchange")
+        || plan.contains("ReusedQueryStage"),
+      s"expected ONE shared range exchange, saw $rangeExchanges in:\n$plan")
+
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val got = Packing.globalOffsets(df, "id", "w")
+        .select("id", "start_offset").as[(Long, Long)].collect().toMap
+      var acc = 0L
+      (0 until 100).foreach { i =>
+        assert(got(i.toLong) === acc, s"offset of id=$i with reuse off")
+        acc += (i % 11 + 1)
+      }
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 }

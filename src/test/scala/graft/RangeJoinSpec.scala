@@ -23,6 +23,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("a pre-existing _bin column is sidestepped, not clobbered") {
+    val p2 = points.withColumn("_bin", lit("keep-me"))
+    val got = RangeJoin.intervalJoin(p2, "p", intervals, "s", "e", binWidth = 50)
+    assert(got.columns.count(_ == "_bin") === 1, "user _bin survives exactly once")
+    val naive = p2.join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select("p_id", "i_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got.select("p_id", "i_id").as[(Long, Long)].collect().sorted.toSeq === naive)
+    assert(got.select("_bin").distinct.as[String].collect().toSeq === Seq("keep-me"))
+  }
+
+  test("shared column names between the two sides are refused up front") {
+    val clash = intervals.withColumnRenamed("i_id", "p_id")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(points, "p", clash, "s", "e", binWidth = 50)
+    }
+    assert(err.getMessage.contains("p_id"))
+  }
+
   test("the plan is an equi-join on the bin, not a nested-loop join") {
     val plan = RangeJoin.intervalJoin(points, "p", intervals, "s", "e", binWidth = 50)
       .queryExecution.executedPlan.toString
