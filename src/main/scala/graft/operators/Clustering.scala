@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.LongArrayDot
+
+/** Distributed k-means over an embedding column — the clustering
+  * primitive behind semantic dedup, IVF index builds, and
+  * cluster-balanced corpus sampling.
+  *
+  * Shape at 100 TB: centroids are TINY (k × dims); vectors are the
+  * 100 TB. So every step keeps the corpus side narrow and streaming:
+  * assignment is a broadcast fan-out (|rows| × k) collapsed map-side by
+  * partial aggregation (one row per vector crosses the wire), and the
+  * Lloyd centroid update is a posexplode + hash-aggregate whose shuffle
+  * carries one row per (cluster, dim) — never per vector. No driver
+  * collect; the centroid table stays a DataFrame end to end.
+  *
+  * All geometry runs on quantized integers (round(x·10⁴), exact in any
+  * engine — see [[Dedup.quantize]]) with the codegen'd
+  * [[graft.functions.LongArrayDot]] dot product, so distances are exact
+  * longs and argmin ties break deterministically (min over
+  * struct(dist, cluster) is a total order).
+  *
+  * Seeding: the canonical k-means++ draw is sequential and
+  * data-order-sensitive; at this scale the reproducible equivalent is a
+  * deterministic "random" draw — the k vectors whose md5(salt:id) sort
+  * first (same device as [[Sampling]] membership). Pass a different
+  * salt for a different draw.
+  */
+object Clustering {
+
+  /** Quantized corpus projection: (id, q, n2). */
+  private def prep(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), Dedup.quantize(col(embCol)).as("q"))
+      .withColumn("n2", Dedup.squaredNorm(col("q")))
+
+  /** Deterministic seed centroids, labeled 0..k-1 in draw order:
+    * (cluster, cq, cn2). The window ranks only the k surviving rows
+    * (TakeOrderedAndProject pushes the limit into the sort), so the
+    * single-partition window is over k rows, not the corpus.
+    */
+  def seedCentroids(df: DataFrame, idCol: String, embCol: String,
+      k: Int, salt: String = "kmeans"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val mk = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    prep(df, idCol, embCol)
+      .withColumn("_mk", mk)
+      .orderBy(col("_mk"), col(idCol))
+      .limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy(col("_mk"), col(idCol))) - 1)
+          .cast("int"))
+      .select(col("cluster"), col("q").as("cq"), col("n2").as("cn2"))
+  }
+
+  /** Nearest-centroid assignment: (id, cluster, dist2, q). dist2 is the
+    * EXACT squared L2 distance between quantized vectors
+    * (‖q‖² + ‖c‖² − 2·q·c, all long arithmetic). Broadcast fan-out,
+    * map-side partial argmin — one row per vector reaches the exchange.
+    */
+  def assign(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame =
+    prep(df, idCol, embCol)
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        col("n2") + col("cn2")
+          - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("cluster"))).as("best"),
+        first(col("q")).as("q"))
+      .select(col(idCol), col("best.cluster").as("cluster"),
+        col("best.dist2").as("dist2"), col("q"))
+
+  /** One Lloyd update from an assignment: per-cluster per-dimension
+    * quantized mean — (cluster, dim, n_vecs, centroid). Sums run on the
+    * exact quantized integers; the one divide happens at the end (the
+    * same device as the `embedding_centroids` prototype op). Shuffle
+    * width: one row per (cluster, dim).
+    */
+  def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "qx")))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qx")).as("qsum"))
+      .select(col("cluster"), col("dim"), col("n_vecs"),
+        round(col("qsum").cast("double") / (col("n_vecs") * 10000), 6)
+          .as("centroid"))
+}

@@ -100,6 +100,42 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Incremental (batch-vs-corpus) near-dup detection: the daily-ingest
+    * shape. A `fresh` batch is checked against the `base` corpus by
+    * MinHash-LSH band match — a fresh doc sharing ANY band hash with a
+    * base doc is flagged with `dup_of` = the smallest matching base id;
+    * clean docs carry `dup_of` = -1. Output: one row per fresh doc
+    * (idCol, dup_of, is_dup).
+    *
+    * Scale posture: the join is the bucketed band equi-join (one row per
+    * (doc, band), never per shingle, never all-pairs). In production the
+    * base band table is computed ONCE and persisted (it is a pure
+    * function of the corpus — recompute only for new base docs); the
+    * fresh side is a day's batch, so Spark's size estimate will usually
+    * broadcast it against the 100 TB side. Band parameters must match
+    * the ones the base table was built with.
+    */
+  def incrementalDups(
+      base: DataFrame, fresh: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 9, rowsPerBand: Int = 3): DataFrame = {
+    val baseBands = lshBands(
+      minhashSignatureTable(base, idCol, textCol, shingleK, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("_base_id"))
+    val freshBands = lshBands(
+      minhashSignatureTable(fresh, idCol, textCol, shingleK, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val matches = freshBands
+      .join(baseBands, Seq("band_idx", "band_hash"))
+      .groupBy(col(idCol))
+      .agg(min(col("_base_id")).as("_dup_of"))
+    fresh.select(col(idCol))
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
+        col("_dup_of").isNotNull.as("is_dup"))
+  }
+
   /** SimHash fingerprint (`bits` ≤ 32): per distinct word, take the high
     * bit of each md5 nibble as ±1; the fingerprint sets bit j when the
     * j-th sum is non-negative. Near-dups differ in few bits (compare
@@ -200,15 +236,16 @@ object Dedup {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // carry the changed flag through the checkpoint: convergence is a
+      // filter-count on the materialized result, not a second join pass
       val updated = labels.as("l")
         .join(neighborMin, col("l.node") === neighborMin("src"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"),
+          (coalesce(col("nmin"), col("l.label")) < col("l.label")).as("_changed"))
         .localCheckpoint()
-      val changes = updated.as("u")
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") =!= col("prev")).count()
-      labels = updated
+      val changes = updated.where(col("_changed")).count()
+      labels = updated.drop("_changed")
       converged = changes == 0
       i += 1
     }

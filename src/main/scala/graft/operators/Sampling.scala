@@ -53,6 +53,54 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** The row's md5 key mapped to [0, 1): the top 60 bits of the hash as
+    * an exact long, divided by 2⁶⁰. Every step is reproducible across
+    * engines: the long→double cast and the divide by an exact power of
+    * two round identically under IEEE 754.
+    */
+  def unitHash(idCol: Column, salt: String): Column =
+    conv(substring(hash(idCol, salt), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** Temperature-weighted mixture sampling — the corpus-mixing step of a
+    * pre-training pipeline: given groups (sources/languages) of very
+    * different sizes, draw a ~`budgetFraction` sized corpus whose group
+    * shares follow n^α (α = 1/2 here) instead of n, up-weighting small
+    * groups without letting any group exceed its own size.
+    *
+    * Per group s:  w_s = ⌊√n_s⌋,  f_s = min(1, B·w_s / (W·n_s))
+    * with B = ⌊N·budgetFraction⌋ and W = Σw — and a row is kept iff
+    * `unitHash(id) < f_s`.
+    *
+    * Every quantity that feeds the threshold is an EXACT integer
+    * (⌊√n⌋ is exact because IEEE sqrt is correctly rounded; the
+    * products B·w and W·n are exact longs), so f_s is one double divide
+    * — bit-identical in any engine, no accumulation-order hazard. The
+    * group stats are a tiny aggregate broadcast back; membership itself
+    * is the same partition-layout-independent md5 rule as
+    * [[deterministicSample]]. Adds no shuffle over the data: the only
+    * exchanges aggregate one row per group.
+    */
+  def temperatureMixture(
+      df: DataFrame, idCol: String, groupCol: String,
+      budgetFraction: Double, salt: String = "mix"): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"bad budgetFraction $budgetFraction")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
+    val totals = counts.agg(sum(col("_n")).as("_total"), sum(col("_w")).as("_wsum"))
+    val fracs = counts.crossJoin(broadcast(totals))
+      .withColumn("_budget",
+        floor(col("_total").cast("double") * budgetFraction).cast("long"))
+      .withColumn("_f", least(lit(1.0),
+        (col("_budget") * col("_w")).cast("double")
+          / (col("_wsum") * col("_n")).cast("double")))
+      .select(col(groupCol), col("_f"))
+    df.join(broadcast(fracs), Seq(groupCol))
+      .where(unitHash(col(idCol), salt) < col("_f"))
+  }
+
   /** Keep at most `cap` rows per group, chosen in md5 order — a
     * deterministic "random" per-group downsample (class balancing,
     * per-domain caps). One shuffle on the group key.

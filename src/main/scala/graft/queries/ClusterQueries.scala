@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Clustering
+
+/** Driver-contract queries for distributed k-means over `embeddings`:
+  * one deterministic-seed assignment pass and one Lloyd centroid
+  * update. Both run on exact quantized-integer geometry, so the DuckDB
+  * oracle reproduces every distance and tie-break bit-for-bit.
+  */
+object ClusterQueries {
+
+  private val K = 8
+
+  private def assigned(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.distributed(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    Clustering.assign(e, "vec_id", "embedding",
+      Clustering.seedCentroids(e, "vec_id", "embedding", K))
+  }
+
+  /** Per-vector nearest seed centroid + exact squared distance. */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    assigned(spark, sfDir).select("vec_id", "cluster", "dist2")
+
+  /** One Lloyd update: per-cluster per-dim quantized mean. */
+  def kmeansUpdate(spark: SparkSession, sfDir: String): DataFrame =
+    Clustering.lloydUpdate(assigned(spark, sfDir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_assign" -> kmeansAssign,
+    "kmeans_update" -> kmeansUpdate
+  )
+
+  // -- oracle SQL ------------------------------------------------------
+
+  /** Quantize → seed draw → exact integer distances → argmin; ends with
+    * CTEs `q` (quantized vectors) and `a(vec_id, cluster, dist2)`.
+    */
+  private val assignCte: String =
+    s"""WITH q AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q),
+       |seeds AS (SELECT vec_id, qv, n2,
+       |            md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS mk
+       |          FROM n ORDER BY mk, vec_id LIMIT $K),
+       |c AS (SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INT)
+       |          AS cluster,
+       |        qv AS cv, n2 AS cn2 FROM seeds),
+       |d AS (SELECT n.vec_id, c.cluster,
+       |        n.n2 + c.cn2
+       |          - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT) AS dist2
+       |      FROM n CROSS JOIN c),
+       |r AS (SELECT vec_id, cluster, dist2,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY dist2, cluster) AS rn FROM d),
+       |a AS (SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
+       |      FROM r WHERE rn = 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "kmeans_assign" ->
+      s"""$assignCte
+         |SELECT vec_id, cluster, dist2 FROM a""".stripMargin,
+    "kmeans_update" ->
+      s"""$assignCte,
+         |e AS (SELECT a.cluster, q.qv,
+         |        unnest(generate_series(1, len(q.qv))) AS i
+         |      FROM a JOIN q USING (vec_id))
+         |SELECT cluster, CAST(i - 1 AS INT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(qv[i]) AS BIGINT)::DOUBLE / (count(*) * 10000), 6)
+         |    AS centroid
+         |FROM e GROUP BY cluster, i""".stripMargin
+  )
+}

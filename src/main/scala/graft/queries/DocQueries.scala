@@ -70,6 +70,22 @@ object DocQueries {
       "doc_id", "text", shingleK = 5, maxTrainDf = 20)
   }
 
+  /** Incremental-ingest dedup: the corpus split 80/20 base/fresh by the
+    * deterministic md5 rule, then every fresh doc checked against the
+    * base side by LSH band match ([[Dedup.incrementalDups]]) — the
+    * "dedup today's crawl against the existing 100 TB corpus" shape.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val t80 = graft.operators.Sampling.fractionThreshold(0.8)
+    val docs = Tables.distributed(spark, sfDir, "documents")
+      .select("doc_id", "text")
+      .withColumn("_is_base",
+        md5(concat(lit("inc:"), col("doc_id").cast("string"))) < lit(t80))
+    Dedup.incrementalDups(
+      docs.where(col("_is_base")), docs.where(!col("_is_base")),
+      "text", "doc_id")
+  }
+
   /** Near-dup clusters: MinHash-LSH candidate pairs → connected
     * components → every doc labeled with its cluster's min doc id
     * (singletons label themselves). THE dedup output a curation
@@ -115,6 +131,7 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
+    "dedup_incremental" -> dedupIncremental,
     "decontaminate" -> decontaminate,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_exact" -> dedupExact,
@@ -181,6 +198,23 @@ object DocQueries {
        |  FROM scored)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""WITH shr AS ($shingleRows),
+         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |m AS (SELECT doc_id,
+         |        md5('inc:' || CAST(doc_id AS VARCHAR))
+         |          < '${graft.operators.Sampling.fractionThreshold(0.8)}' AS is_base
+         |      FROM documents),
+         |mt AS (SELECT f.doc_id, min(b.doc_id) AS dup_of
+         |       FROM bands f JOIN m mf ON f.doc_id = mf.doc_id AND NOT mf.is_base
+         |       JOIN bands b ON f.band_idx = b.band_idx
+         |                   AND f.band_hash = b.band_hash
+         |       JOIN m mb ON b.doc_id = mb.doc_id AND mb.is_base
+         |       GROUP BY f.doc_id)
+         |SELECT m.doc_id, coalesce(mt.dup_of, -1) AS dup_of,
+         |  mt.dup_of IS NOT NULL AS is_dup
+         |FROM m LEFT JOIN mt USING (doc_id) WHERE NOT m.is_base""".stripMargin,
     "dedup_canonical" ->
       s"""$clusterScoredCte
          |SELECT cluster, CAST(n_docs AS BIGINT) AS n_docs,

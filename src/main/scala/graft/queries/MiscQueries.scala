@@ -101,6 +101,16 @@ object MiscQueries {
           < lit(Sampling.fractionThreshold(0.25)))
   }
 
+  /** Temperature-weighted corpus mixing: a ~50% budget drawn with
+    * per-source shares following √n instead of n (small sources
+    * up-weighted), membership a pure function of doc_id.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixture(
+      Tables.documents(spark, sfDir).select("doc_id", "source"),
+      idCol = "doc_id", groupCol = "source", budgetFraction = 0.5)
+      .select("doc_id", "source")
+
   /** Deterministic per-group downsample: at most 20 docs per language. */
   def capPerGroup(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.capPerGroup(
@@ -110,6 +120,7 @@ object MiscQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> sampleSplit,
     "cap_per_group" -> capPerGroup,
+    "mixture_sample" -> mixtureSample,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
@@ -132,6 +143,23 @@ object MiscQueries {
          |       ELSE 'test' END AS split,
          |  md5('sample:' || CAST(event_id AS VARCHAR)) < '$t25' AS in_quarter_sample
          |FROM events""".stripMargin,
+    "mixture_sample" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |        CAST(sum(w) AS BIGINT) AS wsum FROM c),
+        |f AS (SELECT c.source,
+        |        least(1.0,
+        |          CAST(CAST(floor(CAST(t.total AS DOUBLE) * 0.5) AS BIGINT)
+        |              * c.w AS DOUBLE)
+        |            / CAST(t.wsum * c.n AS DOUBLE)) AS fr
+        |      FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f ON d.source = f.source
+        |WHERE CAST(concat('0x',
+        |    substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+        |  / 1152921504606846976.0 < f.fr""".stripMargin,
     "cap_per_group" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

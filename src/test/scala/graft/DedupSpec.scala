@@ -26,6 +26,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === 3) // all 3 unordered pairs of identical unit vectors
   }
 
+  test("incrementalDups flags fresh copies of base docs, leaves originals clean") {
+    // distinctive 12-word texts so 3-shingle minhash separates them
+    def txt(seed: Int) = (0 until 12).map(j => s"w${seed}x$j").mkString(" ")
+    val base = Seq((1L, txt(1)), (2L, txt(2)), (3L, txt(3))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, txt(2)),   // exact copy of base doc 2 → dup_of 2
+      (11L, txt(99))   // novel text → clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDups(base, fresh, "text", "doc_id")
+      .select("doc_id", "dup_of", "is_dup").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((10L, 2L, true), (11L, -1L, false)))
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
     // pair 10-11, triangle 20-21-22 with a redundant edge

@@ -43,4 +43,25 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.capPerGroup(docs.repartition(13), "lang", "doc_id", 20)
     assert(capped.exceptAll(again).count() === 0)
   }
+
+  test("temperatureMixture up-weights small groups and stays layout-stable") {
+    // one big group (900) and one small (100): proportional sampling
+    // keeps 50% of each; √n weighting must keep a HIGHER fraction of
+    // the small group than of the big one, and never exceed 1
+    val df = (Seq.tabulate(900)(i => (i.toLong, "big"))
+      ++ Seq.tabulate(100)(i => (i + 1000L, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMixture(df, "id", "src", budgetFraction = 0.5)
+    val frac = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    val fBig = frac("big") / 900.0
+    val fSmall = frac("small") / 100.0
+    assert(fSmall > fBig + 0.1, s"small=$fSmall big=$fBig")
+    // overall budget in the right neighborhood (md5 draw is binomial)
+    val total = frac.values.sum
+    assert(total > 350 && total < 650, total.toString)
+    // membership is a pure row property — identical under repartition
+    val again = Sampling.temperatureMixture(
+      df.repartition(13), "id", "src", budgetFraction = 0.5)
+    assert(kept.exceptAll(again).count() === 0)
+    assert(again.exceptAll(kept).count() === 0)
+  }
 }
