@@ -261,7 +261,12 @@ object Dedup {
     * useful near-dup threshold.
     */
   def quantize(embedding: Column): Column =
-    transform(embedding, x => round(x * 10000).cast("long"))
+    // the float→double widening is explicit: a float-typed multiply
+    // rounds x·10⁴ through 24-bit precision and can land exactly on a
+    // .5 boundary that the double path avoids (observed at sf0.001:
+    // float(-0.04285·10⁴) = -428.5 → -429, double → -428.49999 → -428);
+    // both engines must take the double path
+    transform(embedding, x => round(x.cast("double") * 10000).cast("long"))
 
   /** Exact cosine over quantized vectors — dot via the codegen'd
     * [[graft.functions.LongArrayDot]] primitive (the builtin

@@ -30,9 +30,20 @@ object ClusterQueries {
   def kmeansUpdate(spark: SparkSession, sfDir: String): DataFrame =
     Clustering.lloydUpdate(assigned(spark, sfDir))
 
+  /** Cluster-balanced downsample — the "diverse subset" primitive
+    * (dedup-adjacent): at most 40 vectors per k-means cell, chosen by
+    * the deterministic md5 order. Pure composition of the library's own
+    * operators (assign ∘ capPerGroup).
+    */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      assigned(spark, sfDir).select("vec_id", "cluster"),
+      groupCol = "cluster", idCol = "vec_id", cap = 40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_assign" -> kmeansAssign,
-    "kmeans_update" -> kmeansUpdate
+    "kmeans_update" -> kmeansUpdate,
+    "cluster_balanced_sample" -> clusterBalancedSample
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -42,7 +53,8 @@ object ClusterQueries {
     */
   private val assignCte: String =
     s"""WITH q AS (SELECT vec_id,
-       |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+       |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |      FROM embeddings),
        |n AS (SELECT vec_id, qv,
        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q),
@@ -66,6 +78,12 @@ object ClusterQueries {
     "kmeans_assign" ->
       s"""$assignCte
          |SELECT vec_id, cluster, dist2 FROM a""".stripMargin,
+    "cluster_balanced_sample" ->
+      s"""$assignCte
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5('cap:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM a) WHERE rn <= 40""".stripMargin,
     "kmeans_update" ->
       s"""$assignCte,
          |e AS (SELECT a.cluster, q.qv,

@@ -51,7 +51,7 @@ object CurationQueries {
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"),
-        sum(round(col("x") * 10000).cast("long")).as("qsum"))
+        sum(round(col("x").cast("double") * 10000).cast("long")).as("qsum"))
       .select(col("label"), col("dim"), col("n_vecs"),
         round(col("qsum").cast("double") / (col("n_vecs") * 10000), 6)
           .as("centroid"))
@@ -156,7 +156,7 @@ object CurationQueries {
     "embedding_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
-        |  round(CAST(sum(CAST(round(embedding[i] * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
+        |  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
         |    / (count(*) * 10000), 6) AS centroid
         |FROM (SELECT label, embedding,
         |        unnest(generate_series(1, len(embedding))) AS i

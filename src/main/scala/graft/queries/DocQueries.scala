@@ -259,7 +259,8 @@ object DocQueries {
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+         |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
          |      FROM e),
          |n AS (SELECT vec_id, qv,
          |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2,
@@ -304,7 +305,8 @@ object DocQueries {
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
         |q AS (SELECT vec_id,
-        |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+        |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
         |      FROM e),
         |n AS (SELECT vec_id, qv,
         |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)

@@ -42,7 +42,8 @@ object VecQueries {
 
   private val qCte: String =
     """q AS (SELECT vec_id,
-      |        list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+      |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
       |      FROM embeddings),
       |n AS (SELECT vec_id, qv,
       |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)""".stripMargin
