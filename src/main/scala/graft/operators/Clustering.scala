@@ -60,19 +60,33 @@ object Clustering {
     * EXACT squared L2 distance between quantized vectors
     * (‖q‖² + ‖c‖² − 2·q·c, all long arithmetic). Broadcast fan-out,
     * map-side partial argmin — one row per vector reaches the exchange.
+    *
+    * The argmin is a min over `dist2·2²⁰ + cluster` (one LONG), not over
+    * `struct(dist2, cluster)`: a struct min only plans as SortAggregate
+    * (struct buffers can't hash-aggregate), which inserts a
+    * per-partition sort of the k-fold fan-out; the packed long keeps the
+    * whole argmin inside codegen'd HashAggregate. Same total order —
+    * dist2 dominates, cluster breaks ties low. Bounds: cluster < 2²⁰
+    * and dist2 < 2⁴³ (unit-scale embeddings quantized at 1e4 give
+    * dist2 ≤ dims·(2·10⁴)² ≈ 2³⁵ at 64 dims — far inside).
     */
   def assign(df: DataFrame, idCol: String, embCol: String,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame): DataFrame = {
+    val mult = 1L << 20
     prep(df, idCol, embCol)
       .crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        col("n2") + col("cn2")
-          - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq")))
+      .withColumn("_packed",
+        (col("n2") + col("cn2")
+          - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq"))) * mult
+          + col("cluster"))
       .groupBy(col(idCol))
-      .agg(min(struct(col("dist2"), col("cluster"))).as("best"),
-        first(col("q")).as("q"))
-      .select(col(idCol), col("best.cluster").as("cluster"),
-        col("best.dist2").as("dist2"), col("q"))
+      .agg(min(col("_packed")).as("_best"), first(col("q")).as("q"))
+      .select(col(idCol),
+        (col("_best") % mult).cast("int").as("cluster"),
+        // integral DIV, not `/`: Divide on longs returns DOUBLE, and
+        // packed values reach 2⁵⁵ — past the 53-bit double mantissa
+        expr(s"_best DIV ${mult}L").as("dist2"), col("q"))
+  }
 
   /** One Lloyd update from an assignment: per-cluster per-dimension
     * quantized mean — (cluster, dim, n_vecs, centroid). Sums run on the

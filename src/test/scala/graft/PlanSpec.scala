@@ -73,6 +73,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mixture sampling broadcasts the per-group fractions, never shuffles the data") {
+    val p = plan("mixture_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group fractions must broadcast into the membership filter:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle to join its group stats:\n$p")
+  }
+
+  test("incremental dedup is a band equi-join, not all-pairs") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fresh-vs-base matching must block on band hashes:\n$p")
+  }
+
+  test("k-means assignment fans out via broadcast with map-side partial argmin") {
+    val p = plan("kmeans_assign")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to meet the centroids:\n$p")
+    // partial + final hash aggregate pair around the argmin
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      s"argmin must partially aggregate map-side:\n$p")
+  }
+
   test("top-k ranking is a bounded-heap aggregate, not a |Q|-partition window") {
     for (q <- Seq("similarity_topk", "similarity_lsh", "vocab_topk")) {
       val p = plan(q)
