@@ -103,25 +103,39 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int,
       nCentroids: Int = 16): DataFrame = {
+    require(nCentroids > 0 && nCentroids < (1 << 20),
+      s"nCentroids must be in (0, 2^20), got $nCentroids")
     val prep = prepared(corpus, idCol, embCol)
+    // dense 0-based index in cent_id order: the argmin packs (dist, idx)
+    // into ONE long (min over a struct only plans as SortAggregate —
+    // struct buffers can't hash-aggregate — which would sort the
+    // nCentroids-fold fan-out per partition). idx order = cent_id order,
+    // so ties still break to the smaller cent_id. The window ranks only
+    // the nCentroids surviving rows. Bound: dist < 2⁴³ (unit-scale
+    // embeddings quantized at 1e4 stay ≪ that).
+    val mult = 1L << 20
     val cents = prep
       .orderBy(md5(concat(lit("centroid:"), col(idCol).cast("string"))), col(idCol))
       .limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("q").as("qcent"),
         col("n2").as("n2cent"))
+      .withColumn("cidx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cent_id"))).cast("long") - 1)
+    val cellIds = cents.select(col("cidx").as("_cidx"), col("cent_id").as("cell"))
 
-    // exact-integer argmin assignment: min(struct(dist, cent_id)) is a
-    // total order, so ties are deterministic; partial aggregation keeps
-    // the broadcast fan-out (|rows| × nCentroids) map-side
     def assign(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          col("n2") + col("n2cent")
+        .withColumn("_packed",
+          (col("n2") + col("n2cent")
             - lit(2L) * graft.functions.LongArrayDot.long_dot(col("q"), col("qcent")))
+            * mult + col("cidx"))
         .groupBy(col(idCol))
-        .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        .agg(min(col("_packed")).as("_best"),
           first(col("q")).as("q"), first(col("n2")).as("n2"))
-        .select(col(idCol), col("best.cent_id").as("cell"), col("q"), col("n2"))
+        .withColumn("_cidx", col("_best") % mult)
+        .join(broadcast(cellIds), Seq("_cidx"))
+        .select(col(idCol), col("cell"), col("q"), col("n2"))
 
     val c = assign(prep)
       .select(col("cell"), col(idCol).as("neighbor_id"),
