@@ -102,4 +102,48 @@ object Clustering {
       .select(col("cluster"), col("dim"), col("n_vecs"),
         round(col("qsum").cast("double") / (col("n_vecs") * 10000), 6)
           .as("centroid"))
+
+  /** Full Lloyd iteration loop: seed → (assign → update)ⁿ → final
+    * assignment. Each round's centroid table is k×dims rows —
+    * `localCheckpoint`ed so the lineage stays O(1) across rounds
+    * instead of growing a re-derivation chain over the 100 TB corpus
+    * (the same device as connectedComponents' label frontier; the
+    * corpus itself is never materialized). Empty cells drop out, as in
+    * standard Lloyd. Means are re-quantized (round(mean·10⁴)) between
+    * rounds, so every round's geometry stays exact-integer and the
+    * whole loop is reproducible at any parallelism.
+    */
+  def lloydIterate(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iterations: Int, salt: String = "kmeans"): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    val data = prep(df, idCol, embCol)
+    // pre-quantized assign: same body as assign() minus the re-prep
+    def assignPrepped(cents: DataFrame): DataFrame = {
+      val mult = 1L << 20
+      data.crossJoin(broadcast(cents))
+        .withColumn("_packed",
+          (col("n2") + col("cn2")
+            - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq"))) * mult
+            + col("cluster"))
+        .groupBy(col(idCol))
+        .agg(min(col("_packed")).as("_best"), first(col("q")).as("q"))
+        .select(col(idCol),
+          (col("_best") % mult).cast("int").as("cluster"),
+          expr(s"_best DIV ${mult}L").as("dist2"), col("q"))
+    }
+    var cents = seedCentroids(df, idCol, embCol, k, salt).localCheckpoint()
+    var i = 0
+    while (i < iterations - 1) {
+      cents = lloydUpdate(assignPrepped(cents))
+        .groupBy("cluster")
+        .agg(collect_list(struct(col("dim"), col("centroid"))).as("_dc"))
+        .select(col("cluster"),
+          transform(array_sort(col("_dc")), x =>
+            round(x.getField("centroid") * 10000).cast("long")).as("cq"))
+        .withColumn("cn2", Dedup.squaredNorm(col("cq")))
+        .localCheckpoint()
+      i += 1
+    }
+    assignPrepped(cents)
+  }
 }

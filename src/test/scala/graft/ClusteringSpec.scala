@@ -62,6 +62,22 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("Lloyd iterations never increase total distortion and stay layout-stable") {
+    def totalDist(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("dist2")).as[Long].collect().head
+    val one = Clustering.lloydIterate(vecs, "vec_id", "embedding",
+      k = 3, iterations = 1)
+    val three = Clustering.lloydIterate(vecs, "vec_id", "embedding",
+      k = 3, iterations = 3)
+    assert(totalDist(three) <= totalDist(one),
+      "k-means distortion must be non-increasing across Lloyd rounds")
+    // reproducible under a different partition layout
+    val again = Clustering.lloydIterate(vecs.repartition(7), "vec_id",
+      "embedding", k = 3, iterations = 3)
+    assert(three.select("vec_id", "cluster", "dist2")
+      .exceptAll(again.select("vec_id", "cluster", "dist2")).count() === 0)
+  }
+
   test("assignment plan broadcasts the centroids — no corpus-side sort-merge join") {
     val cents = Clustering.seedCentroids(vecs, "vec_id", "embedding", 3)
     val plan = Clustering.assign(vecs, "vec_id", "embedding", cents)
