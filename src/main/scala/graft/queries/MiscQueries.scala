@@ -63,6 +63,29 @@ object MiscQueries {
       "graft_stream_dedup",
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** Incremental dedup through the real streaming engine: the 20%
+    * "fresh" split streams in and is band-matched against the static
+    * 80% base-corpus band table (stream-static join + one stateful
+    * min aggregation). Output: every flagged fresh doc with its
+    * smallest matching base id — the streaming twin of
+    * `dedup_incremental`'s dup rows.
+    */
+  def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, Sampling}
+    val t80 = Sampling.fractionThreshold(0.8)
+    def isBase = md5(concat(lit("inc:"), col("doc_id").cast("string"))) < lit(t80)
+    val base = Tables.distributed(spark, sfDir, "documents")
+      .select("doc_id", "text").where(isBase)
+    val baseBands = Dedup.lshBands(
+        Dedup.minhashSignatureTable(base, "doc_id", "text", 3, 9), "doc_id", 9, 3)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("_base_id"))
+    val fresh = StreamingPipeline.readDocuments(spark, sfDir)
+      .where(!isBase).select("doc_id", "text")
+    StreamingPipeline.runToMemory(
+      StreamingPipeline.incrementalDupStream(fresh, baseBands),
+      "graft_stream_inc_dedup")
+  }
+
   /** The reference's cron-driven cache refresh through the streaming
     * engine: events-derived client IPs stream into foreachBatch, each
     * batch runs detect-fetch-upsert-swap against a real parquet cache
@@ -128,6 +151,7 @@ object MiscQueries {
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
     "streaming_dedup" -> streamingDedup,
+    "streaming_incremental_dedup" -> streamingIncrementalDedup,
     "streaming_geo_cache" -> streamingGeoCache
   )
 
@@ -143,6 +167,27 @@ object MiscQueries {
          |       ELSE 'test' END AS split,
          |  md5('sample:' || CAST(event_id AS VARCHAR)) < '$t25' AS in_quarter_sample
          |FROM events""".stripMargin,
+    "streaming_incremental_dedup" ->
+      s"""WITH shr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(words) - 2),
+         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |sigs AS (SELECT doc_id,
+         |    ${(0 until 9).map(s => s"min(md5('$s:' || sh)) AS sig_$s").mkString(", ")}
+         |  FROM shr GROUP BY doc_id),
+         |bands AS (${(0 until 3).map { b =>
+             val cat = (b * 3 until b * 3 + 3).map(s => s"sig_$s").mkString(" || ")
+             s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+           }.mkString(" UNION ALL ")}),
+         |m AS (SELECT doc_id,
+         |        md5('inc:' || CAST(doc_id AS VARCHAR))
+         |          < '${graft.operators.Sampling.fractionThreshold(0.8)}' AS is_base
+         |      FROM documents)
+         |SELECT f.doc_id, min(b.doc_id) AS dup_of
+         |FROM bands f JOIN m mf ON f.doc_id = mf.doc_id AND NOT mf.is_base
+         |JOIN bands b ON f.band_idx = b.band_idx AND f.band_hash = b.band_hash
+         |JOIN m mb ON b.doc_id = mb.doc_id AND mb.is_base
+         |GROUP BY f.doc_id""".stripMargin,
     "mixture_sample" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
         |        CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w

@@ -168,6 +168,33 @@ object StreamingPipeline {
     docs.select(md5(col(textCol)).as("text_hash"))
       .dropDuplicates("text_hash")
 
+  /** Streaming twin of incremental dedup — the live-ingest shape: fresh
+    * docs STREAM in, the base corpus's LSH band table is a STATIC
+    * DataFrame joined into every micro-batch (Spark's stream-static
+    * equi-join: stateless, no watermark; in production the static side
+    * is the persisted band table of the 100 TB corpus, broadcast or
+    * bucket-joined per batch). Signatures on the stream side run as
+    * NARROW array expressions (per-row min over md5'd shingles) — zero
+    * pre-join shuffle, unlike the batch explode+agg formulation, which
+    * would be a second stateful aggregation. The post-join min(base id)
+    * per fresh doc is the query's one stateful aggregation.
+    *
+    * `baseBands` must carry (band_idx, band_hash, _base_id) built with
+    * the SAME shingleK/numHashes/rowsPerBand.
+    */
+  def incrementalDupStream(
+      freshDocs: DataFrame, baseBands: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleK: Int = 3, numHashes: Int = 9, rowsPerBand: Int = 3): DataFrame = {
+    val sigs = freshDocs.select(col(idCol) +:
+      graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.shingles(col(textCol), shingleK), numHashes): _*)
+    graft.operators.Dedup.lshBands(sigs, idCol, numHashes, rowsPerBand)
+      .join(baseBands, Seq("band_idx", "band_hash"))
+      .groupBy(col(idCol))
+      .agg(min(col("_base_id")).as("dup_of"))
+  }
+
   /** The reference's cron job as a stream: each micro-batch of logs
     * refreshes the persistent geolocation cache (detect new IPs → fetch
     * → keep-newest upsert → atomic swap of the parquet path) via
