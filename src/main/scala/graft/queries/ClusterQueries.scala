@@ -30,6 +30,17 @@ object ClusterQueries {
   def kmeansUpdate(spark: SparkSession, sfDir: String): DataFrame =
     Clustering.lloydUpdate(assigned(spark, sfDir))
 
+  /** Two full Lloyd rounds (seed → assign → update → re-assign): the
+    * ITERATED path under the oracle gate — every round's re-quantized
+    * centroids and argmin reproduce bit-for-bit in SQL.
+    */
+  def kmeansAssign2(spark: SparkSession, sfDir: String): DataFrame =
+    Clustering.lloydIterate(
+      Tables.distributed(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", k = K, iterations = 2)
+      .select("vec_id", "cluster", "dist2")
+
   /** Cluster-balanced downsample — the "diverse subset" primitive
     * (dedup-adjacent): at most 40 vectors per k-means cell, chosen by
     * the deterministic md5 order. Pure composition of the library's own
@@ -43,6 +54,7 @@ object ClusterQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_assign" -> kmeansAssign,
     "kmeans_update" -> kmeansUpdate,
+    "kmeans_assign2" -> kmeansAssign2,
     "cluster_balanced_sample" -> clusterBalancedSample
   )
 
@@ -78,6 +90,28 @@ object ClusterQueries {
     "kmeans_assign" ->
       s"""$assignCte
          |SELECT vec_id, cluster, dist2 FROM a""".stripMargin,
+    "kmeans_assign2" ->
+      s"""$assignCte,
+         |u AS (SELECT a.cluster, q.qv,
+         |        unnest(generate_series(1, len(q.qv))) AS i
+         |      FROM a JOIN q USING (vec_id)),
+         |cm AS (SELECT cluster, i,
+         |        CAST(round(round(CAST(sum(qv[i]) AS BIGINT)::DOUBLE
+         |            / (count(*) * 10000), 6) * 10000) AS BIGINT) AS cqe
+         |      FROM u GROUP BY cluster, i),
+         |c2 AS (SELECT cluster, list(cqe ORDER BY i) AS cv FROM cm
+         |       GROUP BY cluster),
+         |c2n AS (SELECT cluster, cv,
+         |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn2 FROM c2),
+         |d2 AS (SELECT n.vec_id, c.cluster,
+         |        n.n2 + c.cn2
+         |          - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT) AS dist2
+         |      FROM n CROSS JOIN c2n c),
+         |r2 AS (SELECT vec_id, cluster, dist2,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY dist2, cluster) AS rn FROM d2)
+         |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
+         |FROM r2 WHERE rn = 1""".stripMargin,
     "cluster_balanced_sample" ->
       s"""$assignCte
          |SELECT vec_id, cluster FROM (
