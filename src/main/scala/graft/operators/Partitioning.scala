@@ -42,6 +42,34 @@ object Partitioning {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Compact a fragmented parquet directory to ~`targetFileBytes`
+    * files — the small-file repair op (streaming sinks, per-batch
+    * appends, and over-parallel writes all fragment; at 100 TB the
+    * driver's file listing and the scheduler's task count are the
+    * casualties long before read throughput is).
+    *
+    * File count comes from the parquet footer sizes ON DISK (no data
+    * scan, no row sampling); the rewrite is one pass. Round-robin
+    * repartition spreads rows evenly regardless of input skew — if the
+    * reader depends on an ordered or bucketed layout, recompact with
+    * [[writeSortedByRange]]/[[writeBucketed]] instead; plain compaction
+    * is for layouts where only file COUNT matters. Writes to `outPath`
+    * (never in place: a failed in-place rewrite loses the input).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, s"bad targetFileBytes $targetFileBytes")
+    require(inPath != outPath, "compact never rewrites in place")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Skew-safe equi-join: replicate the (small) build side `saltFactor`
     * times and scatter the probe side's hot keys across the replicas
     * with a DETERMINISTIC salt derived from a unique probe column —

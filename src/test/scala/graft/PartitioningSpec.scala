@@ -74,6 +74,37 @@ class PartitioningSpec extends SparkSpec {
       s"sorted layout should skip most row groups: scanned $sorted of $total")
   }
 
+  test("compact collapses a fragmented directory to the byte-target file count") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    try {
+      // fragment: 40 tiny files
+      spark.range(20000).select(col("id"), md5(col("id").cast("string")).as("pad"))
+        .repartition(40).write.parquet(s"$tmp/frag")
+      def files(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val fragFiles = files(s"$tmp/frag")
+      assert(fragFiles.length === 40)
+      val total = fragFiles.map(_.length).sum
+      // target ~quarter of the data per file → expect ceil(total/target)
+      val target = total / 4
+      Partitioning.compact(spark, s"$tmp/frag", s"$tmp/out", target)
+      val out = files(s"$tmp/out")
+      assert(out.length === ((total + target - 1) / target).toInt,
+        s"expected byte-driven count, got ${out.length}")
+      assert(out.length < 10)
+      // content identical
+      assert(spark.read.parquet(s"$tmp/out")
+        .exceptAll(spark.read.parquet(s"$tmp/frag")).count() === 0)
+      assert(spark.read.parquet(s"$tmp/frag")
+        .exceptAll(spark.read.parquet(s"$tmp/out")).count() === 0)
+      // refuses in-place
+      intercept[IllegalArgumentException] {
+        Partitioning.compact(spark, s"$tmp/frag", s"$tmp/frag", target)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("salting spreads a hot key across shuffle partitions") {
     // one key carries 90% of the probe rows — the classic skew shape
     val probe = spark.range(0, 2000).select(
