@@ -140,6 +140,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packed argmin equals struct-order argmin over random distance sets") {
+    // the k-means/IVF assignment packs (dist2, cluster) as d*2^20 + c;
+    // this must agree with lexicographic (dist2, cluster) min whenever
+    // the documented bounds hold (0 <= dist2 < 2^43, 0 <= cluster < 2^20)
+    val entry = Gen.zip(Gen.choose(0L, (1L << 43) - 1), Gen.choose(0, (1 << 20) - 1))
+    val set = Gen.nonEmptyListOf(entry)
+    forAllSampled(set, 300) { entries =>
+      val mult = 1L << 20
+      val packedMin = entries.map { case (d, c) => d * mult + c }.min
+      val structMin = entries.min // tuple ordering = (dist2, cluster) lexicographic
+      assert(((packedMin / mult), (packedMin % mult).toInt) === structMin)
+    }
+  }
+
   // -- sessionization vs reference model ------------------------------
 
   def referenceSessionize(times: Seq[Long], gapMicros: Long): Seq[Long] = {
