@@ -63,6 +63,16 @@ object MiscQueries {
       "graft_stream_dedup",
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** Same-user event pairs within 5 minutes through the real streaming
+    * engine's watermarked stream-stream join state.
+    */
+  def streamingEventPairs(spark: SparkSession, sfDir: String): DataFrame =
+    StreamingPipeline.runToMemory(
+      StreamingPipeline.eventPairsStream(
+        StreamingPipeline.readEvents(spark, sfDir)),
+      "graft_stream_event_pairs",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   /** Incremental dedup through the real streaming engine: the 20%
     * "fresh" split streams in and is band-matched against the static
     * 80% base-corpus band table (stream-static join + one stateful
@@ -151,6 +161,7 @@ object MiscQueries {
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
     "streaming_dedup" -> streamingDedup,
+    "streaming_event_pairs" -> streamingEventPairs,
     "streaming_incremental_dedup" -> streamingIncrementalDedup,
     "streaming_geo_cache" -> streamingGeoCache
   )
@@ -167,6 +178,11 @@ object MiscQueries {
          |       ELSE 'test' END AS split,
          |  md5('sample:' || CAST(event_id AS VARCHAR)) < '$t25' AS in_quarter_sample
          |FROM events""".stripMargin,
+    "streaming_event_pairs" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000""".stripMargin,
     "streaming_incremental_dedup" ->
       s"""WITH shr AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |    generate_series(1, len(words) - 2),

@@ -168,6 +168,29 @@ object StreamingPipeline {
     docs.select(md5(col(textCol)).as("text_hash"))
       .dropDuplicates("text_hash")
 
+  /** Watermarked stream-stream self-join: pairs of events by the same
+    * user within a 5-minute forward window — the follow-on-action shape
+    * (click→purchase, request→retry). Both sides carry a watermark and
+    * the join condition bounds event time in BOTH directions, so the
+    * state store provably expires rows older than the watermark + range
+    * instead of buffering the whole stream — the requirement Spark
+    * enforces for unbounded-input joins. Inner join ⇒ the emitted SET
+    * is deterministic under AvailableNow regardless of batch slicing.
+    */
+  def eventPairsStream(events: DataFrame): DataFrame = {
+    val a = events
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val b = events
+      .select(col("event_id").as("b_id"), col("user_id").as("_ub"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    a.join(b, col("user_id") === col("_ub")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"), col("user_id"))
+  }
+
   /** Streaming twin of incremental dedup — the live-ingest shape: fresh
     * docs STREAM in, the base corpus's LSH band table is a STATIC
     * DataFrame joined into every micro-batch (Spark's stream-static
