@@ -32,10 +32,35 @@ object VecQueries {
       "vec_id", "embedding", k = 5, nCentroids = 16)
   }
 
+  /** Recall@5 of each ANN path against the brute-force ground truth —
+    * the measurement that justifies an approximate index at 100 TB
+    * (the judge of the recall/latency tradeoff, computed inside the
+    * engine). Pure composition: both engines derive truth and
+    * candidates with their own already-verified query logic, so recall
+    * matches exactly, zero-hit queries included.
+    */
+  def similarityRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = topkBrute(spark, sfDir).select("query_id", "neighbor_id")
+    val qs = truth.select("query_id").distinct()
+    def recall(approx: DataFrame, method: String): DataFrame = {
+      val hits = truth
+        .join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      qs.join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 5).as("recall_at_5"))
+    }
+    recall(topkLsh(spark, sfDir), "lsh")
+      .unionByName(recall(topkIvf(spark, sfDir), "ivf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
-    "similarity_ivf" -> topkIvf
+    "similarity_ivf" -> topkIvf,
+    "similarity_recall" -> similarityRecall
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -61,6 +86,55 @@ object VecQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "similarity_recall" ->
+      s"""WITH $qCte,
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |bk AS (SELECT vec_id, qv, n2,
+         |         CAST(${bucketExpr("qv")} AS BIGINT) AS bucket FROM n),
+         |lsh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10) WHERE rank <= 5),
+         |cents AS (SELECT vec_id AS cent_id, qv AS qcent, n2 AS n2cent FROM n
+         |          ORDER BY md5('centroid:' || CAST(vec_id AS VARCHAR)), vec_id
+         |          LIMIT 16),
+         |asg AS (SELECT vec_id, qv, n2, cell FROM (
+         |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY v.n2 + c.n2cent
+         |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+         |        c.cent_id) AS rn
+         |  FROM n v CROSS JOIN cents c) WHERE rn = 1),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10) WHERE rank <= 5),
+         |qs AS (SELECT DISTINCT query_id FROM truth),
+         |hl AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id),
+         |hi AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id)
+         |SELECT 'lsh' AS method, query_id,
+         |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hl.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hl USING (query_id)
+         |UNION ALL
+         |SELECT 'ivf' AS method, query_id,
+         |  CAST(coalesce(hi.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hi.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hi USING (query_id)""".stripMargin,
     "similarity_topk" ->
       s"""WITH $qCte
          |SELECT query_id, neighbor_id, rank, cosine FROM (
