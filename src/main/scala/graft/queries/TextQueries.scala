@@ -87,6 +87,26 @@ object TextQueries {
       totalDocs = docs.count(), k = 5)
   }
 
+  /** Per-doc vocabulary coverage against the corpus's global top-100
+    * tokens — the tokenizer-coverage / OOV-rate report a pipeline runs
+    * before committing to a vocab. The vocab is tiny and broadcast; the
+    * exploded token stream aggregates straight back to one row per doc.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.distributed(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(100)
+      .select(col("token"), lit(1L).as("_in"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_in"), lit(0L))).as("n_in_vocab"))
+      .withColumn("coverage",
+        round(col("n_in_vocab").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Per-language top-20 vocabulary by frequency. */
   def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
     T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
@@ -147,6 +167,7 @@ object TextQueries {
     "text_repetition" -> textRepetition,
     "doc_length_stats" -> docLengthStats,
     "vocab_topk" -> vocabTopk,
+    "vocab_coverage" -> vocabCoverage,
     "sql_vocab_topk" -> sqlVocabTopk,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -214,6 +235,18 @@ object TextQueries {
       |FROM r WHERE rn <= 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |v AS (SELECT token FROM (
+        |        SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+        |        ORDER BY cnt DESC, token ASC LIMIT 100))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(v.token) AS BIGINT) AS n_in_vocab,
+        |  round(CAST(count(v.token) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM tok LEFT JOIN v ON tok.token = v.token
+        |GROUP BY doc_id""".stripMargin,
     "sql_vocab_topk" -> vocabOracle,
     "tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
