@@ -40,6 +40,34 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 2L, true), (11L, -1L, false)))
   }
 
+  test("the base band table round-trips through parquet — the persist-once workflow") {
+    // production shape: the corpus band table is computed once and
+    // persisted; each day's batch joins the STORED table. The stored
+    // bands must reproduce exactly what an inline computation matches.
+    def txt(seed: Int) = (0 until 12).map(j => s"w${seed}x$j").mkString(" ")
+    val base = Seq((1L, txt(1)), (2L, txt(2)), (3L, txt(3))).toDF("doc_id", "text")
+    val fresh = Seq((10L, txt(3)), (11L, txt(42))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bands").toFile
+    try {
+      val bands = Dedup.lshBands(
+        Dedup.minhashSignatureTable(base, "doc_id", "text", 3, 9), "doc_id", 9, 3)
+      bands.write.parquet(s"$tmp/bands")
+      val stored = spark.read.parquet(s"$tmp/bands")
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("_base_id"))
+      // match the fresh side against the STORED table (same join shape
+      // as incrementalDups' internals)
+      val freshBands = Dedup.lshBands(
+        Dedup.minhashSignatureTable(fresh, "doc_id", "text", 3, 9), "doc_id", 9, 3)
+      val viaStore = freshBands.join(stored, Seq("band_idx", "band_hash"))
+        .groupBy("doc_id").agg(min("_base_id").as("dup_of"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val direct = Dedup.incrementalDups(base, fresh, "text", "doc_id")
+        .where(col("is_dup")).select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(viaStore === direct && viaStore === Seq((10L, 3L)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
     // pair 10-11, triangle 20-21-22 with a redundant edge
