@@ -40,6 +40,34 @@ object CurationQueries {
       .withColumn("chunk_md5", md5(col("chunk")))
       .drop("chunk")
 
+  /** Pack manifests — what a training-sequence writer actually emits:
+    * one row per pack with its doc membership (in stream order, as an
+    * md5'd manifest for the flat-scalar compare), doc count, and token
+    * occupancy (= budget except the final pack). Explode each doc over
+    * its pack span, clip its token range to the pack boundaries,
+    * aggregate per pack.
+    */
+  def packEmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 512L
+    Packing.packAssignments(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), T.wordCount(col("text")).cast("long").as("n_tokens")),
+        idCol = "doc_id", weightCol = "n_tokens", budget = B)
+      .withColumn("pack_id", explode(sequence(col("start_pack"), col("end_pack"))))
+      .withColumn("tok_from", greatest(col("start_offset"), col("pack_id") * B))
+      .withColumn("tok_to",
+        least(col("start_offset") + col("n_tokens") - 1, (col("pack_id") + 1) * B - 1))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_to") - col("tok_from") + 1).as("n_tokens"),
+        // manifest order = stream order (start_offset): sort structs
+        // numerically, then project the ids — lexicographic string sort
+        // would misorder "100" < "20"
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("start_offset"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",")).as("docs_md5"))
+  }
+
   /** Per-label mean embedding (the cluster-centroid/class-prototype
     * primitive). Sums run on quantized integers (Dedup.quantize's
     * round(x·1e4) — exact in both engines), the mean divides once at
@@ -118,6 +146,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seq_pack" -> seqPack,
+    "pack_emit" -> packEmit,
     "doc_chunks" -> docChunks,
     "embedding_centroids" -> embeddingCentroids,
     "range_join" -> rangeJoin,
@@ -141,6 +170,25 @@ object CurationQueries {
          |  CAST((start_offset + n_tokens - 1) // 512
          |    - start_offset // 512 + 1 AS BIGINT) AS n_packs
          |FROM c""".stripMargin,
+    "pack_emit" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(${TextQueries.nWords} AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM t),
+         |a AS (SELECT doc_id, n_tokens, start_offset,
+         |    start_offset // 512 AS start_pack,
+         |    (start_offset + n_tokens - 1) // 512 AS end_pack FROM c),
+         |e AS (SELECT doc_id, n_tokens, start_offset,
+         |    unnest(generate_series(start_pack, end_pack)) AS pack_id FROM a)
+         |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(start_offset + n_tokens - 1, (pack_id + 1) * 512 - 1)
+         |    - greatest(start_offset, pack_id * 512) + 1) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+         |    ORDER BY start_offset, doc_id)) AS docs_md5
+         |FROM e GROUP BY pack_id""".stripMargin,
     "doc_chunks" ->
       """WITH n AS (SELECT doc_id, text,
         |    CASE WHEN length(text) <= 200 THEN 1
