@@ -154,6 +154,44 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  /** SimHash near-dup PAIRS via bit-block LSH: split the `bits`-bit
+    * fingerprint into `blocks` equal blocks and bucket-join on any
+    * identical block. By pigeonhole this is EXACT (100% recall), not
+    * approximate, whenever `maxHamming < blocks`: a pair differing in
+    * ≤ maxHamming bits cannot touch every block. The block join is the
+    * only shuffle (one row per (doc, block)); the Hamming distance is
+    * one xor+popcount per surviving candidate. The scale knobs are the
+    * same as MinHash banding: more/narrower blocks → bigger buckets →
+    * more candidates; wider fingerprints (bits=32) keep random
+    * collisions negligible at corpus scale.
+    */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 32, blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % blocks == 0, s"bits ($bits) must divide into $blocks blocks")
+    require(maxHamming < blocks,
+      s"pigeonhole exactness needs maxHamming ($maxHamming) < blocks ($blocks)")
+    val bpb = bits / blocks
+    val mask = (1L << bpb) - 1
+    val fps = df.select(col(idCol), simhash(col(textCol), bits).as("fp"))
+    val blocked = fps.select(col(idCol), col("fp"),
+      explode(array((0 until blocks).map { b =>
+        struct(lit(b).as("block_idx"),
+          shiftright(col("fp"), b * bpb).bitwiseAND(lit(mask)).as("block_val"))
+      }: _*)).as("blk"))
+      .select(col(idCol), col("fp"), col("blk.block_idx"), col("blk.block_val"))
+    val a = blocked.select(col("block_idx"), col("block_val"),
+      col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = blocked.select(col("block_idx"), col("block_val"),
+      col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard over multi-band MinHash-LSH candidate pairs:
     * |A∩B| / |A∪B| on distinct shingle sets. Integer set sizes → the
     * division is bit-identical across engines.
