@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,14 @@ import graft.functions.LongArrayDot
   */
 object Clustering {
 
+  /** Runtime range assertion as a column: passes `c` through when in
+    * [lo, hi], raises a diagnosable error otherwise. Used on the tiny
+    * centroid side only — never in the corpus hot path.
+    */
+  private def assertBetween(c: Column, lo: Long, hi: Long, msg: String): Column =
+    when(c.between(lo, hi), c)
+      .otherwise(raise_error(concat(lit(msg + ", got "), c.cast("string"))))
+
   /** Quantized corpus projection: (id, q, n2). */
   private def prep(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol), Dedup.quantize(col(embCol)).as("q"))
@@ -45,6 +53,8 @@ object Clustering {
   def seedCentroids(df: DataFrame, idCol: String, embCol: String,
       k: Int, salt: String = "kmeans"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(k < (1 << 20),
+      s"k must fit the packed-long argmin's 20 cluster bits, got $k")
     val mk = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
     prep(df, idCol, embCol)
       .withColumn("_mk", mk)
@@ -73,8 +83,19 @@ object Clustering {
   def assign(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame): DataFrame = {
     val mult = 1L << 20
+    // Centroids may be caller-supplied (not from seedCentroids), so the
+    // packed-long bounds are enforced at runtime on the tiny centroid
+    // side: cluster must fit the 20 low bits and ‖c‖² must leave the
+    // distance inside the 43 high bits (dist2 ≤ 2(n2+cn2); n2 is
+    // checked symmetrically by the same bound on typical unit-scale
+    // data — an oversized centroid is the realistic corruption vector).
+    val checked = centroids
+      .withColumn("cluster", assertBetween(col("cluster"), 0L, mult - 1,
+        "centroid cluster id overflows the 20 packed bits"))
+      .withColumn("cn2", assertBetween(col("cn2"), 0L, 1L << 41,
+        "centroid squared norm too large for the packed-long argmin"))
     prep(df, idCol, embCol)
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(checked))
       .withColumn("_packed",
         (col("n2") + col("cn2")
           - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq"))) * mult
@@ -116,6 +137,8 @@ object Clustering {
   def lloydIterate(df: DataFrame, idCol: String, embCol: String,
       k: Int, iterations: Int, salt: String = "kmeans"): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(k < (1 << 20),
+      s"k must fit the packed-long argmin's 20 cluster bits, got $k")
     val data = prep(df, idCol, embCol)
     // pre-quantized assign: same body as assign() minus the re-prep
     def assignPrepped(cents: DataFrame): DataFrame = {

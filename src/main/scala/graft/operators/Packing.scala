@@ -44,13 +44,21 @@ object Packing {
     // into one physical shuffle, so the boundaries are shared by
     // construction — PackingSpec asserts the ReusedExchange is present.
     // If a session disables reuse, pin the slices by materializing them
-    // once instead (persist; storage is one slim pass over the input —
-    // callers project down to (id, weight) before packing).
+    // once instead. localCheckpoint (eager), not persist(): a persist'd
+    // plan stays registered in the CacheManager until an unpersist this
+    // lazy API has no place to issue (session-lifetime leak per call),
+    // while localCheckpoint blocks are reclaimed by the ContextCleaner
+    // when the plan is GC'd. Eagerness also closes the conf-staleness
+    // window: the slices are computed HERE, so flipping
+    // spark.sql.exchange.reuse between building and executing the
+    // returned DataFrame cannot change which boundaries `_pid` used.
+    // Storage is one slim pass over the input — callers project down to
+    // (id, weight) before packing.
     val reuse = df.sparkSession.conf
       .get("spark.sql.exchange.reuse", "true").toBoolean
     // ordered slices: partition p holds ids strictly below partition p+1
     val parts0 = df.repartitionByRange(id).withColumn("_pid", spark_partition_id())
-    val parts = if (reuse) parts0 else parts0.persist()
+    val parts = if (reuse) parts0 else parts0.localCheckpoint()
     val local = parts.withColumn("_cum",
       sum(col(weightCol).cast("long")).over(
         Window.partitionBy("_pid").orderBy(id)
@@ -80,7 +88,15 @@ object Packing {
   def packAssignments(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
-    val w = col(weightCol).cast("long")
+    // Weights must be >= 1: a zero-weight row would compute
+    // end_pack < start_pack, and a downstream explode(sequence(start,
+    // end)) silently walks BACKWARDS (Spark's sequence defaults to
+    // step -1), emitting spurious descending pack rows. Enforce the
+    // contract here with a diagnosable error instead.
+    val w = when(col(weightCol).cast("long") >= 1, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"packAssignments: $weightCol must be >= 1, got "),
+        col(weightCol).cast("string"), lit(s" at $idCol="), col(idCol).cast("string"))))
     globalOffsets(df, idCol, weightCol)
       .withColumn("start_pack", floor(col("start_offset") / budget))
       .withColumn("end_pack",

@@ -59,9 +59,24 @@ object Partitioning {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, s"bad targetFileBytes $targetFileBytes")
-    require(inPath != outPath, "compact never rewrites in place")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Compare FileSystem-qualified paths, not raw strings: "dir/",
+    // "./dir", "file:/.../dir" all name the same directory, and
+    // mode(overwrite) over a lazily-read input destroys the source.
+    // Also reject outPath nested inside inPath (overwrite would delete
+    // part of the data mid-read) and the inverse (output clobbers a
+    // parent of the input).
+    val qIn = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    def isPrefixOf(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(qIn != qOut, s"compact never rewrites in place ($qIn)")
+    require(!isPrefixOf(qIn, qOut), s"outPath $qOut is nested inside inPath $qIn")
+    require(!isPrefixOf(qOut, qIn), s"inPath $qIn is nested inside outPath $qOut")
     val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum

@@ -174,8 +174,18 @@ object StreamingPipeline {
     * the join condition bounds event time in BOTH directions, so the
     * state store provably expires rows older than the watermark + range
     * instead of buffering the whole stream — the requirement Spark
-    * enforces for unbounded-input joins. Inner join ⇒ the emitted SET
-    * is deterministic under AvailableNow regardless of batch slicing.
+    * enforces for unbounded-input joins.
+    *
+    * Determinism caveat: the inner join emits a deterministic SET only
+    * when no event arrives more than the 10-minute watermark out of
+    * event-time order RELATIVE to a later micro-batch boundary —
+    * watermark eviction depends on where batch boundaries fall, so a
+    * straggler behind an already-advanced watermark is dropped and its
+    * pairs are silently lost vs the batch oracle. Single-batch
+    * AvailableNow (this repo's harness) and event-time-ordered ingest
+    * both satisfy the condition; arbitrary slicing of disordered input
+    * does not — widen the watermark past the source's max disorder if
+    * that's your regime.
     */
   def eventPairsStream(events: DataFrame): DataFrame = {
     val a = events
