@@ -14,22 +14,36 @@ import graft.streaming.StreamingPipeline
   */
 object MiscQueries {
 
+  /** Synthesized VALID payloads (PPM/WAV/FRM0 keyed on doc_id) through
+    * the real decoders; every output stat is recomputed from the
+    * decoded bytes. The oracle mirrors the synthesis formulas in closed
+    * form, so a header-parse or byte-walk bug hash-diverges. checksum
+    * is projected away (SQL can't synthesize binary); it's golden-
+    * tested in MultimodalSpec.
+    */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.attachPayload(
-      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
-    Multimodal.decodeFeatures(media).toDF()
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    Multimodal.decodeFeatures(media).toDF().drop("checksum")
   }
 
+  /** Real nearest-neighbor resize of the decoded PPM rasters to 24×18
+    * (both up- and down-scaling across the 16..44 × 12..28 source
+    * range); stats over the resampled pixels.
+    */
   def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.attachPayload(
-      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
-    Multimodal.resizeStub(media, targetW = 128, targetH = 128).toDF()
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    Multimodal.resizeImages(media, targetW = 24, targetH = 18).toDF().drop("out_md5")
   }
 
+  /** Every 2nd frame of each FRM0 video, stats over the real frame
+    * slices.
+    */
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.attachPayload(
-      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
-    Multimodal.sampleFramesStub(media, everyN = 30).toDF()
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    Multimodal.sampleFrames(media, everyN = 2).toDF().drop("frame_md5")
   }
 
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
@@ -226,15 +240,64 @@ object MiscQueries {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin,
+    // Mirrors Multimodal.synthesizePayload in closed form: pixel byte
+    // i = (i+id)%256 and sample k = ((k+id)%2001)-1000 are arithmetic
+    // progressions mod a period, so sums/min/max over any length have
+    // exact integer closed forms (full cycles + a consecutive-residue
+    // tail; sum of squares via the square-pyramidal p(m)=m(m+1)(2m+1)/6).
+    // Validated against brute-force simulation for ids 0..600 and
+    // 64-bit outliers before registration.
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
-        |  md5(text) AS checksum,
-        |  CAST((octet_length(text::BLOB) + 255) // 256 AS BIGINT) AS n_chunks,
-        |  CAST((octet_length(text::BLOB) + 63) // 64 AS BIGINT) AS sampled_bytes,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type
-        |FROM documents""".stripMargin,
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS m3,
+        |    16 + (doc_id % 8) * 4 AS iw, 12 + (doc_id % 5) * 4 AS ih,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+        |    500 + doc_id % 300 AS ns,
+        |    CAST(4 + doc_id % 12 AS INT) AS nf
+        |  FROM documents),
+        |img AS (SELECT doc_id, iw, ih, iw*ih*3 AS n, doc_id % 256 AS a,
+        |    (iw*ih*3) // 256 AS k, (iw*ih*3) % 256 AS r FROM p WHERE m3 = 0),
+        |vid AS (SELECT doc_id, nf, nf*192 AS n, doc_id % 256 AS a,
+        |    (nf*192) // 256 AS k, (nf*192) % 256 AS r FROM p WHERE m3 = 2),
+        |aud AS (SELECT doc_id, rate, ns, doc_id % 2001 AS a2,
+        |    ns // 2001 AS k2, ns % 2001 AS r2 FROM p WHERE m3 = 1)
+        |SELECT doc_id AS media_id, 'image' AS media_type,
+        |  CAST(9 + length(CAST(iw AS VARCHAR)) + length(CAST(ih AS VARCHAR))
+        |    + n AS BIGINT) AS byte_len,
+        |  CAST(iw AS INT) AS width, CAST(ih AS INT) AS height,
+        |  CAST(k*32640 + CASE WHEN a + r <= 256 THEN r*a + r*(r-1)//2
+        |    ELSE (256-a)*(a+255)//2 + (r-256+a)*(r-256+a-1)//2 END
+        |    AS BIGINT) AS px_sum,
+        |  CAST(CASE WHEN a + n > 256 THEN 0 ELSE a END AS INT) AS px_min,
+        |  CAST(CASE WHEN a + n >= 256 THEN 255 ELSE a + n - 1 END AS INT) AS px_max,
+        |  CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+        |  CAST(NULL AS BIGINT) AS audio_sum, CAST(NULL AS BIGINT) AS audio_sumsq,
+        |  CAST(NULL AS INT) AS n_frames
+        |FROM img
+        |UNION ALL
+        |SELECT doc_id, 'audio', CAST(44 + 2*ns AS BIGINT),
+        |  NULL, NULL, NULL, NULL, NULL, rate, CAST(ns AS BIGINT),
+        |  CAST(k2*2001000 + CASE WHEN a2 + r2 <= 2001 THEN r2*a2 + r2*(r2-1)//2
+        |    ELSE (2001-a2)*(a2+2000)//2 + (r2-2001+a2)*(r2-2001+a2-1)//2 END
+        |    - 1000*ns AS BIGINT),
+        |  CAST(k2*2668667000 + CASE WHEN a2 + r2 <= 2001
+        |      THEN (a2+r2-1)*(a2+r2)*(2*(a2+r2)-1)//6 - (a2-1)*a2*(2*a2-1)//6
+        |      ELSE 2668667000 - (a2-1)*a2*(2*a2-1)//6
+        |        + (r2-2001+a2-1)*(r2-2001+a2)*(2*(r2-2001+a2)-1)//6 END
+        |    - 2000*(k2*2001000 + CASE WHEN a2 + r2 <= 2001
+        |      THEN r2*a2 + r2*(r2-1)//2
+        |      ELSE (2001-a2)*(a2+2000)//2 + (r2-2001+a2)*(r2-2001+a2-1)//2 END)
+        |    + 1000000*ns AS BIGINT),
+        |  NULL
+        |FROM aud
+        |UNION ALL
+        |SELECT doc_id, 'video', CAST(16 + n AS BIGINT),
+        |  CAST(16 AS INT), CAST(12 AS INT),
+        |  CAST(k*32640 + CASE WHEN a + r <= 256 THEN r*a + r*(r-1)//2
+        |    ELSE (256-a)*(a+255)//2 + (r-256+a)*(r-256+a-1)//2 END AS BIGINT),
+        |  CAST(CASE WHEN a + n > 256 THEN 0 ELSE a END AS INT),
+        |  CAST(CASE WHEN a + n >= 256 THEN 255 ELSE a + n - 1 END AS INT),
+        |  NULL, NULL, NULL, NULL, CAST(nf AS INT)
+        |FROM vid""".stripMargin,
     "streaming_sessions" ->
       """WITH d AS (
         |  SELECT user_id, ts,
@@ -260,25 +323,41 @@ object MiscQueries {
         |SELECT event_id, user_id, ts,
         |  user_id || '_s' || sn AS session_id
         |FROM s""".stripMargin,
+    // Nearest-neighbor oracle: enumerate the 24×18×3 output lattice,
+    // map each cell to its floor-rule source index, evaluate the pixel
+    // formula there — a resample-indexing bug in the engine diverges.
     "multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(128 AS INT) AS width, CAST(128 AS INT) AS height,
-        |  CAST(least(octet_length(text::BLOB), 256) AS BIGINT) AS out_len,
-        |  md5(substr(text, 1, least(octet_length(text::BLOB), 256))) AS checksum
-        |FROM documents""".stripMargin,
+      """WITH p AS (SELECT doc_id, 16 + (doc_id % 8) * 4 AS iw,
+        |    12 + (doc_id % 5) * 4 AS ih
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT p.doc_id, p.iw, p.ih,
+        |    (((y.gy * p.ih) // 18) * p.iw + ((x.gx * p.iw) // 24)) * 3 + c.gc AS si
+        |  FROM p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS gx) x
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 17)) AS gy) y
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS gc) c)
+        |SELECT doc_id AS media_id, CAST(iw AS INT) AS src_w,
+        |  CAST(ih AS INT) AS src_h,
+        |  CAST(24 AS INT) AS out_w, CAST(18 AS INT) AS out_h,
+        |  CAST(sum((si + doc_id) % 256) AS BIGINT) AS px_sum,
+        |  CAST(min((si + doc_id) % 256) AS INT) AS px_min,
+        |  CAST(max((si + doc_id) % 256) AS INT) AS px_max
+        |FROM g GROUP BY doc_id, iw, ih""".stripMargin,
+    // Frame f of video id covers global bytes [f·192, (f+1)·192) whose
+    // values are the consecutive residues starting at (id + f·192) %
+    // 256 — closed-form sum/min/max per sampled frame.
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id, text, octet_length(text::BLOB) AS len,
-        |             doc_id % 300 + 1 AS n_frames FROM documents),
-        |idx AS (SELECT doc_id, text, len,
-        |          unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 30)) AS i
-        |        FROM m)
-        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
-        |  md5(substr(text,
-        |    CAST(CASE WHEN len <= 32 THEN 0 ELSE (i * 97) % (len - 31) END AS BIGINT) + 1,
-        |    32)) AS frame_md5
-        |FROM idx""".stripMargin,
+      """WITH p AS (SELECT doc_id, CAST(4 + doc_id % 12 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS fi FROM p),
+        |s AS (SELECT doc_id, fi, (doc_id + fi * 192) % 256 AS a FROM f)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(CASE WHEN a + 192 <= 256 THEN 192*a + 192*191//2
+        |    ELSE (256-a)*(a+255)//2 + (a-64)*(a-65)//2 END AS BIGINT) AS frame_sum,
+        |  CAST(CASE WHEN a > 64 THEN 0 ELSE a END AS INT) AS frame_min,
+        |  CAST(CASE WHEN a >= 64 THEN 255 ELSE a + 191 END AS INT) AS frame_max
+        |FROM s""".stripMargin,
     "streaming_dedup" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_geo_cache" ->

