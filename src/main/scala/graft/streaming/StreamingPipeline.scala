@@ -77,27 +77,57 @@ object StreamingPipeline {
     * for state machines session_window can't express. Events are sorted
     * in-memory per (key, trigger): correct when a key's per-trigger
     * volume fits an executor, the standard caveat for this operator.
+    *
+    * Continuous-mode state hygiene: the input carries a watermark and
+    * the state an EVENT-TIME TIMEOUT at `lastTs + idleEvictMinutes` —
+    * once the watermark passes it, the key's (tiny, fixed-size) state
+    * is evicted, so total state is bounded by the number of keys ACTIVE
+    * within the eviction horizon, not ever seen. Rows later than the
+    * watermark are dropped (in-function guard, same `< watermark` rule
+    * Spark applies to windowed aggregates). Documented consequence of
+    * eviction: a key returning after the horizon restarts numbering at
+    * `_s0` — pick a horizon long enough for your id-uniqueness window,
+    * the same contract any TTL'd sessionizer carries.
     */
-  def sessionIds(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionizedEvent] = {
+  def sessionIds(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes",
+      idleEvictMinutes: Int = 120): Dataset[SessionizedEvent] = {
     import events.sparkSession.implicits._
+    require(idleEvictMinutes >= gapMinutes,
+      s"eviction horizon $idleEvictMinutes min must cover the session gap $gapMinutes min")
     val gapMicros = gapMinutes.toLong * 60 * 1000000
-    events.select(col("event_id"), col("user_id"), col("ts"))
+    val idleMs = idleEvictMinutes.toLong * 60 * 1000
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("event_id"), col("user_id"), col("ts"))
       .as[(Long, Long, Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[SessState, SessionizedEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessState]) =>
-          val sorted = rows.toSeq.sortBy(r => (micros(r._3), r._1))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
-          val out = sorted.map { case (eid, uid, ts) =>
-            val t = micros(ts)
-            val newSession = st.lastTs != Long.MinValue && t - st.lastTs > gapMicros
-            val n = if (newSession) st.sessionNumber + 1 else st.sessionNumber
-            st = SessState(t, n)
-            SessionizedEvent(eid, uid, ts, s"${uid}_s$n")
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + horizon: no on-time event can
+            // extend this session; drop the key's state entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMicros = state.getCurrentWatermarkMs * 1000
+            val sorted = rows.toSeq.sortBy(r => (micros(r._3), r._1))
+              .dropWhile(r => micros(r._3) < wmMicros) // late beyond watermark
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+            val out = sorted.map { case (eid, uid, ts) =>
+              val t = micros(ts)
+              val newSession = st.lastTs != Long.MinValue && t - st.lastTs > gapMicros
+              val n = if (newSession) st.sessionNumber + 1 else st.sessionNumber
+              st = SessState(math.max(t, st.lastTs), n)
+              SessionizedEvent(eid, uid, ts, s"${uid}_s$n")
+            }
+            if (st.lastTs != Long.MinValue) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs / 1000 + idleMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -115,34 +145,78 @@ object StreamingPipeline {
     * shape sliding event-time windows can't express (SURVEY.md §2.8):
     * for every event, the count of events in the last 5 minutes and the
     * mean value over the last hour, with the batch operator's pandas
-    * left-open `(t−Δ, t]` bounds. State per key is the (time, value)
-    * pairs within the largest window — bounded by per-key rate × 1 h.
-    * Within-trigger events are sorted; cross-trigger order relies on
-    * the file source's single-batch AvailableNow here (production use
-    * needs watermark-ordered input or allowed-lateness pruning).
+    * left-open `(t−Δ, t]` bounds (each event's features reflect events
+    * KNOWN at its processing time — exact vs batch under event-time-
+    * ordered ingest, and robust to disorder inside the watermark).
+    *
+    * State hygiene for continuous runs: per-key state is pruned by the
+    * WATERMARK — an entry older than `watermark − gapAvg` can't fall in
+    * any admissible future event's window (admissible ⇒ ts ≥ watermark),
+    * so state per key is bounded by rate × (gapAvg + watermark delay +
+    * trigger span), independent of stream length. Keys idle past
+    * `idleEvictMinutes` are removed wholesale via event-time timeout.
+    * Rows later than the watermark are dropped.
     */
   def rollingFeatures(events: DataFrame, gapCount: Long = 5L * 60 * 1000000,
-      gapAvg: Long = 60L * 60 * 1000000): Dataset[RollingEvent] = {
+      gapAvg: Long = 60L * 60 * 1000000,
+      watermarkDelay: String = "10 minutes",
+      idleEvictMinutes: Int = 120): Dataset[RollingEvent] = {
     import events.sparkSession.implicits._
-    events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val idleMs = idleEvictMinutes.toLong * 60 * 1000
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .as[(Long, Long, Timestamp, Option[Double])]
       .groupByKey(_._2)
       .flatMapGroupsWithState[RollState, RollingEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state: GroupState[RollState]) =>
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = rows.toSeq.sortBy(r => (micros(r._3), r._1)).map {
-            case (eid, uid, ts, value) =>
-              val t = micros(ts)
-              recent = (t, value.getOrElse(Double.NaN)) ::
-                recent.filter { case (pt, _) => pt > t - gapAvg }
-              val count5 = recent.count { case (pt, _) => pt > t - gapCount }
-              val avgVals = recent.collect { case (_, v) if !v.isNaN => v }
-              val avg = if (avgVals.isEmpty) None else Some(avgVals.sum / avgVals.size)
-              RollingEvent(eid, uid, ts, count5, avg)
+          val wmMicros = state.getCurrentWatermarkMs * 1000
+          if (state.hasTimedOut) {
+            // idle horizon passed: anything still needed must survive
+            // the watermark prune; usually nothing does and the key's
+            // state disappears entirely
+            val kept = state.get.recent.filter { case (pt, _) => pt > wmMicros - gapAvg }
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(RollState(kept))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs + idleMs)
+            }
+            Iterator.empty
+          } else {
+            // watermark prune on load — NOT per-event `t − gapAvg`
+            // pruning: a later micro-batch may still admit an event as
+            // old as the watermark, which needs entries back to
+            // `watermark − gapAvg`
+            var recent = state.getOption
+              .map(_.recent.filter { case (pt, _) => pt > wmMicros - gapAvg })
+              .getOrElse(Nil)
+            var maxTs = Long.MinValue
+            val out = rows.toSeq.sortBy(r => (micros(r._3), r._1))
+              .dropWhile(r => micros(r._3) < wmMicros)
+              .map { case (eid, uid, ts, value) =>
+                val t = micros(ts)
+                maxTs = math.max(maxTs, t)
+                recent = (t, value.getOrElse(Double.NaN)) :: recent
+                // explicit (t−Δ, t] bounds: pt ≤ t matters when a
+                // late-but-admissible event lands after newer ones
+                val count5 = recent.count { case (pt, _) => pt > t - gapCount && pt <= t }
+                val avgVals = recent.collect {
+                  case (pt, v) if pt > t - gapAvg && pt <= t && !v.isNaN => v
+                }
+                val avg = if (avgVals.isEmpty) None else Some(avgVals.sum / avgVals.size)
+                RollingEvent(eid, uid, ts, count5, avg)
+              }
+            if (recent.nonEmpty) {
+              state.update(RollState(recent))
+              // horizon anchored at the key's newest KNOWN event (falls
+              // back to surviving entries when this batch was all-late)
+              val newest = if (maxTs != Long.MinValue) maxTs
+                           else recent.iterator.map(_._1).max
+              state.setTimeoutTimestamp(math.max(
+                newest / 1000 + idleMs, state.getCurrentWatermarkMs + 1))
+            } else state.remove()
+            out.iterator
           }
-          state.update(RollState(recent))
-          out.iterator
       }
   }
 

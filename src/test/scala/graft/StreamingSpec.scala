@@ -154,6 +154,141 @@ class StreamingSpec extends SparkSpec {
     assert(second === Seq((t("2025-01-01 11:00:00"), 4L)))
   }
 
+  test("rollingFeatures: bounded state and correct features across out-of-order multi-batch runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll").toFile
+    val data = new java.io.File(dir, "events").toString
+    val ckpt = new java.io.File(dir, "ckpt").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, Double)]): Unit =
+      rows.map { case (e, ts, u, v) => (e, ts, u, "x", v, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$data/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double])]
+    // returns (emitted rows this run, state rows after this run)
+    def runOnce(): (Seq[(Long, Long, Option[Double])], Long) = {
+      got.clear()
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(data)
+      val q = StreamingPipeline.rollingFeatures(src, idleEvictMinutes = 60)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingPipeline.RollingEvent], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (r.event_id, r.rolling_5min_count, r.rolling_1h_avg))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateRows = q.recentProgress.iterator
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq.lastOption.getOrElse(-1L)
+      (got.toSeq.sortBy(_._1), stateRows)
+    }
+
+    // b1: two keys; in-order within the batch
+    writeBatch("b1", Seq(
+      (1L, t("2025-01-01 10:00:00"), 7L, 1.0),
+      (2L, t("2025-01-01 10:01:00"), 7L, 2.0),
+      (3L, t("2025-01-01 10:00:00"), 8L, 5.0)))
+    val (r1, s1) = runOnce()
+    assert(r1 === Seq((1L, 1L, Some(1.0)), (2L, 2L, Some(1.5)), (3L, 1L, Some(5.0))))
+    assert(s1 === 2L, "one state row per active key")
+    // watermark after b1 = 10:01 − 10 min = 09:51
+
+    // b2: key 7 jumps ahead 3 h; key 8 goes idle. The watermark
+    // advances to 13:00 − 10 min = 12:50 after the data batch, and
+    // AvailableNow's trailing no-data micro-batch fires the event-time
+    // timeout in the SAME run: key 8's horizon (10:00 + 60 min) is
+    // long past → evicted immediately, not one run later
+    writeBatch("b2", Seq((4L, t("2025-01-01 13:00:00"), 7L, 3.0)))
+    val (r2, s2) = runOnce()
+    assert(r2 === Seq((4L, 1L, Some(3.0))), "3-hour-old entries fall outside both windows")
+    assert(s2 === 1L, "idle key 8 evicted by the no-data batch after the watermark advanced")
+
+    // b3: a late-but-admissible event (12:55 > watermark 12:50) arrives
+    // AFTER newer ones were already processed, plus an on-time event
+    writeBatch("b3", Seq(
+      (5L, t("2025-01-01 13:04:00"), 7L, 4.0),
+      (6L, t("2025-01-01 12:55:00"), 7L, 9.0)))
+    val (r3, s3) = runOnce()
+    // 12:55 sees only itself: 13:00/13:04 are in recent but pt ≤ t
+    // excludes them; 10:0x entries were watermark-pruned (≤ 11:50)
+    assert(r3.find(_._1 == 6L).get === ((6L, 1L, Some(9.0))))
+    // 13:04 sees 13:00 (> 12:59) in its 5-min window but not 12:55
+    assert(r3.find(_._1 == 5L).get === ((5L, 2L, Some((3.0 + 4.0 + 9.0) / 3))))
+    assert(s3 === 1L, "only key 7's state remains")
+  }
+
+  test("sessionIds: idle keys evicted by event-time timeout; numbering continues for live keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-evict").toFile
+    val data = new java.io.File(dir, "events").toString
+    val ckpt = new java.io.File(dir, "ckpt").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long)]): Unit =
+      rows.map { case (e, ts, u) => (e, ts, u, "x", 1.0, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$data/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def runOnce(): (Map[Long, String], Long) = {
+      got.clear()
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(data)
+      val q = StreamingPipeline.sessionIds(src, idleEvictMinutes = 60)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingPipeline.SessionizedEvent], _: Long) =>
+          got.synchronized { got ++= b.collect().map(r => (r.event_id, r.session_id)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateRows = q.recentProgress.iterator
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq.lastOption.getOrElse(-1L)
+      (got.toMap, stateRows)
+    }
+
+    writeBatch("b1", Seq((1L, t("2025-01-01 10:00:00"), 7L), (2L, t("2025-01-01 10:00:00"), 8L)))
+    val (r1, s1) = runOnce()
+    assert(r1 === Map(1L -> "7_s0", 2L -> "8_s0") && s1 === 2L)
+
+    // key 7 returns after a >30-min gap with state still live → s1.
+    // The watermark advance to 12:50 plus AvailableNow's trailing
+    // no-data batch evicts idle key 8 (horizon 10:00 + 60 min) in the
+    // same run.
+    writeBatch("b2", Seq((3L, t("2025-01-01 13:00:00"), 7L)))
+    val (r2, s2) = runOnce()
+    assert(r2 === Map(3L -> "7_s1"), "numbering continues while state lives")
+    assert(s2 === 1L, "idle key 8 evicted once the watermark passed its horizon")
+
+    writeBatch("b3", Seq((4L, t("2025-01-01 13:05:00"), 7L)))
+    val (r3, s3) = runOnce()
+    assert(r3 === Map(4L -> "7_s1"), "within-gap event stays in the open session")
+    assert(s3 === 1L, "only key 7 remains")
+
+    // pinned documented semantics: an evicted key restarts at _s0
+    writeBatch("b4", Seq((5L, t("2025-01-01 13:10:00"), 8L)))
+    val (r4, _) = runOnce()
+    assert(r4 === Map(5L -> "8_s0"), "post-eviction numbering restart is the documented contract")
+  }
+
   test("multimodal plumbing: synthesized payloads decode end-to-end through the engine") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.synthesizeMedia(docs, "doc_id")
