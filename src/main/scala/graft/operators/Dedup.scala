@@ -244,23 +244,33 @@ object Dedup {
   /** Connected components over an undirected edge list: every node gets
     * the MINIMUM id reachable from it — the canonical dedup-clustering
     * step that turns near-dup PAIRS into duplicate groups (keep one doc
-    * per cluster). Iterative min-label propagation, Pregel-style: each
-    * round every node takes the min of its own label and its neighbors'
-    * labels, until a fixpoint. The fixpoint is unique (min over the
-    * component), so the result is deterministic regardless of iteration
-    * or partition order; rounds needed = graph diameter (near-dup
-    * clusters are shallow — a handful of rounds in practice).
+    * per cluster). The fixpoint (min over the component) is unique, so
+    * the result is deterministic regardless of iteration or partition
+    * order.
     *
-    * Scale notes: each round is one join + partial-aggregating min —
-    * shuffles keyed by node id, no skew beyond the graph's own degree
-    * distribution. `localCheckpoint` materializes each round and cuts
-    * the lineage, which would otherwise grow linearly and blow up the
-    * planner; the driver-side convergence count is the standard Pregel
-    * control loop, not a data collect.
+    * Hybrid strategy: min-label propagation (Pregel-style; one join +
+    * partial-aggregating min per round; rounds = graph diameter) runs
+    * first — near-dup graphs are shallow, so it usually converges in a
+    * handful of cheap rounds. If the graph turns out deep (diameter >
+    * `propagationRounds` — adversarial chains, pathological blocking
+    * keys), the partially-propagated labels CONTRACT the graph (edges
+    * re-keyed to current labels, self-loops dropped) and the remainder
+    * finishes with [[starComponents]] — alternating large-star /
+    * small-star contraction, whose round count is logarithmic in
+    * component size rather than linear in diameter (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14). Final labels compose: node → propagation
+    * label → star cluster.
+    *
+    * Scale notes: every step shuffles by node id only — no skew beyond
+    * the graph's own degree distribution. `localCheckpoint` materializes
+    * each round and cuts the lineage, which would otherwise grow
+    * linearly and blow up the planner; the driver-side convergence
+    * counts are the standard Pregel control loop, not a data collect.
     */
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, propagationRounds: Int = 8): DataFrame = {
     val sym = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(edges.select(col(bCol).cast("long").as("src"),
@@ -270,7 +280,7 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(propagationRounds, maxIter)) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
@@ -287,9 +297,99 @@ object Dedup {
       converged = changes == 0
       i += 1
     }
+    val out = if (converged) labels
+    else {
+      // deep graph: contract by the partial labels and finish in
+      // logarithmic rounds. Correct for any label state in which every
+      // node's label is SOME node of its own component (true at every
+      // propagation round), because contraction preserves inter-label
+      // connectivity and the final cluster of a node is the star
+      // cluster of its current label.
+      val la = labels.select(col("node").as("src"), col("label").as("la"))
+      val lb = labels.select(col("node").as("dst"), col("label").as("lb"))
+      val contracted = sym.join(la, "src").join(lb, "dst")
+        .where(col("la") =!= col("lb"))
+        .select(col("la"), col("lb"))
+      val stars = starComponents(contracted, maxRounds = maxIter, "la", "lb")
+      labels.as("l")
+        .join(stars.as("s"), col("l.label") === col("s.node"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("s.cluster"), col("l.label")).as("label"))
+    }
     sym.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.withColumnRenamed("label", "cluster")
+    out.withColumnRenamed("label", "cluster")
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * SoCC'14): edges are repeatedly rewired toward per-neighborhood
+    * minima — large-star hangs every larger neighbor of `u` under
+    * `min(Γ(u) ∪ u)`, small-star re-parents `u` and its smaller
+    * neighbors likewise — until the edge set stabilizes as star graphs
+    * centered at each component's minimum. Round count is logarithmic
+    * in component size (not diameter), so million-node chains converge
+    * in ~20 rounds where label propagation needs a million.
+    *
+    * Returns (node, cluster) for every node in `edges`; cluster is the
+    * component minimum. Non-convergence (only possible if `maxRounds`
+    * is set far too low) raises with the surviving edge count so the
+    * failure is diagnosable, not silent.
+    */
+  def starComponents(edges: DataFrame, maxRounds: Int,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val allNodes = edges.select(col(aCol).cast("long").as("node"))
+      .unionByName(edges.select(col(bCol).cast("long").as("node")))
+      .distinct().localCheckpoint()
+    // canonical directed form: u > v
+    var cur = edges.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    // convergence = identical edge set; (count, 2 independently seeded
+    // hash XORs) is an order-insensitive set signature, cheaper than
+    // except(). bit_xor, not sum: a hash SUM overflows Long under ANSI
+    // mode; XOR can't, and edges are distinct so multiset == set.
+    def sig(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("v"), col("u"), lit(17)))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var prev = sig(cur)
+    var converged = prev._1 == 0
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: m(u) = min over u's full neighborhood (and u);
+      // every neighbor v > u re-hangs onto m(u)
+      val symE = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val minsL = symE.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = symE.join(minsL, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: on the now-directed (u > v) edges, re-parent u and
+      // all its parents onto the smallest of them
+      val minsS = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(minsS, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(minsS.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      val now = sig(ss)
+      converged = now == prev
+      prev = now
+      cur = ss
+      round += 1
+    }
+    require(converged,
+      s"starComponents did not stabilize in $maxRounds rounds; ${prev._1} directed edges remain")
+    // at the fixpoint `cur` is a star forest: u → component min; roots
+    // (the minima) never appear on the left
+    allNodes.as("n")
+      .join(cur.as("e"), col("n.node") === col("e.u"), "left")
+      .select(col("n.node").as("node"),
+        coalesce(col("e.v"), col("n.node")).as("cluster"))
   }
 
   /** Quantize an embedding to integers (round(x·10⁴)): dot products and

@@ -82,4 +82,52 @@ class DedupSpec extends SparkSpec {
     assert(cc(10L) === 10L && cc(11L) === 10L)
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
+
+  test("deep path graph (diameter 300 >> maxIter) converges via the star fallback") {
+    // adversarial chain: label propagation alone would need 300 rounds;
+    // the star contraction finishes it in logarithmic rounds
+    val rnd = new scala.util.Random(42)
+    val edges = rnd.shuffle((0L until 300L).map(i => (i, i + 1)).toVector)
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b", maxIter = 25)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 301)
+    assert(cc.forall(_._2 == 0L), "every chain node labels to the minimum 0")
+  }
+
+  test("random graphs: hybrid labels match brute-force union-find minima") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Vector.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val truth = nodes.map { v =>
+      val root = find(v.toInt)
+      // min id in the component = min over nodes sharing the root
+      v -> nodes.filter(u => find(u.toInt) == root).min
+    }.toMap
+    // force the star path with propagationRounds = 0 as well as hybrid
+    for (pr <- Seq(0, 8)) {
+      val cc = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+          "doc_a", "doc_b", maxIter = 25, propagationRounds = pr)
+        .as[(Long, Long)].collect().toMap
+      assert(cc === truth, s"propagationRounds=$pr")
+    }
+  }
+
+  test("starComponents handles cliques, pairs, and empty input") {
+    val clique = for (a <- 0L until 6L; b <- 0L until a) yield (a, b)
+    val edges = (clique ++ Seq((50L, 60L))).toDF("a", "b")
+    val cc = Dedup.starComponents(edges, maxRounds = 20).as[(Long, Long)].collect().toMap
+    assert((0L until 6L).forall(cc(_) == 0L))
+    assert(cc(50L) === 50L && cc(60L) === 50L)
+    assert(Dedup.starComponents(Seq.empty[(Long, Long)].toDF("a", "b"), 5).count() === 0)
+  }
 }
