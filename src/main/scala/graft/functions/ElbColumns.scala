@@ -42,8 +42,11 @@ object ElbColumns {
     * to the remaining common pandas/dateutil shapes: slashed and
     * compact dates, and US month-first. Branches are tried in frequency
     * order and coalesce short-circuits, so well-formed rows pay one
-    * parse. (RFC-1123 `EEE, dd MMM yyyy HH:mm:ss zzz` is NOT covered:
-    * Spark's post-3.0 pattern dialect rejects that formatter.)
+    * parse. RFC-1123 (`Tue, 01 Jan 2026 00:00:00 GMT`) and asctime —
+    * inexpressible in Spark's post-3.0 pattern dialect (`EEE` is
+    * rejected in parse patterns) — are handled by the codegen'd
+    * [[JavaTimeTimestamp]] java.time branch, placed last so only rows
+    * failing every builtin format reach its exception-based slow path.
     */
   def parseLenientTime(s: Column): Column =
     coalesce(
@@ -54,7 +57,8 @@ object ElbColumns {
       try_to_timestamp(s, lit("yyyy/MM/dd")),
       try_to_timestamp(s, lit("yyyyMMdd")),
       try_to_timestamp(s, lit("MM/dd/yyyy HH:mm:ss")),
-      try_to_timestamp(s, lit("MM/dd/yyyy")))
+      try_to_timestamp(s, lit("MM/dd/yyyy")),
+      JavaTimeTimestamp.java_time_timestamp(s))
 
   /** Float coercion with `'-'` sentinel → null (reference elb_logs.py:91-95). */
   def coerceFloat(c: Column): Column =

@@ -126,8 +126,9 @@ class ElbParserSpec extends SparkSpec {
   test("lenient timestamp parses the pandas-parseable form table") {
     import org.apache.spark.sql.functions.col
     // (input, expected UTC instant as "yyyy-MM-dd HH:mm:ss[.f]") —
-    // every row is accepted by pd.to_datetime; RFC-1123 is the one
-    // documented gap (Spark's pattern dialect rejects that formatter).
+    // every row is accepted by pd.to_datetime. RFC-1123 and asctime,
+    // inexpressible in Spark's pattern dialect, parse through the
+    // codegen'd JavaTimeTimestamp branch.
     val table = Seq(
       "2024-03-05T10:11:12.123456Z" -> "2024-03-05 10:11:12.123456",
       "2024-03-05T10:11:12Z" -> "2024-03-05 10:11:12.0",
@@ -141,7 +142,14 @@ class ElbParserSpec extends SparkSpec {
       "2024/03/05 10:11:12" -> "2024-03-05 10:11:12.0",
       "20240305" -> "2024-03-05 00:00:00.0",
       "03/05/2024" -> "2024-03-05 00:00:00.0",
-      "03/05/2024 10:11:12" -> "2024-03-05 10:11:12.0")
+      "03/05/2024 10:11:12" -> "2024-03-05 10:11:12.0",
+      // RFC-1123 / HTTP-date: named zone, offset, and 1-digit day
+      "Tue, 05 Mar 2024 10:11:12 GMT" -> "2024-03-05 10:11:12.0",
+      "Tue, 05 Mar 2024 10:11:12 +0200" -> "2024-03-05 08:11:12.0",
+      "Fri, 1 Mar 2024 00:00:30 GMT" -> "2024-03-01 00:00:30.0",
+      // asctime, incl. the double-space single-digit-day form
+      "Tue Mar  5 10:11:12 2024" -> "2024-03-05 10:11:12.0",
+      "Tue Mar 05 10:11:12 2024" -> "2024-03-05 10:11:12.0")
     import spark.implicits._
     val got = table.map(_._1).toDF("s")
       .select(graft.functions.ElbColumns.parseLenientTime(col("s")))
