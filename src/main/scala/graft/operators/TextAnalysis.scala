@@ -16,12 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Marker stopwords per language — tiny, order-matters rule table. */
+  /** Marker rules per language — tiny, order-matters table. Latin-
+    * script languages use marker stopwords (word-boundary alternations,
+    * incl. transliterated Russian); zh/ja use character-class counts
+    * (CJK ideographs / kana), written as LITERAL unicode ranges so the
+    * same pattern bytes run identically under Java regex and RE2.
+    * Pure data: extending coverage is adding a row here.
+    */
   val markers: Seq[(String, String)] = Seq(
     "en" -> "(^| )(the|and|of|to|is|in|that|it)( |$)",
     "es" -> "(^| )(el|la|de|que|y|los|las|una)( |$)",
     "de" -> "(^| )(der|die|das|und|ist|nicht|ein)( |$)",
-    "fr" -> "(^| )(le|les|et|est|une|dans|pour)( |$)")
+    "fr" -> "(^| )(le|les|et|est|une|dans|pour)( |$)",
+    "pt" -> "(^| )(o|os|dos|das|uma|não|são|como)( |$)",
+    "it" -> "(^| )(il|gli|che|per|sono|con|della)( |$)",
+    "nl" -> "(^| )(het|een|niet|aan|ook|maar|zijn)( |$)",
+    "pl" -> "(^| )(się|jest|nie|która|przez|oraz|tym)( |$)",
+    "ru" -> "(^| )(chto|eto|kak|tak|vot|ili|net)( |$)",
+    "zh" -> "[一-鿿]",
+    "ja" -> "[ぁ-ゖァ-ヺ]")
 
   def markerCount(text: Column, lang: String): Column = {
     val pat = markers.toMap.apply(lang)
@@ -30,16 +43,21 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit(pat), lit(0)))
   }
 
-  /** Arg-max language with deterministic tie order en > es > de > fr;
-    * no markers at all → "und" (undetermined).
+  /** Arg-max language with deterministic ties to the earlier table row
+    * (en > es > … > ja); no markers at all → "und" (undetermined).
+    * Generated from the table, so adding a language never touches this
+    * logic; repeated count subexpressions collapse under codegen CSE.
     */
   def langId(text: Column): Column = {
-    val Seq(en, es, de, fr) = markers.map { case (l, _) => markerCount(text, l) }
-    when(en + es + de + fr === 0, lit("und"))
-      .when(en >= es && en >= de && en >= fr, lit("en"))
-      .when(es >= de && es >= fr, lit("es"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
+    val counts = markers.map { case (l, _) => markerCount(text, l) }
+    val total = counts.reduce(_ + _)
+    val n = markers.length
+    var expr = when(total === 0, lit("und"))
+    for (i <- 0 until n - 1) {
+      val cond = (i + 1 until n).map(j => counts(i) >= counts(j)).reduce(_ && _)
+      expr = expr.when(cond, lit(markers(i)._1))
+    }
+    expr.otherwise(lit(markers.last._1))
   }
 
   def wordCount(text: Column): Column = size(split(trim(text), "\\s+"))

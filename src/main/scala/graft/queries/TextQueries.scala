@@ -24,12 +24,10 @@ object TextQueries {
 
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =
     Tables.distributed(spark, sfDir, "documents").select(
-      col("doc_id"),
-      T.langId(col("text")).as("lang_pred"),
-      T.markerCount(col("text"), "en").as("en_hits"),
-      T.markerCount(col("text"), "es").as("es_hits"),
-      T.markerCount(col("text"), "de").as("de_hits"),
-      T.markerCount(col("text"), "fr").as("fr_hits"))
+      col("doc_id") +: T.langId(col("text")).as("lang_pred") +:
+        T.markers.map { case (l, _) =>
+          T.markerCount(col("text"), l).as(s"${l}_hits")
+        }: _*)
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.distributed(spark, sfDir, "documents").select(
@@ -190,20 +188,27 @@ object TextQueries {
     """len(regexp_extract_all(text, '[0-9]'))::DOUBLE / greatest(length(text), 1)"""
   private val awl =
     s"""length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / greatest($nWords, 1)"""
+  private val langNames: Seq[String] = T.markers.map(_._1)
+
   private val stopRatio =
-    s"""(${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")})::DOUBLE
+    s"""(${langNames.map(hits).mkString(" + ")})::DOUBLE
        | / greatest($nWords, 1)""".stripMargin
 
-  /** The arg-max language rule over a `text` column, verbatim from the
-    * `text_langid` oracle — shared with the curation-funnel oracle.
+  /** The arg-max language rule over a `text` column — GENERATED from
+    * the same marker table as TextAnalysis.langId (ties to the earlier
+    * row), so adding a language updates engine and oracle together.
+    * Shared with the curation-funnel oracle.
     */
-  private[queries] val langPredExpr: String =
-    s"""CASE WHEN ${hits("en")} + ${hits("es")} + ${hits("de")} + ${hits("fr")} = 0 THEN 'und'
-       |    WHEN ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("de")}
-       |      AND ${hits("en")} >= ${hits("fr")} THEN 'en'
-       |    WHEN ${hits("es")} >= ${hits("de")} AND ${hits("es")} >= ${hits("fr")} THEN 'es'
-       |    WHEN ${hits("de")} >= ${hits("fr")} THEN 'de'
-       |    ELSE 'fr' END""".stripMargin
+  private[queries] val langPredExpr: String = {
+    val whens = langNames.init.zipWithIndex.map { case (l, i) =>
+      val laterGe = langNames.drop(i + 1)
+        .map(l2 => s"${hits(l)} >= ${hits(l2)}").mkString(" AND ")
+      s"WHEN $laterGe THEN '$l'"
+    }
+    s"""CASE WHEN ${langNames.map(hits).mkString(" + ")} = 0 THEN 'und'
+       |    ${whens.mkString("\n    ")}
+       |    ELSE '${langNames.last}' END""".stripMargin
+  }
 
   /** The full quality-score formula over a `text` column, verbatim from
     * the `text_quality` oracle — shared so cluster-canonical selection
@@ -297,8 +302,7 @@ object TextQueries {
     "text_langid" ->
       s"""SELECT doc_id,
          |  $langPredExpr AS lang_pred,
-         |  ${hits("en")} AS en_hits, ${hits("es")} AS es_hits,
-         |  ${hits("de")} AS de_hits, ${hits("fr")} AS fr_hits
+         |  ${langNames.map(l => s"${hits(l)} AS ${l}_hits").mkString(", ")}
          |FROM documents""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
