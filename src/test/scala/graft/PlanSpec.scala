@@ -107,4 +107,42 @@ class PlanSpec extends SparkSpec {
         s"$q should do two-phase object hash aggregation:\n$p")
     }
   }
+
+  /** The automatic gate over EVERY registered query: no scale-killer
+    * join may land silently. BroadcastNestedLoopJoin is allowed only
+    * for the pinned set below — each one a deliberate broadcast-of-tiny
+    * fan-out (k centroids / one totals row / the require-guarded O(n²)
+    * exactness baseline). CartesianProduct is never allowed. The
+    * comparison is EXACT set equality, so removing a crossJoin later
+    * must also prune this list — the allowlist can't rot.
+    *
+    * streaming_* queries are excluded: invoking them RUNS the stream
+    * (their batch twins are covered above and by the oracle), and the
+    * stream-stream join's state shape is asserted in StreamingSpec.
+    */
+  test("plan gate: no unexpected cartesian or nested-loop join in any registered query") {
+    val bnlAllowed = Map(
+      "cluster_balanced_sample" -> "per-cluster caps crossJoin one broadcast totals row",
+      "dedup_embedding" -> "require-guarded O(n^2) exactness baseline",
+      "kmeans_assign" -> "broadcast k-centroid fan-out, map-side partial argmin",
+      "kmeans_assign2" -> "broadcast k-centroid fan-out (two Lloyd rounds)",
+      "kmeans_update" -> "broadcast k-centroid fan-out feeding the update",
+      "mixture_sample" -> "crossJoin of the single global-totals row",
+      "similarity_ivf" -> "broadcast centroid table for cell routing",
+      "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",
+      "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank")
+    val hits = scala.collection.mutable.Map.empty[String, List[String]]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("streaming_")) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val tags = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(p.contains)
+      if (tags.nonEmpty) hits(name) = tags.toList
+    }
+    val cartesian = hits.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
+    assert(cartesian.isEmpty, s"CartesianProduct is never allowed: $cartesian")
+    val bnl = hits.keySet.toSet
+    assert(bnl === bnlAllowed.keySet,
+      s"BNL join set drifted. unexpected=${(bnl -- bnlAllowed.keySet).toSeq.sorted} " +
+        s"stale-allowlist=${(bnlAllowed.keySet -- bnl).toSeq.sorted}")
+  }
 }
