@@ -41,6 +41,22 @@ object ClusterQueries {
       "vec_id", "embedding", k = K, iterations = 2)
       .select("vec_id", "cluster", "dist2")
 
+  /** Within-cluster SSE per Lloyd round — the quality instrument for
+    * seeding/iteration changes: exact integer sums of the quantized
+    * squared distances, one row per round. Lloyd guarantees the global
+    * SSE is non-increasing round over round (ClusteringSpec asserts it
+    * on the pinned rounds; the oracle pins the exact values).
+    */
+  def kmeansSse(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.distributed(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    def sseOf(round: Int): DataFrame =
+      Clustering.lloydIterate(e, "vec_id", "embedding", K, iterations = round)
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("sse"))
+        .select(lit(round).cast("int").as("round"), col("n_vecs"), col("sse"))
+    sseOf(1).unionByName(sseOf(2))
+  }
+
   /** Cluster-balanced downsample — the "diverse subset" primitive
     * (dedup-adjacent): at most 40 vectors per k-means cell, chosen by
     * the deterministic md5 order. Pure composition of the library's own
@@ -55,6 +71,7 @@ object ClusterQueries {
     "kmeans_assign" -> kmeansAssign,
     "kmeans_update" -> kmeansUpdate,
     "kmeans_assign2" -> kmeansAssign2,
+    "kmeans_sse" -> kmeansSse,
     "cluster_balanced_sample" -> clusterBalancedSample
   )
 
@@ -86,32 +103,47 @@ object ClusterQueries {
        |a AS (SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
        |      FROM r WHERE rn = 1)""".stripMargin
 
+  /** Extends [[assignCte]] with the Lloyd round-2 chain, ending with
+    * CTE `a2(vec_id, cluster, dist2)` — the re-assignment against the
+    * re-quantized round-1 means. Shared by kmeans_assign2 / kmeans_sse.
+    */
+  private val assign2Cte: String =
+    s"""$assignCte,
+       |u AS (SELECT a.cluster, q.qv,
+       |        unnest(generate_series(1, len(q.qv))) AS i
+       |      FROM a JOIN q USING (vec_id)),
+       |cm AS (SELECT cluster, i,
+       |        CAST(round(round(CAST(sum(qv[i]) AS BIGINT)::DOUBLE
+       |            / (count(*) * 10000), 6) * 10000) AS BIGINT) AS cqe
+       |      FROM u GROUP BY cluster, i),
+       |c2 AS (SELECT cluster, list(cqe ORDER BY i) AS cv FROM cm
+       |       GROUP BY cluster),
+       |c2n AS (SELECT cluster, cv,
+       |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn2 FROM c2),
+       |d2 AS (SELECT n.vec_id, c.cluster,
+       |        n.n2 + c.cn2
+       |          - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT) AS dist2
+       |      FROM n CROSS JOIN c2n c),
+       |r2 AS (SELECT vec_id, cluster, dist2,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY dist2, cluster) AS rn FROM d2),
+       |a2 AS (SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
+       |       FROM r2 WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "kmeans_assign" ->
       s"""$assignCte
          |SELECT vec_id, cluster, dist2 FROM a""".stripMargin,
     "kmeans_assign2" ->
-      s"""$assignCte,
-         |u AS (SELECT a.cluster, q.qv,
-         |        unnest(generate_series(1, len(q.qv))) AS i
-         |      FROM a JOIN q USING (vec_id)),
-         |cm AS (SELECT cluster, i,
-         |        CAST(round(round(CAST(sum(qv[i]) AS BIGINT)::DOUBLE
-         |            / (count(*) * 10000), 6) * 10000) AS BIGINT) AS cqe
-         |      FROM u GROUP BY cluster, i),
-         |c2 AS (SELECT cluster, list(cqe ORDER BY i) AS cv FROM cm
-         |       GROUP BY cluster),
-         |c2n AS (SELECT cluster, cv,
-         |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn2 FROM c2),
-         |d2 AS (SELECT n.vec_id, c.cluster,
-         |        n.n2 + c.cn2
-         |          - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT) AS dist2
-         |      FROM n CROSS JOIN c2n c),
-         |r2 AS (SELECT vec_id, cluster, dist2,
-         |        row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY dist2, cluster) AS rn FROM d2)
-         |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
-         |FROM r2 WHERE rn = 1""".stripMargin,
+      s"""$assign2Cte
+         |SELECT vec_id, cluster, dist2 FROM a2""".stripMargin,
+    "kmeans_sse" ->
+      s"""$assign2Cte
+         |SELECT CAST(1 AS INT) AS round, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(dist2) AS BIGINT) AS sse FROM a
+         |UNION ALL
+         |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(dist2) AS BIGINT) FROM a2""".stripMargin,
     "cluster_balanced_sample" ->
       s"""$assignCte
          |SELECT vec_id, cluster FROM (

@@ -78,6 +78,16 @@ class ClusteringSpec extends SparkSpec {
       .exceptAll(again.select("vec_id", "cluster", "dist2")).count() === 0)
   }
 
+  test("kmeans_sse: within-cluster SSE is non-increasing across the pinned rounds") {
+    val sse = graft.queries.ClusterQueries.kmeansSse(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sse.keySet === Set(1, 2))
+    assert(sse(1)._1 === sse(2)._1, "every vector stays assigned in both rounds")
+    assert(sse(2)._2 <= sse(1)._2,
+      s"Lloyd round 2 must not increase SSE: ${sse(2)._2} vs ${sse(1)._2}")
+    assert(sse(1)._2 > 0, "seed assignment has positive distortion on real data")
+  }
+
   test("assignment plan broadcasts the centroids — no corpus-side sort-merge join") {
     val cents = Clustering.seedCentroids(vecs, "vec_id", "embedding", 3)
     val plan = Clustering.assign(vecs, "vec_id", "embedding", cents)

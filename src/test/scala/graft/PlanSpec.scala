@@ -126,6 +126,7 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding" -> "require-guarded O(n^2) exactness baseline",
       "kmeans_assign" -> "broadcast k-centroid fan-out, map-side partial argmin",
       "kmeans_assign2" -> "broadcast k-centroid fan-out (two Lloyd rounds)",
+      "kmeans_sse" -> "broadcast k-centroid fan-out in both SSE rounds",
       "kmeans_update" -> "broadcast k-centroid fan-out feeding the update",
       "mixture_sample" -> "crossJoin of the single global-totals row",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
