@@ -181,4 +181,44 @@ object Similarity {
     rankRows(grouped, Seq("query_id", "bucket"))
       .select("query_id", "neighbor_id", "rank", "cosine", "bucket")
   }
+
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS the
+    * `bits` buckets at Hamming distance 1 (single-bit flips) — the
+    * classic multi-probe recall lever (Lv et al., VLDB'07): a true
+    * neighbor straddling one hyperplane lands one bit away, so probing
+    * the flip recovers it without rebuilding the index or shrinking
+    * `bits`.
+    *
+    * Cost shape: the CORPUS is still bucketed exactly once (no
+    * duplication — the index is unchanged); only the tiny query side
+    * fans out ×(bits+1) before the same bucket equi-join. Candidates
+    * can't duplicate (a corpus vector lives in exactly one bucket and
+    * probe buckets are distinct), so the per-query top-k is one
+    * bounded-heap aggregate over the union of probes — map-side
+    * partial, k-entry buffers on the wire, same as every top-k here.
+    */
+  def lshMultiProbeTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      bits: Int = 8, dims: Int = 64): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("q"), bits, dims))
+      .select(col("bucket"), col(idCol).as("neighbor_id"),
+        col("q").as("qc"), col("n2").as("n2c"))
+    val probeList = (0 until bits).map(j => col("_b0").bitwiseXOR(lit(1L << j)))
+    val qs = prepared(queries, idCol, embCol)
+      .withColumn("_b0", lshBucket(col("q"), bits, dims))
+      .withColumn("bucket", explode(array(col("_b0") +: probeList: _*)))
+      .select(col("bucket"), col(idCol).as("query_id"),
+        col("q").as("qq"), col("n2").as("n2q"))
+    val grouped = c.join(qs, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+    rankRows(grouped, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
 }

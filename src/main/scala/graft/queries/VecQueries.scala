@@ -32,6 +32,12 @@ object VecQueries {
       "vec_id", "embedding", k = 5, nCentroids = 16)
   }
 
+  def topkLshMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.lshMultiProbeTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, bits = 8, dims = 64)
+  }
+
   /** Recall@5 of each ANN path against the brute-force ground truth —
     * the measurement that justifies an approximate index at 100 TB
     * (the judge of the recall/latency tradeoff, computed inside the
@@ -54,11 +60,13 @@ object VecQueries {
     }
     recall(topkLsh(spark, sfDir), "lsh")
       .unionByName(recall(topkIvf(spark, sfDir), "ivf"))
+      .unionByName(recall(topkLshMp(spark, sfDir), "lsh_mp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
+    "similarity_lsh_mp" -> topkLshMp,
     "similarity_ivf" -> topkIvf,
     "similarity_recall" -> similarityRecall
   )
@@ -85,7 +93,31 @@ object VecQueries {
     bitTerms.mkString(" + ")
   }
 
+  /** Query-side multi-probe fan-out over `bk`: own bucket + all eight
+    * 1-bit flips, as CTE `mp(vec_id, qv, n2, pbucket)`.
+    */
+  private val mpCte: String =
+    """mp AS (SELECT vec_id, qv, n2,
+      |    unnest(list_prepend(CAST(bucket AS BIGINT),
+      |      list_transform([1, 2, 4, 8, 16, 32, 64, 128],
+      |        m -> xor(CAST(bucket AS BIGINT), CAST(m AS BIGINT))))) AS pbucket
+      |  FROM bk WHERE vec_id < 10)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "similarity_lsh_mp" ->
+      s"""WITH $qCte,
+         |bk AS (SELECT vec_id, qv, n2,
+         |         CAST(${bucketExpr("qv")} AS BIGINT) AS bucket FROM n),
+         |$mpCte
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |      / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM mp a JOIN bk b ON b.bucket = a.pbucket AND b.vec_id <> a.vec_id)
+         |WHERE rank <= 5""".stripMargin,
     "similarity_recall" ->
       s"""WITH $qCte,
          |truth AS (SELECT query_id, neighbor_id FROM (
@@ -121,11 +153,21 @@ object VecQueries {
          |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id
          |  WHERE a.vec_id < 10) WHERE rank <= 5),
+         |$mpCte,
+         |lshmp AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM mp a JOIN bk b ON b.bucket = a.pbucket AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
          |qs AS (SELECT DISTINCT query_id FROM truth),
          |hl AS (SELECT query_id, count(*) AS hits FROM truth
          |       JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id),
          |hi AS (SELECT query_id, count(*) AS hits FROM truth
-         |       JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id)
+         |       JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+         |hm AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN lshmp USING (query_id, neighbor_id) GROUP BY query_id)
          |SELECT 'lsh' AS method, query_id,
          |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hl.hits, 0) AS DOUBLE) / 5 AS recall_at_5
@@ -134,7 +176,12 @@ object VecQueries {
          |SELECT 'ivf' AS method, query_id,
          |  CAST(coalesce(hi.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hi.hits, 0) AS DOUBLE) / 5 AS recall_at_5
-         |FROM qs LEFT JOIN hi USING (query_id)""".stripMargin,
+         |FROM qs LEFT JOIN hi USING (query_id)
+         |UNION ALL
+         |SELECT 'lsh_mp' AS method, query_id,
+         |  CAST(coalesce(hm.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hm.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hm USING (query_id)""".stripMargin,
     "similarity_topk" ->
       s"""WITH $qCte
          |SELECT query_id, neighbor_id, rank, cosine FROM (
