@@ -68,27 +68,49 @@ case class StaticGeoProvider(clock: Timestamp) extends GeoProvider {
 }
 
 /** Live ip-api.com client mirroring the reference's
-  * `fetch_geolocation_data` (elb_logs.py:166-209): 5 s timeout, any
-  * failure → Error sentinel, and a hard inter-request sleep for the free
-  * tier's rate limit (the reference sleeps 0.6 s, elb_logs.py:417).
-  * Run on a SINGLE partition (see GeoCache.fetch) so the limit is global,
-  * not per-task. `baseUrl` is injectable so the wire path is testable
+  * `fetch_geolocation_data` (elb_logs.py:166-209): 5 s timeout, failure
+  * → Error sentinel, and a hard inter-request sleep for the free tier's
+  * rate limit (the reference sleeps 0.6 s, elb_logs.py:417). Run on a
+  * SINGLE partition (see GeoCache.fetch) so the limit is global, not
+  * per-task. `baseUrl` is injectable so the wire path is testable
   * against a loopback HTTP server (GeoProviderHttpSpec) in this
   * zero-egress environment; the default is the reference's endpoint.
+  *
+  * Resilience knobs (both divergences from the reference, whose loop is
+  * strictly single-attempt and uncapped — the defaults preserve that):
+  *  - `maxRetries` > 0 retries TRANSIENT failures only — transport
+  *    errors/timeouts and HTTP 429/5xx — with exponential backoff
+  *    (`retryBackoffMillis · 2^attempt`) before emitting the sentinel.
+  *    Semantic failures (API `"fail"` status, malformed body, other
+  *    4xx) are deterministic and never retried.
+  *  - `maxRequestsPerRun` caps HTTP requests issued by this provider
+  *    instance (per run — the fetch stage is one task, so the instance
+  *    IS the run); once spent, lookups return the sentinel without
+  *    touching the network. Guards quota/billing when a cache refresh
+  *    meets an unexpectedly large new-IP batch.
   */
 class HttpGeoProvider(
     rateLimitMillis: Long = 600,
     timeoutMillis: Int = 5000,
-    baseUrl: String = "http://ip-api.com/json")
+    baseUrl: String = "http://ip-api.com/json",
+    maxRetries: Int = 0,
+    retryBackoffMillis: Long = 1000,
+    maxRequestsPerRun: Long = Long.MaxValue)
     extends GeoProvider {
+  require(maxRetries >= 0 && retryBackoffMillis >= 0 && maxRequestsPerRun > 0,
+    s"bad resilience knobs: retries=$maxRetries backoff=$retryBackoffMillis cap=$maxRequestsPerRun")
 
   /** The free-tier limit is per-source-IP GLOBAL: one task, like the
     * reference's sequential loop.
     */
   override def maxParallelism: Option[Int] = Some(1)
 
-  override def lookup(ip: String): GeoRecord = {
-    val now = new Timestamp(System.currentTimeMillis())
+  private val requestsIssued = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One wire attempt: Right(record) is final (success OR deterministic
+    * failure); Left(reason) is transient and retry-eligible.
+    */
+  private def attemptFetch(ip: String, now: Timestamp): Either[String, GeoRecord] = {
     try {
       Thread.sleep(rateLimitMillis)
       val url = new java.net.URL(
@@ -96,24 +118,53 @@ class HttpGeoProvider(
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(timeoutMillis)
       conn.setReadTimeout(timeoutMillis)
-      val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
-      conn.disconnect()
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(body)
-      if (node.path("status").asText() == "success")
-        GeoRecord(
-          client_ip = node.path("query").asText(ip),
-          countryCode = node.path("countryCode").asText(null),
-          countryName = node.path("country").asText(null),
-          regionName = node.path("regionName").asText(null),
-          city = node.path("city").asText(null),
-          lat = if (node.hasNonNull("lat")) Some(node.path("lat").asDouble()) else None,
-          lon = if (node.hasNonNull("lon")) Some(node.path("lon").asDouble()) else None,
-          isp = node.path("isp").asText(null),
-          api_fetch_timestamp = now)
-      else GeoProvider.errorRecord(ip, now)
+      val code = conn.getResponseCode
+      if (code == 429 || code >= 500) {
+        conn.disconnect()
+        Left(s"http $code")
+      } else if (code != 200) {
+        conn.disconnect()
+        Right(GeoProvider.errorRecord(ip, now)) // deterministic 4xx
+      } else {
+        val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+        conn.disconnect()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(body)
+        if (node.path("status").asText() == "success")
+          Right(GeoRecord(
+            client_ip = node.path("query").asText(ip),
+            countryCode = node.path("countryCode").asText(null),
+            countryName = node.path("country").asText(null),
+            regionName = node.path("regionName").asText(null),
+            city = node.path("city").asText(null),
+            lat = if (node.hasNonNull("lat")) Some(node.path("lat").asDouble()) else None,
+            lon = if (node.hasNonNull("lon")) Some(node.path("lon").asDouble()) else None,
+            isp = node.path("isp").asText(null),
+            api_fetch_timestamp = now))
+        else Right(GeoProvider.errorRecord(ip, now)) // API-level fail: no retry
+      }
     } catch {
-      case _: Exception => GeoProvider.errorRecord(ip, now)
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        Right(GeoProvider.errorRecord(ip, now)) // malformed body: deterministic
+      case e: java.io.IOException => Left(e.getClass.getSimpleName) // transport: transient
+      case _: Exception => Right(GeoProvider.errorRecord(ip, now))
     }
+  }
+
+  override def lookup(ip: String): GeoRecord = {
+    val now = new Timestamp(System.currentTimeMillis())
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      if (requestsIssued.incrementAndGet() > maxRequestsPerRun)
+        return GeoProvider.errorRecord(ip, now) // cap spent: stay off the wire
+      attemptFetch(ip, now) match {
+        case Right(rec) => return rec
+        case Left(_) if attempt < maxRetries =>
+          Thread.sleep(retryBackoffMillis << attempt)
+        case Left(_) => return GeoProvider.errorRecord(ip, now)
+      }
+      attempt += 1
+    }
+    GeoProvider.errorRecord(ip, now) // unreachable; keeps the compiler total
   }
 }

@@ -70,4 +70,83 @@ class GeoProviderHttpSpec extends AnyFunSuite {
       baseUrl = s"http://127.0.0.1:$port/json")
     assert(p.lookup("1.1.1.1").countryCode === "Error")
   }
+
+  private def replyCode(ex: HttpExchange, code: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  test("5xx retries with backoff until success; single-attempt default stays sentinel") {
+    withServer { (server, base) =>
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/json/5.5.5.5", (ex: HttpExchange) =>
+        if (calls.incrementAndGet() <= 2) replyCode(ex, 503)
+        else reply(ex, """{"status":"success","query":"5.5.5.5","country":"Late",
+          |"countryCode":"LT","regionName":"R","city":"C","lat":1.0,"lon":2.0,
+          |"isp":"I"}""".stripMargin))
+
+      // reference-default single attempt: sentinel after the first 503
+      val strict = new HttpGeoProvider(rateLimitMillis = 0, baseUrl = base)
+      assert(strict.lookup("5.5.5.5").countryCode === "Error")
+      assert(calls.get() === 1)
+
+      // two retries ride through both 503s to the success body
+      calls.set(0)
+      val retrying = new HttpGeoProvider(rateLimitMillis = 0, baseUrl = base,
+        maxRetries = 2, retryBackoffMillis = 1)
+      val ok = retrying.lookup("5.5.5.5")
+      assert(ok.countryCode === "LT" && calls.get() === 3)
+    }
+  }
+
+  test("429 is transient (retried); API fail-status and 404 are deterministic (never retried)") {
+    withServer { (server, base) =>
+      val limited = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/json/4.2.9.1", (ex: HttpExchange) =>
+        if (limited.incrementAndGet() == 1) replyCode(ex, 429)
+        else reply(ex, """{"status":"success","query":"4.2.9.1","country":"X",
+          |"countryCode":"XX","regionName":"R","city":"C","lat":0.5,"lon":0.5,
+          |"isp":"I"}""".stripMargin))
+      val failCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/json/9.9.9.9", (ex: HttpExchange) => {
+        failCalls.incrementAndGet()
+        reply(ex, """{"status":"fail","message":"private range","query":"9.9.9.9"}""")
+      })
+      val nfCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/json/4.0.4.1", (ex: HttpExchange) => {
+        nfCalls.incrementAndGet()
+        replyCode(ex, 404)
+      })
+
+      val p = new HttpGeoProvider(rateLimitMillis = 0, baseUrl = base,
+        maxRetries = 3, retryBackoffMillis = 1)
+      assert(p.lookup("4.2.9.1").countryCode === "XX")
+      assert(limited.get() === 2, "one 429, one retry, no more")
+      assert(p.lookup("9.9.9.9").countryCode === "Error")
+      assert(failCalls.get() === 1, "semantic API failure must not retry")
+      assert(p.lookup("4.0.4.1").countryCode === "Error")
+      assert(nfCalls.get() === 1, "4xx is deterministic; no retry")
+    }
+  }
+
+  test("per-run request cap: lookups beyond the cap return the sentinel off-wire") {
+    withServer { (server, base) =>
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/json", (ex: HttpExchange) => {
+        calls.incrementAndGet()
+        reply(ex, """{"status":"success","query":"q","country":"X",
+          |"countryCode":"XX","regionName":"R","city":"C","lat":0.5,"lon":0.5,
+          |"isp":"I"}""".stripMargin)
+      })
+      val p = new HttpGeoProvider(rateLimitMillis = 0, baseUrl = base,
+        maxRequestsPerRun = 2)
+      assert(p.lookup("1.0.0.1").countryCode === "XX")
+      assert(p.lookup("1.0.0.2").countryCode === "XX")
+      assert(p.lookup("1.0.0.3").countryCode === "Error")
+      assert(p.lookup("1.0.0.4").countryCode === "Error")
+      assert(calls.get() === 2, "capped lookups must not touch the network")
+    }
+  }
 }
