@@ -33,8 +33,9 @@ import graft.functions.LongArrayDot
 object Clustering {
 
   /** Runtime range assertion as a column: passes `c` through when in
-    * [lo, hi], raises a diagnosable error otherwise. Used on the tiny
-    * centroid side only — never in the corpus hot path.
+    * [lo, hi], raises a diagnosable error otherwise. Codegen-friendly
+    * (when/raise_error), so the per-row corpus-side norm check costs
+    * one branch inside the existing scan stage.
     */
   private def assertBetween(c: Column, lo: Long, hi: Long, msg: String): Column =
     when(c.between(lo, hi), c)
@@ -86,15 +87,20 @@ object Clustering {
     // Centroids may be caller-supplied (not from seedCentroids), so the
     // packed-long bounds are enforced at runtime on the tiny centroid
     // side: cluster must fit the 20 low bits and ‖c‖² must leave the
-    // distance inside the 43 high bits (dist2 ≤ 2(n2+cn2); n2 is
-    // checked symmetrically by the same bound on typical unit-scale
-    // data — an oversized centroid is the realistic corruption vector).
+    // distance inside the 43 high bits (dist2 ≤ 2(n2+cn2)). The corpus
+    // side gets the symmetric ‖q‖² check per row below — one codegen
+    // comparison per row, noise next to the k·dims dot products that
+    // follow, and it stays lazy (no extra aggregate job over the
+    // corpus), so an oversized embedding fails loudly instead of
+    // silently corrupting the argmin ordering.
     val checked = centroids
       .withColumn("cluster", assertBetween(col("cluster"), 0L, mult - 1,
         "centroid cluster id overflows the 20 packed bits"))
       .withColumn("cn2", assertBetween(col("cn2"), 0L, 1L << 41,
         "centroid squared norm too large for the packed-long argmin"))
     prep(df, idCol, embCol)
+      .withColumn("n2", assertBetween(col("n2"), 0L, 1L << 41,
+        "corpus squared norm too large for the packed-long argmin"))
       .crossJoin(broadcast(checked))
       .withColumn("_packed",
         (col("n2") + col("cn2")

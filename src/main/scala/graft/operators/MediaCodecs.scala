@@ -105,15 +105,17 @@ object MediaCodecs {
         maxv <- intToken("maxval")
         _ <- if (maxv != 255) Left(s"unsupported maxval $maxv") else Right(())
         _ <- if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15))
-               Left(s"bad dims ${w}x$h") // upper cap keeps w*h*3 inside Int
+               Left(s"bad dims ${w}x$h")
              else Right(())
         // exactly ONE whitespace byte separates header from raster
         _ <- if (pos < bytes.length && Character.isWhitespace(bytes(pos).toChar)) Right(pos += 1)
              else Left("missing raster separator")
-        n = w * h * 3
+        // Long math: 32768×32768×3 overflows Int, so the truncation
+        // check must not compute w*h*3 in 32 bits
+        n = w.toLong * h * 3
         _ <- if (bytes.length - pos < n) Left(s"truncated raster: ${bytes.length - pos} < $n")
              else Right(())
-      } yield DecodedImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+      } yield DecodedImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt))
     }
   }
 
@@ -175,7 +177,9 @@ object MediaCodecs {
       while (pos + 8 <= bytes.length) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val size = buf.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > bytes.length)
+        // Long comparison: a declared size near Int.MaxValue wraps
+        // pos + 8 + size negative and would bypass an Int check
+        if (size < 0 || pos.toLong + 8 + size > bytes.length)
           return Left(s"chunk '$id' overruns file (size $size at $pos)")
         id match {
           case "fmt " =>
@@ -186,7 +190,9 @@ object MediaCodecs {
           case "data" => data = Some((pos + 8, size))
           case _      => () // skip unknown chunk
         }
-        pos += 8 + size + (size & 1)
+        // bounded-safe after the Long check above (pos+8+size ≤ length);
+        // clamp so the word-align pad byte can never push pos past EOF
+        pos = math.min(pos.toLong + 8 + size + (size & 1), bytes.length.toLong).toInt
       }
       (fmt, data) match {
         case (None, _) => Left("missing fmt chunk")

@@ -34,6 +34,16 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("oversized corpus embedding fails loudly instead of corrupting the argmin") {
+    val cents = Clustering.seedCentroids(vecs, "vec_id", "embedding", 3)
+    // ‖q‖² after 1e4 quantization: (3e6·1e4)² per dim ≫ 2⁴¹
+    val huge = Seq((99L, Array(3.0e6f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Clustering.assign(huge, "vec_id", "embedding", cents).collect()
+    }
+    assert(ex.getMessage.contains("corpus squared norm"))
+  }
+
   test("the Lloyd step computes exact per-cluster quantized means") {
     val cents = Clustering.seedCentroids(vecs, "vec_id", "embedding", 3)
     val a = Clustering.assign(vecs, "vec_id", "embedding", cents)
