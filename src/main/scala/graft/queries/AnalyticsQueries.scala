@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics surface over `events`/`orders`: cube, pivot,
+  * ordered-step funnel, cohort retention, and SCD2 history. The
+  * reference computes none of these, but they are the queries a
+  * consumer of an enriched event log asks next, and each one is
+  * shaped so the per-user work rides ONE hash partitioning:
+  * cascaded unbounded windows over the same `user_id` partition plan
+  * as consecutive Window operators on a single exchange, and the
+  * follow-up groupBy on the same key reuses that partitioning instead
+  * of shuffling again.
+  */
+object AnalyticsQueries {
+
+  /** CUBE over (event_type, month): all four grouping sets in one
+    * pass — Spark expands the cube map-side, so it stays a single
+    * hash-aggregate shuffle. `grouping()` flags cast to long (Spark
+    * TINYINT vs DuckDB BIGINT), grouping id derived arithmetically so
+    * both engines agree on bit order.
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("m", month(col("ts")))
+      .cube(col("event_type"), col("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("m")).cast("long").as("g_month"))
+      .withColumn("gid", col("g_type") * 2 + col("g_month"))
+
+  /** Wide daily matrix: one column per event type, summed value. The
+    * pivot values are pinned (no extra distinct-scan job to discover
+    * them — at 100 TB that discovery pass is a full shuffle), so this
+    * plans as a plain single-shuffle hash aggregate with five
+    * conditional sums.
+    */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotWide(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", PivotTypes)
+      .agg(round(sum(col("value")), 3))
+
+  /** Ordered-step funnel view → click → purchase. Each step's
+    * timestamp is the earliest qualifying event STRICTLY AFTER the
+    * previous step (the standard leak-free funnel rule). Three
+    * cascaded unbounded MIN windows over the same user partition =
+    * one shuffle; the terminal per-user collapse groups on the same
+    * key and reuses it. `stage` counts completed steps.
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("view_ts"), max(col("t2")).as("click_ts"),
+        max(col("t3")).as("purchase_ts"))
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3L)
+          .when(col("click_ts").isNotNull, 2L)
+          .when(col("view_ts").isNotNull, 1L).otherwise(0L))
+  }
+
+  /** Cohort retention: users bucketed by first-seen day, counted once
+    * per (cohort, day-offset) they come back on. The cohort day rides
+    * the same user partition as a window min, so the plan is one
+    * user-keyed shuffle plus the final (cohort, offset) aggregate.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** SCD2 dimension history from the order stream: per customer,
+    * consecutive same-status runs compress to one row with
+    * [valid_from, valid_to) and an is_current flag on the open row.
+    * Change detection (lag) and interval close (lead) are two window
+    * passes over ONE (custkey → orderdate, orderkey) sort — Spark
+    * plans them on a single exchange+sort.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("changed",
+        lag(col("o_orderstatus"), 1).over(wo).isNull ||
+          lag(col("o_orderstatus"), 1).over(wo) =!= col("o_orderstatus"))
+      .where(col("changed"))
+      .withColumn("valid_to",
+        lead(col("o_orderdate"), 1).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg" -> cubeAgg,
+    "pivot_wide" -> pivotWide,
+    "funnel_steps" -> funnelSteps,
+    "cohort_retention" -> cohortRetention,
+    "scd2_history" -> scd2History
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cube_agg" ->
+      """SELECT event_type, m,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 3) AS sum_value,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(m) AS BIGINT) AS g_month,
+        |  CAST(grouping(event_type) AS BIGINT) * 2
+        |    + CAST(grouping(m) AS BIGINT) AS gid
+        |FROM (SELECT event_type, month(ts) AS m, value FROM events)
+        |GROUP BY CUBE (event_type, m)""".stripMargin,
+    "pivot_wide" ->
+      """SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |  round(sum(value) FILTER (event_type = 'click'), 3) AS click,
+        |  round(sum(value) FILTER (event_type = 'error'), 3) AS error,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 3) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 3) AS signup,
+        |  round(sum(value) FILTER (event_type = 'view'), 3) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "funnel_steps" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events
+        |), g AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        |  FROM f
+        |), h AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3
+        |  FROM g
+        |)
+        |SELECT user_id, max(t1) AS view_ts, max(t2) AS click_ts,
+        |  max(t3) AS purchase_ts,
+        |  CAST(CASE WHEN max(t3) IS NOT NULL THEN 3
+        |            WHEN max(t2) IS NOT NULL THEN 2
+        |            WHEN max(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM h GROUP BY user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM d
+        |)
+        |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "scd2_history" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), runs AS (
+        |  SELECT * FROM chg
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        |)
+        |SELECT o_custkey, o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to,
+        |  lead(o_orderdate) OVER w2 IS NULL AS is_current
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+  )
+}
