@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KMinValues.k_min_values
+
+/** Cardinality sketches — distinct counting WITHOUT the exact-distinct
+  * shuffle. `count(DISTINCT x)` at 100 TB moves every distinct value
+  * across the wire (Spark plans it as a two-phase expand+aggregate);
+  * both sketches here ship O(k) or O(m) state per group per task
+  * instead, with map-side partial aggregation, and trade that for a
+  * quantified relative error (KMV ≈ 1/√(k−2), HLL ≈ 1.04/√m).
+  *
+  * Everything is keyed off `md5(salt:value)`, the same
+  * engine-independent device as [[Sampling]]: the top 60 hash bits as
+  * an exact long make every intermediate an INTEGER any engine can
+  * recompute, so the DuckDB oracle verifies the sketches bit-for-bit —
+  * register tables and all — not just "close enough".
+  */
+object Sketches {
+
+  /** The value's md5 key as an exact long in [0, 2⁶⁰): top 15 hex
+    * digits of `md5(salt:value)`. Uniform, deterministic, reproducible
+    * on any engine, independent of partitioning.
+    */
+  def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), c.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** KMV (bottom-k) distinct estimate per group. One hash-aggregate
+    * shuffle carrying ≤ k longs per (task, group); duplicates collapse
+    * in the sketch buffer. Output per group:
+    *   n_kept  — sketch fill (< k ⇒ the distinct count is exact)
+    *   kth_hash — largest kept hash (the k-th smallest overall)
+    *   est_distinct — (k−1)·2⁶⁰ / kth_hash, or n_kept when not full;
+    *     one double divide over exact integers, rounded to 3.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, salt: String = "kmv"): DataFrame = {
+    // (k−1)·2⁶⁰: a small int times a power of two — exact as a double
+    val numer = (k - 1).toDouble * (1L << 60).toDouble
+    df.select(groupCols.map(col) :+ hash60(col(valueCol), salt).as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(k_min_values(col("_h"), k).as("_s"))
+      .select(groupCols.map(col) ++ Seq(
+        col("_s.n_kept").as("n_kept"),
+        col("_s.kth_hash").as("kth_hash"),
+        round(
+          when(col("_s.n_kept") < k, col("_s.n_kept").cast("double"))
+            .otherwise(lit(numer) / col("_s.kth_hash").cast("double")),
+          3).as("est_distinct")): _*)
+  }
+
+  /** Standard HLL bias constant α_m (Flajolet et al. 2007). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HyperLogLog distinct estimate per group, p-bit registers
+    * (m = 2^p), built from pure integer column arithmetic — no custom
+    * aggregate needed: register index is the low p hash bits, and the
+    * rank ρ (leading zeros + 1 of the next 32 bits) falls out of the
+    * length of the binary string form, so `groupBy(group, register)
+    * .max(ρ)` then one more aggregate IS the sketch. Two hash-aggregate
+    * shuffles, the second over ≤ m rows per group.
+    *
+    * This is the RAW estimator: α_m·m²·2³³ / Σ 2^(33−ρ_j) with empty
+    * registers contributing 2³³ (the sum is scaled by 2³³ so every term
+    * is an exact integer — ρ ≤ 33). The small-range linear-counting
+    * correction is deliberately omitted: it needs ln(), whose last-ulp
+    * behavior differs across libms, and the whole point of this sketch
+    * is that every output column is engine-independent. Callers who
+    * need the correction have n_registers (= non-empty count) to apply
+    * it themselves. Known consequence: the raw estimate reads high when
+    * distinct ≪ m.
+    *
+    * Output: group cols, n_registers, sum_scaled (exact long),
+    * est_distinct (one double divide, rounded to 3).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 7, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val emptyTerm = 1L << 33
+    // α_m·m²·2³³ as one double constant, shared verbatim with the oracle
+    val numer = hllAlpha(m) * m * m * emptyTerm.toDouble
+    val h = hash60(col(valueCol), salt)
+    df.select((groupCols.map(col) ++ Seq(
+        h.bitwiseAND(lit((m - 1).toLong)).as("_reg"),
+        shiftright(h, p).bitwiseAND(lit(4294967295L)).as("_sfx"))): _*)
+      .withColumn("_rho",
+        when(col("_sfx") === 0, lit(33L))
+          .otherwise(lit(33L) - length(conv(col("_sfx").cast("string"), 10, 2))))
+      .groupBy(groupCols.map(col) :+ col("_reg"): _*)
+      .agg(max(col("_rho")).as("_maxrho"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - _maxrho AS INT))"))
+          .as("_present_sum"))
+      .withColumn("sum_scaled",
+        col("_present_sum") + (lit(m.toLong) - col("n_registers")) * lit(emptyTerm))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_registers"),
+        col("sum_scaled"),
+        round(lit(numer) / col("sum_scaled").cast("double"), 3)
+          .as("est_distinct")): _*)
+  }
+}

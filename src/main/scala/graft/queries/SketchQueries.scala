@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Sketches
+
+/** Driver-contract queries for the cardinality-sketch surface. Both
+  * sketches are md5-keyed integer machines, so the DuckDB oracle
+  * recomputes them EXACTLY — fill counts, k-th hash, register sums —
+  * not merely within error bars.
+  */
+object SketchQueries {
+
+  private val KmvK = 64
+  private val HllP = 7 // m = 128 registers
+
+  /** KMV bottom-64 distinct-user estimate per event type. */
+  def distinctKmv(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.kmvDistinct(
+      Tables.events(spark, sfDir), Seq("event_type"), "user_id", KmvK)
+
+  /** HLL (p=7) distinct-user estimate per event type. */
+  def distinctHll(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.hllDistinct(
+      Tables.events(spark, sfDir), Seq("event_type"), "user_id", HllP)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_kmv" -> distinctKmv,
+    "distinct_hll" -> distinctHll
+  )
+
+  // The double constants are interpolated from the SAME Scala values the
+  // engine uses (shortest round-trip repr), so both engines parse the
+  // identical IEEE double.
+  private val kmvNumer = (KmvK - 1).toDouble * (1L << 60).toDouble
+  private val hllNumer =
+    Sketches.hllAlpha(1 << HllP) * (1 << HllP) * (1 << HllP) * (1L << 33).toDouble
+
+  val oracle: Map[String, String] = Map(
+    "distinct_kmv" ->
+      s"""WITH hs AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hs
+         |)
+         |SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  max(h) AS kth_hash,
+         |  round(CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+         |        ELSE $kmvNumer / CAST(max(h) AS DOUBLE) END, 3) AS est_distinct
+         |FROM r WHERE rn <= $KmvK GROUP BY event_type""".stripMargin,
+    "distinct_hll" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM events
+         |), s AS (
+         |  SELECT event_type, h & ${(1 << HllP) - 1} AS reg,
+         |    (h >> $HllP) & 4294967295 AS sfx
+         |  FROM b
+         |), r AS (
+         |  SELECT event_type, reg,
+         |    max(CASE WHEN sfx = 0 THEN 33
+         |        ELSE 33 - length(bin(sfx)) END) AS maxrho
+         |  FROM s GROUP BY 1, 2
+         |)
+         |SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_registers,
+         |  CAST(sum(CAST(1 AS BIGINT) << CAST(33 - maxrho AS INT)) AS BIGINT)
+         |    + (${1 << HllP} - CAST(count(*) AS BIGINT)) * 8589934592 AS sum_scaled,
+         |  round($hllNumer / CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(33 - maxrho AS INT)) AS BIGINT)
+         |    + (${1 << HllP} - CAST(count(*) AS BIGINT)) * 8589934592 AS DOUBLE), 3) AS est_distinct
+         |FROM r GROUP BY event_type""".stripMargin
+  )
+}

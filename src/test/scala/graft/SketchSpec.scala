@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10k distinct ids, each duplicated a varying number of times —
+  // repetition must be invisible to both sketches
+  private lazy val corpus = spark.range(0, 10000)
+    .select(lit("g").as("grp"), col("id"))
+    .union(spark.range(0, 10000).where(col("id") % 3 === 0)
+      .select(lit("g").as("grp"), col("id")))
+    .union(spark.range(0, 100).select(lit("g").as("grp"), col("id")))
+
+  test("kmv: under-filled sketch reports the exact distinct count") {
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("b", 9L))
+      .toDF("grp", "v")
+    val got = Sketches.kmvDistinct(tiny, Seq("grp"), "v", k = 64)
+      .select("grp", "n_kept", "est_distinct")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 3L, 3.0), ("b", 1L, 1.0)))
+  }
+
+  test("kmv: estimate lands inside the theoretical error band") {
+    val est = Sketches.kmvDistinct(corpus, Seq("grp"), "id", k = 256)
+      .select("est_distinct").as[Double].head()
+    // relative stderr ≈ 1/√(k−2) ≈ 6.3%; allow 4σ
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.25, s"est=$est")
+  }
+
+  test("hll: register table and estimate are partition-layout independent") {
+    val a = Sketches.hllDistinct(corpus.repartition(1), Seq("grp"), "id")
+      .collect().toSeq
+    val b = Sketches.hllDistinct(corpus.repartition(13), Seq("grp"), "id")
+      .collect().toSeq
+    assert(a === b)
+    val est = a.head.getAs[Double]("est_distinct")
+    // raw HLL stderr ≈ 1.04/√128 ≈ 9.2%; allow 4σ
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.37, s"est=$est")
+  }
+
+  test("kmv: duplicates collapse — repetition never shifts the sketch") {
+    val once = Sketches.kmvDistinct(
+      spark.range(0, 500).select(lit("g").as("grp"), col("id")),
+      Seq("grp"), "id", k = 64).collect().toSeq
+    val tripled = Sketches.kmvDistinct(
+      spark.range(0, 1500).select(lit("g").as("grp"), (col("id") % 500).as("id")),
+      Seq("grp"), "id", k = 64).collect().toSeq
+    assert(once === tripled)
+  }
+
+  test("kmv plans as two-phase ObjectHashAggregate — map-side partial sketches") {
+    // string match like PlanSpec — the AQE wrapper hides children from
+    // TreeNode.collect until execution
+    val plan = Sketches.kmvDistinct(corpus, Seq("grp"), "id", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kminvalues"),
+      s"expected a map-side partial sketch phase:\n$plan")
+    assert(plan.sliding("ObjectHashAggregate".length).count(_ == "ObjectHashAggregate") >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+}
