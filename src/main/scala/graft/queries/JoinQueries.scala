@@ -148,7 +148,24 @@ object JoinQueries {
       .unionByName(buyers.except(errorers).withColumn("tag", lit("buy_only")))
   }
 
+  /** Runtime bloom-filter join: lineitem probe pruned by a bloom of
+    * the high-value order keys before its exchange, then the exact
+    * join. The oracle is the PLAIN join — the bloom must be invisible
+    * in the result (false positives die in the join), which is the
+    * whole correctness contract of a runtime filter.
+    */
+  def bloomPrefilterJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val hv = Tables.orders(spark, sfDir).where(col("o_totalprice") > 480000)
+    graft.operators.BloomJoin
+      .bloomPrefilterJoin(li, "l_orderkey", hv, "o_orderkey",
+        expectedItems = 10000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "o_totalprice", "o_orderdate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_prefilter_join" -> bloomPrefilterJoinQ,
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
     "asof_join" -> asofJoin,
@@ -162,6 +179,11 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "bloom_prefilter_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  o_totalprice, o_orderdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
