@@ -42,6 +42,44 @@ object Partitioning {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Spread the low 16 bits of `c` so bit i lands at bit 2i — the
+    * classic magic-mask cascade, four shift-or-mask steps of pure
+    * integer column arithmetic (stays in whole-stage codegen).
+    */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) value of two 16-bit quantized columns: bits of
+    * `a` and `b` interleaved into one 32-bit key. Sorting by it keeps
+    * rows that are close in BOTH dimensions close on disk, so parquet
+    * min/max stats stay tight on BOTH columns at once — the layout for
+    * multi-column box predicates, where a linear sort can only serve
+    * its leading column. Inputs are masked to 16 bits; quantize wider
+    * domains (rank, range-scale) before calling.
+    */
+  def zValue2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-order-clustered parquet: range-partition and sort by the
+    * interleaved key, then drop it — the layout survives as row order,
+    * not as a column. Same write shape as [[writeSortedByRange]]
+    * (disjoint files, tight row-group stats), but the stats are tight
+    * in two dimensions (PartitioningSpec proves the box-scan reduction
+    * against a linear-sorted copy of the same data).
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit =
+    df.withColumn("_z", zValue2(col(c1), col(c2)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Compact a fragmented parquet directory to ~`targetFileBytes`
     * files — the small-file repair op (streaming sinks, per-batch
     * appends, and over-parallel writes all fragment; at 100 TB the

@@ -164,7 +164,22 @@ object MiscQueries {
       Tables.documents(spark, sfDir).select("doc_id", "lang"),
       groupCol = "lang", idCol = "doc_id", cap = 20)
 
+  /** Z-order (Morton) key computation — the layout primitive behind
+    * [[graft.operators.Partitioning.writeZOrdered]], exposed as a
+    * query so the bit-interleave arithmetic itself is oracle-checked
+    * (the write-side pruning effect is proven in PartitioningSpec).
+    */
+  def zorderValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("a"),
+        pmod(col("event_id") * 2654435761L, lit(65536L)).as("b"))
+    e.withColumn("z",
+      graft.operators.Partitioning.zValue2(col("a"), col("b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_value" -> zorderValue,
     "sample_split" -> sampleSplit,
     "cap_per_group" -> capPerGroup,
     "mixture_sample" -> mixtureSample,
@@ -185,6 +200,33 @@ object MiscQueries {
   private val t25 = graft.operators.Sampling.fractionThreshold(0.25)
 
   val oracle: Map[String, String] = Map(
+    "zorder_value" ->
+      """WITH q AS (
+        |  SELECT event_id,
+        |    user_id % 65536 AS a,
+        |    (event_id * 2654435761) % 65536 AS b
+        |  FROM events
+        |), s1 AS (
+        |  SELECT event_id, a, b,
+        |    (a | (a << 8)) & 16711935 AS sa1, (b | (b << 8)) & 16711935 AS sb1
+        |  FROM q
+        |), s2 AS (
+        |  SELECT event_id, a, b,
+        |    (sa1 | (sa1 << 4)) & 252645135 AS sa2,
+        |    (sb1 | (sb1 << 4)) & 252645135 AS sb2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT event_id, a, b,
+        |    (sa2 | (sa2 << 2)) & 858993459 AS sa3,
+        |    (sb2 | (sb2 << 2)) & 858993459 AS sb3
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT event_id, a, b,
+        |    (sa3 | (sa3 << 1)) & 1431655765 AS sa4,
+        |    (sb3 | (sb3 << 1)) & 1431655765 AS sb4
+        |  FROM s3
+        |)
+        |SELECT event_id, a, b, sa4 | (sb4 << 1) AS z FROM s4""".stripMargin,
     "sample_split" ->
       s"""SELECT event_id, user_id,
          |  CASE WHEN md5('split:' || CAST(event_id AS VARCHAR)) < '$t80' THEN 'train'

@@ -74,6 +74,64 @@ class PartitioningSpec extends SparkSpec {
       s"sorted layout should skip most row groups: scanned $sorted of $total")
   }
 
+  test("zValue2 interleaves bits exactly (golden reference)") {
+    def zRef(a: Int, b: Int): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((a >> i) & 1).toLong << (2 * i)
+        z |= ((b >> i) & 1).toLong << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535),
+      (65535, 65535), (0x1234, 0xABCD), (40503, 2654))
+    val df = cases.toDF("a", "b")
+      .withColumn("z", Partitioning.zValue2($"a", $"b"))
+    df.select("a", "b", "z").as[(Int, Int, Long)].collect().foreach {
+      case (a, b, z) => assert(z === zRef(a, b), s"z($a, $b)")
+    }
+  }
+
+  test("z-ordered layout prunes 2-D box scans a linear sort cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
+    // 200k points, both coordinates uniform over [0, 65536)
+    val pts = spark.range(0, 200000).select(
+      $"id",
+      pmod($"id" * 2654435761L, lit(65536L)).as("x"),
+      pmod($"id" * 40503L + 17L, lit(65536L)).as("y"))
+    val total = pts.count()
+    // pruning works at row-group granularity — shrink groups so the
+    // layouts differ INSIDE files too, not just at file boundaries
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 32 * 1024)
+    try {
+      Partitioning.writeZOrdered(pts, s"$tmp/zorder", "x", "y", 16)
+      // linear control: same rows sorted by x only — a box query prunes
+      // on x but every surviving row group spans the full y range
+      Partitioning.writeSortedByRange(pts, s"$tmp/linear", "x", 16)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter($"x" < 4096L && $"y" < 4096L)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val zorder = scanRows(s"$tmp/zorder")
+    val linear = scanRows(s"$tmp/linear")
+    assert(zorder < linear / 2,
+      s"z-order should beat the linear sort on a 2-D box: z=$zorder linear=$linear total=$total")
+  }
+
   test("compact collapses a fragmented directory to the byte-target file count") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toFile
