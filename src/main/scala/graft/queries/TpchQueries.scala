@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** TPC-H flagship queries (Q1 pricing summary, Q3 shipping priority,
+  * Q5 local-supplier volume) through the pure-SQL entry path — the
+  * standard OLAP credibility check for any engine claiming the
+  * reference's analytics surface and beyond.
+  *
+  * The SQL is written in the dialect intersection of Spark and DuckDB,
+  * so the ENGINE AND THE ORACLE RUN THE SAME STRING — the strongest
+  * possible equivalence statement. Money arithmetic goes through
+  * DECIMAL casts before multiplication (l_discount is a 2-decimal
+  * value stored as an inexact DOUBLE; decimal products and sums are
+  * exact and engine-independent, where double sums are
+  * summation-order-dependent), and every aggregate is CAST to DOUBLE
+  * from the same exact decimal on both sides. Averages derive from the
+  * exact sums. Q3's LIMIT is made deterministic by a total tie-break
+  * (revenue, orderdate, orderkey).
+  *
+  * Plan shape: Q1 is one hash-aggregate over a pushed-down scan; Q3
+  * and Q5 broadcast the small dimension sides at these SFs and plan
+  * shuffled hash joins at scale — the join keys are all equi, so AQE
+  * picks per-stage.
+  */
+object TpchQueries {
+
+  private def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("region")
+  }
+
+  private val Q1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      |    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private val Q3 =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val Q5 =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  private def run(sql: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> run(Q1) _,
+    "tpch_q3" -> run(Q3) _,
+    "tpch_q5" -> run(Q5) _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q1" -> Q1,
+    "tpch_q3" -> Q3,
+    "tpch_q5" -> Q5
+  )
+}
