@@ -135,6 +135,24 @@ object MiscQueries {
       StreamingPipeline.hourlyAgg(events), "graft_stream_hourly")
   }
 
+  /** Streaming twin of the KMV distinct sketch: the SAME
+    * Sketches.kmvDistinct transform over a file-source stream, run to
+    * completion in Complete mode — sketch buffers are mergeable state,
+    * which is exactly what makes bottom-k sketches streaming-native
+    * (each trigger merges new partial sketches into the store; output
+    * is always the sketch-of-everything-so-far). KMV gets the twin and
+    * HLL doesn't because HLL's two cascaded groupBys would be two
+    * stateful aggregations in one streaming query, which Spark
+    * disallows; the KMV shape is one TypedImperativeAggregate.
+    */
+  def streamingDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = StreamingPipeline.readEvents(spark, sfDir)
+    StreamingPipeline.runToMemory(
+      graft.operators.Sketches.kmvDistinct(
+        events, Seq("event_type"), "user_id", k = 64),
+      "graft_stream_kmv")
+  }
+
   /** Reproducible train/val/test assignment + an independent 25%
     * sample flag, both pure functions of the row id.
     */
@@ -189,6 +207,7 @@ object MiscQueries {
     "streaming_sessions" -> streamingSessions,
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
+    "streaming_distinct_kmv" -> streamingDistinctKmv,
     "streaming_dedup" -> streamingDedup,
     "streaming_event_pairs" -> streamingEventPairs,
     "streaming_incremental_dedup" -> streamingIncrementalDedup,
@@ -200,6 +219,8 @@ object MiscQueries {
   private val t25 = graft.operators.Sampling.fractionThreshold(0.25)
 
   val oracle: Map[String, String] = Map(
+    // the streaming twin must converge to the batch sketch exactly
+    "streaming_distinct_kmv" -> SketchQueries.oracle("distinct_kmv"),
     "zorder_value" ->
       """WITH q AS (
         |  SELECT event_id,
