@@ -116,7 +116,38 @@ object AnalyticsQueries {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Peak concurrent sessions per day — the sweep-line algorithm,
+    * distributed: sessions become (+1 at start, −1 at end) boundary
+    * rows, clipped to each day they touch (a midnight-spanning session
+    * contributes a carried-over +1 at the next day's first instant),
+    * and the running sum sweeps WITHIN each day partition — so days
+    * sweep in parallel and no global single-partition window exists.
+    * Boundary tie rule: starts sort before ends at the same instant
+    * (delta desc), so touching sessions count as concurrent. The daily
+    * max is invariant to ordering among equal (t, delta) rows, which
+    * is what makes the output deterministic.
+    */
+  def concurrencyPeak(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = graft.operators.Sessionize.sessionize(
+        Tables.events(spark, sfDir),
+        keyCol = "user_id", timeCol = "ts", tieBreak = col("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val clipped = sess
+      .withColumn("day", explode(expr("sequence(to_date(st), to_date(en))")))
+      .withColumn("day_us", unix_micros(col("day").cast("timestamp")))
+      .withColumn("cs", greatest(unix_micros(col("st")), col("day_us")))
+      .withColumn("ce", least(unix_micros(col("en")), col("day_us") + lit(86399999999L)))
+    val bounds = clipped.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+      .unionAll(clipped.select(col("day"), col("ce").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("r", sum(col("delta")).over(w))
+      .groupBy(col("day")).agg(max(col("r")).as("peak_concurrency"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "concurrency_peak" -> concurrencyPeak,
     "cube_agg" -> cubeAgg,
     "pivot_wide" -> pivotWide,
     "funnel_steps" -> funnelSteps,
@@ -125,6 +156,41 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "concurrency_peak" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |    coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS td
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN td > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM d
+        |), sess AS (
+        |  SELECT user_id, sn, min(ts) AS st, max(ts) AS en FROM s GROUP BY 1, 2
+        |), expanded AS (
+        |  SELECT user_id, st, en,
+        |    CAST(unnest(generate_series(CAST(st AS DATE), CAST(en AS DATE),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sess
+        |), clipped AS (
+        |  SELECT day,
+        |    greatest(epoch_us(st), day_us) AS cs,
+        |    least(epoch_us(en), day_us + 86399999999) AS ce
+        |  FROM (SELECT *, epoch_us(CAST(day AS TIMESTAMP)) AS day_us FROM expanded)
+        |), bounds AS (
+        |  SELECT day, cs AS t, 1 AS delta FROM clipped
+        |  UNION ALL
+        |  SELECT day, ce AS t, -1 AS delta FROM clipped
+        |), run AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |    ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM bounds
+        |)
+        |SELECT day, CAST(max(r) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY day""".stripMargin,
     "cube_agg" ->
       """SELECT event_type, m,
         |  CAST(count(*) AS BIGINT) AS n,
