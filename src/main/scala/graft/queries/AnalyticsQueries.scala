@@ -146,7 +146,43 @@ object AnalyticsQueries {
       .groupBy(col("day")).agg(max(col("r")).as("peak_concurrency"))
   }
 
+  /** The ranking-window family in one pass: rank, dense_rank, ntile,
+    * percent_rank, cume_dist, lead/lag — one (custkey → orderdate,
+    * orderkey) sort serves all seven (consecutive Window operators
+    * with identical partitioning/ordering share a single exchange+
+    * sort). percent_rank and cume_dist are exact small rationals, so
+    * the doubles compare bit-for-bit across engines.
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+  }
+
+  /** JSON scalar extraction from the props column, aggregated — the
+    * semi-structured path (get_json_object → typed cast → agg) every
+    * event pipeline needs. Extraction is a narrow map; the aggregate
+    * is one hash shuffle.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_funcs" -> windowFuncs,
+    "json_extract" -> jsonExtract,
     "concurrency_peak" -> concurrencyPeak,
     "cube_agg" -> cubeAgg,
     "pivot_wide" -> pivotWide,
@@ -156,6 +192,26 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     "concurrency_peak" ->
       """WITH d AS (
         |  SELECT event_id, user_id, ts,
