@@ -37,18 +37,24 @@ object AnalyticsQueries {
 
   /** Wide daily matrix: one column per event type, summed value. The
     * pivot values are pinned (no extra distinct-scan job to discover
-    * them — at 100 TB that discovery pass is a full shuffle), so this
-    * plans as a plain single-shuffle hash aggregate with five
-    * conditional sums.
+    * them — at 100 TB that discovery pass is a full shuffle), and the
+    * pivot is expressed as conditional sums rather than the `.pivot()`
+    * API: `.pivot()` always plans TWO aggregations (groupBy(day, type)
+    * sum, then a pivotfirst re-shuffle on day), while pinned
+    * conditional sums produce the identical result in ONE map-side-
+    * partial hash aggregate — half the shuffles (PlanSpec pins this).
     */
   val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  def pivotWide(spark: SparkSession, sfDir: String): DataFrame =
+  def pivotWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = PivotTypes.map { t =>
+      round(sum(when(col("event_type") === t, col("value"))), 3).as(t)
+    }
     Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("day"))
-      .pivot("event_type", PivotTypes)
-      .agg(round(sum(col("value")), 3))
+      .agg(sums.head, sums.tail: _*)
+  }
 
   /** Ordered-step funnel view → click → purchase. Each step's
     * timestamp is the earliest qualifying event STRICTLY AFTER the

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Packing, RangeJoin, Sampling}
+import graft.operators.{BloomJoin, Clustering, Dedup, Packing, RangeJoin, Sampling, Sketches}
 
 /** Degenerate-input behavior a library consumer will eventually hit:
   * empty tables, fewer rows than requested clusters, empty join sides.
@@ -37,6 +37,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Packing.globalOffsets(w, "doc_id", "w").count() === 0)
     assert(Packing.packAssignments(w, "doc_id", "w", budget = 512).count() === 0)
     assert(Packing.chunk(noDocs, "doc_id", "text", 10, 5).count() === 0)
+  }
+
+  test("sketches are empty- and null-safe") {
+    val noEvents = Seq.empty[(String, java.lang.Long)].toDF("grp", "v")
+    assert(Sketches.kmvDistinct(noEvents, Seq("grp"), "v", 8).count() === 0)
+    assert(Sketches.hllDistinct(noEvents, Seq("grp"), "v").count() === 0)
+    // null values are non-observations, not crashes
+    val withNulls = Seq(("a", java.lang.Long.valueOf(1L)), ("a", null),
+      ("b", null)).toDF("grp", "v")
+    val kmv = Sketches.kmvDistinct(withNulls, Seq("grp"), "v", 8)
+      .select("grp", "n_kept").as[(String, Long)].collect().toMap
+    assert(kmv === Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("bloom join handles empty probe and empty build") {
+    val probe = Seq((1L, "x")).toDF("k", "v")
+    val noProbe = probe.where(lit(false))
+    val build = Seq((1L, "d")).toDF("bk", "name")
+    assert(BloomJoin.bloomPrefilterJoin(noProbe, "k", build, "bk", 8).count() === 0)
+    assert(BloomJoin.bloomPrefilterJoin(probe, "k", build.where(lit(false)),
+      "bk", 8).count() === 0)
+    assert(BloomJoin.bloomPrefilterJoin(probe, "k", build, "bk", 8).count() === 1)
   }
 
   test("k-means degrades gracefully when k exceeds the corpus") {

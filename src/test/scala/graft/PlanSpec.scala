@@ -108,6 +108,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("funnel and ranking windows ride one user-keyed exchange each") {
+    val f = plan("funnel_steps")
+    assert(countOccurrences(f, "Exchange hashpartitioning") === 1,
+      s"cascaded funnel windows + terminal groupBy must share one shuffle:\n$f")
+    val w = plan("window_funcs")
+    assert(countOccurrences(w, "Exchange hashpartitioning") === 1,
+      s"identical window specs must share one exchange:\n$w")
+  }
+
+  test("pivot with pinned values is one hash aggregate, no discovery job") {
+    val p = plan("pivot_wide")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      s"pivot should partially aggregate map-side:\n$p")
+  }
+
+  test("tpch_q1 pushes the date filter into the parquet scan and partially aggregates") {
+    val p = plan("tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p")
+    assert(countOccurrences(p, "HashAggregate") >= 2, p)
+  }
+
   /** The automatic gate over EVERY registered query: no scale-killer
     * join may land silently. BroadcastNestedLoopJoin is allowed only
     * for the pinned set below — each one a deliberate broadcast-of-tiny
