@@ -186,7 +186,42 @@ object AnalyticsQueries {
       .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Calendar gap-fill with forward fill — the time-series resample
+    * every metrics pipeline needs: each user's daily series densified
+    * over their [first, last] day (sequence + explode, bounded per
+    * user), missing days take n_events = 0, and the carried values
+    * come from the most recent ACTIVE day. The carry is computed as a
+    * running `max(day where active)` window — monotone day order makes
+    * that the forward-fill without IGNORE NULLS (whose window support
+    * differs across engines) — and the carried payload re-attaches by
+    * an equi-join on (user, last_active_day), which broadcasts or
+    * co-partitions like any other dimension join.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("day_value"))
+    val calendar = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("day", explode(expr("sequence(d0, d1)")))
+      .select(col("user_id"), col("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val la = calendar
+      .join(daily.select(col("user_id"), col("day"), col("n_events")),
+        Seq("user_id", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("last_active_day",
+        max(when(col("n_events") > 0, col("day"))).over(w))
+    la.join(daily.select(col("user_id").as("u2"), col("day").as("d2"),
+          col("day_value").as("ff_value")),
+        la("user_id") === col("u2") && la("last_active_day") === col("d2"))
+      .select("user_id", "day", "n_events", "last_active_day", "ff_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
     "json_extract" -> jsonExtract,
     "concurrency_peak" -> concurrencyPeak,
@@ -198,6 +233,33 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 3) AS day_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), calendar AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |), filled AS (
+        |  SELECT c.user_id, c.day, coalesce(d.n_events, 0) AS n_events
+        |  FROM calendar c
+        |  LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+        |), la AS (
+        |  SELECT user_id, day, n_events,
+        |    max(CASE WHEN n_events > 0 THEN day END)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS last_active_day
+        |  FROM filled
+        |)
+        |SELECT la.user_id, la.day, la.n_events, la.last_active_day,
+        |  d.day_value AS ff_value
+        |FROM la JOIN daily d
+        |  ON la.user_id = d.user_id AND la.last_active_day = d.day""".stripMargin,
     "window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(rank() OVER w AS BIGINT) AS rk,
