@@ -98,7 +98,22 @@ object EventQueries {
         |FROM events_v GROUP BY 1, 2""".stripMargin)
   }
 
+  /** Hopping (sliding) window aggregate: 1-hour windows every 15
+    * minutes. Spark's `window(ts, len, slide)` generates the ≤ 4
+    * covering windows per row map-side (a generate, not a join), then
+    * one hash-aggregate shuffle on (window, type) — the DuckDB twin
+    * reconstructs the same window set arithmetically (floor to the
+    * slide, back off k slides).
+    */
+  def hoppingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hopping_agg" -> hoppingAgg,
     "hourly_agg" -> hourlyAgg,
     "sessionize" -> sessionizeQ,
     "rolling_window" -> rollingQ,
@@ -107,6 +122,17 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "hopping_agg" ->
+      """WITH hops AS (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL 15 MINUTES, ts)
+        |      - CAST(unnest([0, 1, 2, 3]) * 15 AS BIGINT) * INTERVAL 1 MINUTE AS ws
+        |  FROM events
+        |)
+        |SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 3) AS sum_value
+        |FROM hops GROUP BY 1, 2, 3""".stripMargin,
     "hourly_agg" ->
       """SELECT year(ts) AS request_year, month(ts) AS request_month,
         |  day(ts) AS request_day, hour(ts) AS request_hour, event_type,

@@ -164,7 +164,32 @@ object JoinQueries {
         "o_totalprice", "o_orderdate")
   }
 
+  /** Blocked fuzzy (edit-distance) match: a sampled query set of part
+    * names against the catalog — equi-block on the first name token,
+    * prune by the length-difference bound BEFORE computing any edit
+    * distance (|len(a)−len(b)| ≤ d is a necessary condition for
+    * levenshtein ≤ d and costs one comparison), then the exact
+    * levenshtein ≤ 2 filter. The blocking keeps this an equi-join —
+    * never the all-pairs cross product a naive fuzzy join plans — and
+    * levenshtein is exact integer arithmetic in both engines.
+    */
+  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), 1).as("w1"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+    val q = p.where(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("q_partkey"), col("p_name").as("q_name"),
+        col("w1").as("q_w1"), col("noun").as("q_noun"))
+    q.join(p, col("q_w1") === col("w1") && col("q_partkey") =!= col("p_partkey"))
+      .where(abs(length(col("q_noun")) - length(col("noun"))) <= 2)
+      .withColumn("dist", levenshtein(col("q_noun"), col("noun")).cast("long"))
+      .where(col("dist") <= 2)
+      .select("q_partkey", "p_partkey", "q_name", "p_name", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_match" -> fuzzyMatch,
     "bloom_prefilter_join" -> bloomPrefilterJoinQ,
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
@@ -179,6 +204,22 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    split_part(p_name, ' ', 1) AS w1,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part
+        |), q AS (
+        |  SELECT p_partkey AS q_partkey, p_name AS q_name,
+        |    w1 AS q_w1, noun AS q_noun
+        |  FROM p WHERE p_partkey % 20 = 0
+        |)
+        |SELECT q_partkey, p_partkey, q_name, p_name,
+        |  CAST(levenshtein(q_noun, noun) AS BIGINT) AS dist
+        |FROM q JOIN p ON q_w1 = w1 AND q_partkey <> p_partkey
+        |WHERE abs(length(q_noun) - length(noun)) <= 2
+        |  AND levenshtein(q_noun, noun) <= 2""".stripMargin,
     "bloom_prefilter_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  o_totalprice, o_orderdate
