@@ -220,7 +220,25 @@ object AnalyticsQueries {
       .select("user_id", "day", "n_events", "last_active_day", "ff_value")
   }
 
+  /** Array-column surface in one query: per-user distinct event types
+    * as a SORTED array (collect_set order is partition-dependent;
+    * array_sort makes it deterministic — the same discipline as every
+    * other cross-engine value here), plus size / membership / first
+    * element. Distinct-then-collect keeps the aggregate's partial
+    * buffers bounded by the type domain, not the event count.
+    */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("event_type"))).as("types"))
+      .select(col("user_id"), col("types"),
+        size(col("types")).cast("long").as("n_types"),
+        array_contains(col("types"), "purchase").as("has_purchase"),
+        element_at(col("types"), 1).as("first_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
     "json_extract" -> jsonExtract,
@@ -233,6 +251,17 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "array_funcs" ->
+      """WITH dt AS (
+        |  SELECT user_id, event_type FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  list(event_type ORDER BY event_type) AS types,
+        |  CAST(len(list(event_type ORDER BY event_type)) AS BIGINT) AS n_types,
+        |  list_contains(list(event_type ORDER BY event_type), 'purchase')
+        |    AS has_purchase,
+        |  list(event_type ORDER BY event_type)[1] AS first_type
+        |FROM dt GROUP BY user_id""".stripMargin,
     "gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
