@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable product-analytics operators over generic event/dimension
+  * frames — the DataFrame-in/DataFrame-out cores behind
+  * [[graft.queries.AnalyticsQueries]]. Each is shaped to ride ONE hash
+  * partitioning where the semantics allow (cascaded unbounded windows
+  * share an exchange; the terminal per-key collapse reuses it).
+  */
+object Analytics {
+
+  /** Ordered-step funnel: step i's timestamp is the earliest event of
+    * `steps(i)` STRICTLY AFTER step i−1 (leak-free rule: out-of-order
+    * completions don't count). Returns one row per key with each
+    * step's timestamp (null = not reached) and `stage` = number of
+    * completed steps. One exchange: the window cascade and the
+    * groupBy share the key partitioning.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(keyCol))
+    val withSteps = steps.zipWithIndex.foldLeft(events) {
+      case (df, (step, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && col(tsCol) > col(s"_t$i")
+        df.withColumn(s"_t${i + 1}", min(when(cond, col(tsCol))).over(w))
+    }
+    val stepCols = steps.indices.map(i => max(col(s"_t${i + 1}")).as(s"${steps(i)}_ts"))
+    // fold ascending so the LAST when wrapped is the HIGHEST stage —
+    // it ends up outermost, and funnel monotonicity (step i+1 reached
+    // ⇒ step i reached) makes the chain total
+    val stageCol = steps.indices.foldLeft(lit(0L): Column) {
+      case (rest, i) => when(col(s"${steps(i)}_ts").isNotNull, (i + 1).toLong)
+        .otherwise(rest)
+    }
+    withSteps.groupBy(col(keyCol))
+      .agg(stepCols.head, stepCols.tail: _*)
+      .withColumn("stage", stageCol)
+  }
+
+  /** SCD2 history from an ordered change stream: consecutive
+    * same-value runs of `attrCol` compress to one row with
+    * [valid_from, valid_to) and is_current on the open run. Change
+    * detection (lag) and interval close (lead) share one
+    * (key → order) sort.
+    */
+  def scd2(rows: DataFrame, keyCol: String, attrCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    rows
+      .withColumn("_changed", lag(col(attrCol), 1).over(w).isNull ||
+        lag(col(attrCol), 1).over(w) =!= col(attrCol))
+      .where(col("_changed"))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)))
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_changed")
+  }
+
+  /** Peak concurrent intervals per day — the distributed sweep line:
+    * intervals [stCol, enCol] (inclusive, epoch-micro longs built
+    * in-function from timestamps) are clipped to each day they touch,
+    * become +1/−1 boundary rows, and the running sum sweeps WITHIN
+    * each day partition. Starts sort before ends at the same instant,
+    * so touching intervals count as concurrent; the daily max is
+    * invariant to ordering among equal boundaries.
+    */
+  def concurrencyPeak(intervals: DataFrame, stCol: String, enCol: String): DataFrame = {
+    val clipped = intervals
+      .withColumn("day", explode(expr(s"sequence(to_date($stCol), to_date($enCol))")))
+      .withColumn("_day_us", unix_micros(col("day").cast("timestamp")))
+      .withColumn("_cs", greatest(unix_micros(col(stCol)), col("_day_us")))
+      .withColumn("_ce", least(unix_micros(col(enCol)), col("_day_us") + lit(86399999999L)))
+    val bounds = clipped.select(col("day"), col("_cs").as("t"), lit(1L).as("delta"))
+      .unionAll(clipped.select(col("day"), col("_ce").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("_r", sum(col("delta")).over(w))
+      .groupBy(col("day")).agg(max(col("_r")).as("peak_concurrency"))
+  }
+
+  /** Calendar gap-fill with forward fill over a (key, day, count,
+    * payload) daily table: densify each key's [first, last] day,
+    * zero-fill the count, and carry the payload of the most recent
+    * ACTIVE day — a running max-of-active-day window (monotone day
+    * order = forward fill without IGNORE NULLS) plus an equi-join
+    * re-attach of the payload.
+    */
+  def gapFillDaily(daily: DataFrame, keyCol: String, dayCol: String,
+      countCol: String, payloadCol: String): DataFrame = {
+    val calendar = daily.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+      .withColumn(dayCol, explode(expr("sequence(_d0, _d1)")))
+      .select(col(keyCol), col(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val la = calendar
+      .join(daily.select(col(keyCol), col(dayCol), col(countCol)),
+        Seq(keyCol, dayCol), "left")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+      .withColumn("last_active_day",
+        max(when(col(countCol) > 0, col(dayCol))).over(w))
+    la.join(daily.select(col(keyCol).as("_k2"), col(dayCol).as("_d2"),
+          col(payloadCol).as(s"ff_$payloadCol")),
+        la(keyCol) === col("_k2") && la("last_active_day") === col("_d2"))
+      .select(col(keyCol), col(dayCol), col(countCol),
+        col("last_active_day"), col(s"ff_$payloadCol"))
+  }
+}

@@ -63,25 +63,11 @@ object AnalyticsQueries {
     * one shuffle; the terminal per-user collapse groups on the same
     * key and reuses it. `stage` counts completed steps.
     */
-  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-    Tables.events(spark, sfDir)
-      .withColumn("t1",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" && col("ts") > col("t1"),
-          col("ts"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
-          col("ts"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(max(col("t1")).as("view_ts"), max(col("t2")).as("click_ts"),
-        max(col("t3")).as("purchase_ts"))
-      .withColumn("stage",
-        when(col("purchase_ts").isNotNull, 3L)
-          .when(col("click_ts").isNotNull, 2L)
-          .when(col("view_ts").isNotNull, 1L).otherwise(0L))
-  }
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Analytics.funnel(
+      Tables.events(spark, sfDir),
+      keyCol = "user_id", tsCol = "ts", typeCol = "event_type",
+      steps = Seq("view", "click", "purchase"))
 
   /** Cohort retention: users bucketed by first-seen day, counted once
     * per (cohort, day-offset) they come back on. The cohort day rides
@@ -105,22 +91,13 @@ object AnalyticsQueries {
     * passes over ONE (custkey → orderdate, orderkey) sort — Spark
     * plans them on a single exchange+sort.
     */
-  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
-    val wo = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .withColumn("changed",
-        lag(col("o_orderstatus"), 1).over(wo).isNull ||
-          lag(col("o_orderstatus"), 1).over(wo) =!= col("o_orderstatus"))
-      .where(col("changed"))
-      .withColumn("valid_to",
-        lead(col("o_orderdate"), 1).over(
-          Window.partitionBy(col("o_custkey"))
-            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Analytics.scd2(
+        Tables.orders(spark, sfDir),
+        keyCol = "o_custkey", attrCol = "o_orderstatus",
+        orderCols = Seq("o_orderdate", "o_orderkey"))
       .select(col("o_custkey"), col("o_orderstatus").as("status"),
-        col("o_orderdate").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
-  }
+        col("valid_from"), col("valid_to"), col("is_current"))
 
   /** Peak concurrent sessions per day — the sweep-line algorithm,
     * distributed: sessions become (+1 at start, −1 at end) boundary
@@ -139,17 +116,7 @@ object AnalyticsQueries {
         keyCol = "user_id", timeCol = "ts", tieBreak = col("event_id"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
-    val clipped = sess
-      .withColumn("day", explode(expr("sequence(to_date(st), to_date(en))")))
-      .withColumn("day_us", unix_micros(col("day").cast("timestamp")))
-      .withColumn("cs", greatest(unix_micros(col("st")), col("day_us")))
-      .withColumn("ce", least(unix_micros(col("en")), col("day_us") + lit(86399999999L)))
-    val bounds = clipped.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
-      .unionAll(clipped.select(col("day"), col("ce").as("t"), lit(-1L).as("delta")))
-    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds.withColumn("r", sum(col("delta")).over(w))
-      .groupBy(col("day")).agg(max(col("r")).as("peak_concurrency"))
+    graft.operators.Analytics.concurrencyPeak(sess, "st", "en")
   }
 
   /** The ranking-window family in one pass: rank, dense_rank, ntile,
@@ -202,22 +169,10 @@ object AnalyticsQueries {
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 3).as("day_value"))
-    val calendar = daily.groupBy(col("user_id"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .withColumn("day", explode(expr("sequence(d0, d1)")))
-      .select(col("user_id"), col("day"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val la = calendar
-      .join(daily.select(col("user_id"), col("day"), col("n_events")),
-        Seq("user_id", "day"), "left")
-      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-      .withColumn("last_active_day",
-        max(when(col("n_events") > 0, col("day"))).over(w))
-    la.join(daily.select(col("user_id").as("u2"), col("day").as("d2"),
-          col("day_value").as("ff_value")),
-        la("user_id") === col("u2") && la("last_active_day") === col("d2"))
-      .select("user_id", "day", "n_events", "last_active_day", "ff_value")
+    graft.operators.Analytics
+      .gapFillDaily(daily, keyCol = "user_id", dayCol = "day",
+        countCol = "n_events", payloadCol = "day_value")
+      .withColumnRenamed("ff_day_value", "ff_value")
   }
 
   /** Array-column surface in one query: per-user distinct event types

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Hand-built golden cases for the analytics operators' semantic
+  * corners — the oracle proves them on the generated tables; these pin
+  * the rules a fixture could satisfy by accident, against the REAL
+  * operator code.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: a click BEFORE the first view does not advance the funnel") {
+    // user 1: click at 10:00 precedes the view → stage stops at 1
+    // user 2: view, click, purchase in order → stage 3
+    // user 3: no view at all → stage 0 even though click+purchase exist
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "click"),
+      (2L, 1L, ts("2026-01-01 11:00:00"), "view"),
+      (3L, 1L, ts("2026-01-01 12:00:00"), "purchase"),
+      (4L, 2L, ts("2026-01-01 09:00:00"), "view"),
+      (5L, 2L, ts("2026-01-01 09:30:00"), "click"),
+      (6L, 2L, ts("2026-01-01 09:45:00"), "purchase"),
+      (7L, 3L, ts("2026-01-01 08:00:00"), "click"),
+      (8L, 3L, ts("2026-01-01 08:30:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Analytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 3L, 3L -> 0L))
+    // ...and user 1's purchase also doesn't count (click never followed
+    // the view), so purchase_ts must be null while view_ts is set
+    val u1 = Analytics.funnel(events.where(col("user_id") === 1),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .select("view_ts", "click_ts", "purchase_ts").head()
+    assert(!u1.isNullAt(0) && u1.isNullAt(1) && u1.isNullAt(2))
+  }
+
+  test("scd2: consecutive same-status runs compress; a return is a NEW row") {
+    val orders = Seq(
+      (1L, 10L, "O", Date.valueOf("2026-01-01")),
+      (2L, 10L, "O", Date.valueOf("2026-01-05")), // same status → compressed
+      (3L, 10L, "F", Date.valueOf("2026-01-10")), // change
+      (4L, 10L, "O", Date.valueOf("2026-01-20"))  // change back → new row, not merged
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val got = Analytics.scd2(orders, "o_custkey", "o_orderstatus",
+        Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_orderstatus"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(String, String, Option[String], Boolean)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      ("O", "2026-01-01", Some("2026-01-10"), false),
+      ("F", "2026-01-10", Some("2026-01-20"), false),
+      ("O", "2026-01-20", None, true)))
+  }
+
+  test("concurrency sweep: touching intervals count as concurrent at the boundary") {
+    // [1:00, 2:00] and [2:00, 3:00] — both active at exactly 2:00 → peak 2;
+    // a third interval on another day sweeps independently → peak 1
+    val intervals = Seq(
+      (ts("2026-01-01 01:00:00"), ts("2026-01-01 02:00:00")),
+      (ts("2026-01-01 02:00:00"), ts("2026-01-01 03:00:00")),
+      (ts("2026-01-02 09:00:00"), ts("2026-01-02 10:00:00"))
+    ).toDF("st", "en")
+    val got = Analytics.concurrencyPeak(intervals, "st", "en")
+      .select(col("day").cast("string"), col("peak_concurrency"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("2026-01-01" -> 2L, "2026-01-02" -> 1L))
+  }
+
+  test("concurrency sweep: a midnight-spanning interval carries into the next day") {
+    val intervals = Seq(
+      (ts("2026-01-01 23:00:00"), ts("2026-01-02 01:00:00")),
+      (ts("2026-01-02 00:30:00"), ts("2026-01-02 00:45:00"))
+    ).toDF("st", "en")
+    val got = Analytics.concurrencyPeak(intervals, "st", "en")
+      .select(col("day").cast("string"), col("peak_concurrency"))
+      .as[(String, Long)].collect().toMap
+    // Jan 2 sees the carried-over interval overlap the short one
+    assert(got === Map("2026-01-01" -> 1L, "2026-01-02" -> 2L))
+  }
+
+  test("gap_fill: zero-filled days carry the last ACTIVE day's payload") {
+    val daily = Seq(
+      (1L, Date.valueOf("2026-01-01"), 2L, 10.0),
+      // Jan 2–3 missing
+      (1L, Date.valueOf("2026-01-04"), 1L, 40.0)
+    ).toDF("user_id", "day", "n_events", "day_value")
+    val got = Analytics.gapFillDaily(daily, "user_id", "day", "n_events", "day_value")
+      .select(col("day").cast("string"), col("n_events"), col("ff_day_value"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("2026-01-01", 2L, 10.0),
+      ("2026-01-02", 0L, 10.0), // gap: zero events, carried value
+      ("2026-01-03", 0L, 10.0),
+      ("2026-01-04", 1L, 40.0)))
+  }
+}
