@@ -47,14 +47,19 @@ object Analytics {
     * same-value runs of `attrCol` compress to one row with
     * [valid_from, valid_to) and is_current on the open run. Change
     * detection (lag) and interval close (lead) share one
-    * (key → order) sort.
+    * (key → order) sort. Comparison is null-safe (`<=>`, SQL
+    * IS DISTINCT FROM): a run that transitions INTO a null attribute
+    * value opens its own interval instead of silently merging into
+    * the previous run, and the first row of a key is detected by
+    * row_number rather than lag-is-null (which a null attr would
+    * fake).
     */
   def scd2(rows: DataFrame, keyCol: String, attrCol: String,
       orderCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     rows
-      .withColumn("_changed", lag(col(attrCol), 1).over(w).isNull ||
-        lag(col(attrCol), 1).over(w) =!= col(attrCol))
+      .withColumn("_changed", row_number().over(w) === 1 ||
+        !(lag(col(attrCol), 1).over(w) <=> col(attrCol)))
       .where(col("_changed"))
       .withColumn("valid_to", lead(col(orderCols.head), 1).over(
         Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)))
@@ -106,9 +111,14 @@ object Analytics {
       .withColumn(countCol, coalesce(col(countCol), lit(0L)))
       .withColumn("last_active_day",
         max(when(col(countCol) > 0, col(dayCol))).over(w))
+    // Left join: a calendar day with no prior active day (possible
+    // only if the input carries count=0 rows, so last_active_day is
+    // null) keeps its row with a null forward-fill instead of being
+    // silently dropped.
     la.join(daily.select(col(keyCol).as("_k2"), col(dayCol).as("_d2"),
           col(payloadCol).as(s"ff_$payloadCol")),
-        la(keyCol) === col("_k2") && la("last_active_day") === col("_d2"))
+        la(keyCol) === col("_k2") && la("last_active_day") === col("_d2"),
+        "left")
       .select(col(keyCol), col(dayCol), col(countCol),
         col("last_active_day"), col(s"ff_$payloadCol"))
   }

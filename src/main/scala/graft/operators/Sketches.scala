@@ -68,18 +68,28 @@ object Sketches {
     * .max(ρ)` then one more aggregate IS the sketch. Two hash-aggregate
     * shuffles, the second over ≤ m rows per group.
     *
-    * This is the RAW estimator: α_m·m²·2³³ / Σ 2^(33−ρ_j) with empty
+    * This is the RAW estimator α_m·m²·2³³ / Σ 2^(33−ρ_j) with empty
     * registers contributing 2³³ (the sum is scaled by 2³³ so every term
-    * is an exact integer — ρ ≤ 33). The small-range linear-counting
-    * correction is deliberately omitted: it needs ln(), whose last-ulp
-    * behavior differs across libms, and the whole point of this sketch
-    * is that every output column is engine-independent. Callers who
-    * need the correction have n_registers (= non-empty count) to apply
-    * it themselves. Known consequence: the raw estimate reads high when
-    * distinct ≪ m.
+    * is an exact integer — ρ ≤ 33), PLUS the small-range
+    * linear-counting correction (Flajolet et al. 2007) as a separate
+    * `est_corrected` column. The correction needs ln(), whose last-ulp
+    * behavior differs across libms — but V (the empty-register count)
+    * only takes m values, so m·ln(m/V) is a COMPILE-TIME table of m
+    * doubles, interpolated into both engines as shortest-round-trip
+    * literals: the correction stays engine-independent and the oracle
+    * still verifies it bit-for-bit. The large-range (hash-collision)
+    * correction is still omitted: it needs ln of a runtime value, and
+    * it only matters past 2³²/30 ≈ 143 M distinct per group — far
+    * beyond p=7's useful range (use a bigger p there).
+    *
+    * Null values are ignored (like count(DISTINCT) and like
+    * [[kmvDistinct]], whose k_min_values buffer skips null hashes) —
+    * otherwise the null hash would occupy a phantom register.
     *
     * Output: group cols, n_registers, sum_scaled (exact long),
-    * est_distinct (one double divide, rounded to 3).
+    * est_distinct (raw), est_corrected (linear-counting when the raw
+    * estimate ≤ 2.5·m and empty registers exist; raw otherwise). Both
+    * one double divide / one table lookup, rounded to 3.
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       p: Int = 7, salt: String = "hll"): DataFrame = {
@@ -89,7 +99,10 @@ object Sketches {
     // α_m·m²·2³³ as one double constant, shared verbatim with the oracle
     val numer = hllAlpha(m) * m * m * emptyTerm.toDouble
     val h = hash60(col(valueCol), salt)
-    df.select((groupCols.map(col) ++ Seq(
+    // linear-counting table: index v = number of EMPTY registers ∈ [1, m]
+    val linTable = typedLit(linearCountingTable(m).toSeq)
+    df.where(col(valueCol).isNotNull)
+      .select((groupCols.map(col) ++ Seq(
         h.bitwiseAND(lit((m - 1).toLong)).as("_reg"),
         shiftright(h, p).bitwiseAND(lit(4294967295L)).as("_sfx"))): _*)
       .withColumn("_rho",
@@ -104,10 +117,23 @@ object Sketches {
           .as("_present_sum"))
       .withColumn("sum_scaled",
         col("_present_sum") + (lit(m.toLong) - col("n_registers")) * lit(emptyTerm))
+      .withColumn("_raw", lit(numer) / col("sum_scaled").cast("double"))
+      .withColumn("_v_empty", (lit(m.toLong) - col("n_registers")).cast("int"))
       .select(groupCols.map(col) ++ Seq(
         col("n_registers"),
         col("sum_scaled"),
-        round(lit(numer) / col("sum_scaled").cast("double"), 3)
-          .as("est_distinct")): _*)
+        round(col("_raw"), 3).as("est_distinct"),
+        round(
+          when(col("_raw") <= lit(2.5 * m) && col("_v_empty") > 0,
+            element_at(linTable, col("_v_empty")))
+            .otherwise(col("_raw")),
+          3).as("est_corrected")): _*)
   }
+
+  /** m·ln(m/v) for v = 1..m — the linear-counting estimates, one per
+    * possible empty-register count. Computed once on the driver; both
+    * engines consume the same shortest-round-trip double literals.
+    */
+  def linearCountingTable(m: Int): Array[Double] =
+    (1 to m).map(v => m * math.log(m.toDouble / v)).toArray
 }

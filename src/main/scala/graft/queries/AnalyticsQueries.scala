@@ -180,14 +180,22 @@ object AnalyticsQueries {
     * array_sort makes it deterministic — the same discipline as every
     * other cross-engine value here), plus size / membership / first
     * element. Distinct-then-collect keeps the aggregate's partial
-    * buffers bounded by the type domain, not the event count.
+    * buffers bounded by the type domain, not the event count. The
+    * array itself is registered as an `array_join` CSV string
+    * (`types_csv`) rather than the raw array column: the verification
+    * harness sorts result rows in pandas, which cannot hash ndarray
+    * cells — the string carries the identical information (exact
+    * element values AND order) in a sortable scalar, and
+    * size/membership/first-element still exercise the array ops on
+    * the real array.
     */
   def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).distinct()
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("event_type"))).as("types"))
-      .select(col("user_id"), col("types"),
+      .select(col("user_id"),
+        array_join(col("types"), ",").as("types_csv"),
         size(col("types")).cast("long").as("n_types"),
         array_contains(col("types"), "purchase").as("has_purchase"),
         element_at(col("types"), 1).as("first_type"))
@@ -211,7 +219,8 @@ object AnalyticsQueries {
         |  SELECT user_id, event_type FROM events GROUP BY 1, 2
         |)
         |SELECT user_id,
-        |  list(event_type ORDER BY event_type) AS types,
+        |  array_to_string(list(event_type ORDER BY event_type), ',')
+        |    AS types_csv,
         |  CAST(len(list(event_type ORDER BY event_type)) AS BIGINT) AS n_types,
         |  list_contains(list(event_type ORDER BY event_type), 'purchase')
         |    AS has_purchase,
@@ -353,12 +362,13 @@ object AnalyticsQueries {
     "scd2_history" ->
       """WITH chg AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    row_number() OVER w AS rn,
         |    lag(o_orderstatus) OVER w AS prev_status
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |), runs AS (
         |  SELECT * FROM chg
-        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        |  WHERE rn = 1 OR prev_status IS DISTINCT FROM o_orderstatus
         |)
         |SELECT o_custkey, o_orderstatus AS status,
         |  o_orderdate AS valid_from,

@@ -60,7 +60,7 @@ object SketchQueries {
          |  SELECT event_type,
          |    CAST(concat('0x', substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
          |      AS BIGINT) AS h
-         |  FROM events
+         |  FROM events WHERE user_id IS NOT NULL
          |), s AS (
          |  SELECT event_type, h & ${(1 << HllP) - 1} AS reg,
          |    (h >> $HllP) & 4294967295 AS sfx
@@ -70,13 +70,27 @@ object SketchQueries {
          |    max(CASE WHEN sfx = 0 THEN 33
          |        ELSE 33 - length(bin(sfx)) END) AS maxrho
          |  FROM s GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n_registers,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(33 - maxrho AS INT)) AS BIGINT)
+         |      + (${1 << HllP} - CAST(count(*) AS BIGINT)) * 8589934592 AS sum_scaled
+         |  FROM r GROUP BY event_type
          |)
-         |SELECT event_type,
-         |  CAST(count(*) AS BIGINT) AS n_registers,
-         |  CAST(sum(CAST(1 AS BIGINT) << CAST(33 - maxrho AS INT)) AS BIGINT)
-         |    + (${1 << HllP} - CAST(count(*) AS BIGINT)) * 8589934592 AS sum_scaled,
-         |  round($hllNumer / CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(33 - maxrho AS INT)) AS BIGINT)
-         |    + (${1 << HllP} - CAST(count(*) AS BIGINT)) * 8589934592 AS DOUBLE), 3) AS est_distinct
-         |FROM r GROUP BY event_type""".stripMargin
+         |SELECT event_type, n_registers, sum_scaled,
+         |  round($hllNumer / CAST(sum_scaled AS DOUBLE), 3) AS est_distinct,
+         |  round(CASE
+         |    WHEN $hllNumer / CAST(sum_scaled AS DOUBLE) <= ${2.5 * (1 << HllP)}
+         |         AND ${1 << HllP} - n_registers > 0
+         |    THEN $hllLinList[CAST(${1 << HllP} - n_registers AS INT)]
+         |    ELSE $hllNumer / CAST(sum_scaled AS DOUBLE) END, 3) AS est_corrected
+         |FROM agg""".stripMargin
   )
+
+  /** The linear-counting table as a DuckDB list literal — the SAME
+    * shortest-round-trip double strings the Spark plan embeds via
+    * typedLit, so `[...][v]` (1-based) reads the identical IEEE value.
+    */
+  private def hllLinList: String =
+    Sketches.linearCountingTable(1 << HllP).mkString("[", ", ", "]")
 }

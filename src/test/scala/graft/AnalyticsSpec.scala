@@ -60,6 +60,24 @@ class AnalyticsSpec extends SparkSpec {
       ("O", "2026-01-20", None, true)))
   }
 
+  test("scd2: a transition INTO a null attribute opens its own interval") {
+    val orders = Seq(
+      (1L, 10L, Option("O"), Date.valueOf("2026-01-01")),
+      (2L, 10L, Option.empty[String], Date.valueOf("2026-01-05")), // → null: new run
+      (3L, 10L, Option.empty[String], Date.valueOf("2026-01-08")), // null run compresses
+      (4L, 10L, Option("F"), Date.valueOf("2026-01-10"))           // null → F: new run
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val got = Analytics.scd2(orders, "o_custkey", "o_orderstatus",
+        Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_orderstatus"), col("valid_from").cast("string"),
+        col("is_current"))
+      .as[(Option[String], String, Boolean)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      (Some("O"), "2026-01-01", false),
+      (None, "2026-01-05", false),
+      (Some("F"), "2026-01-10", true)))
+  }
+
   test("concurrency sweep: touching intervals count as concurrent at the boundary") {
     // [1:00, 2:00] and [2:00, 3:00] — both active at exactly 2:00 → peak 2;
     // a third interval on another day sweeps independently → peak 1
@@ -100,5 +118,21 @@ class AnalyticsSpec extends SparkSpec {
       ("2026-01-02", 0L, 10.0), // gap: zero events, carried value
       ("2026-01-03", 0L, 10.0),
       ("2026-01-04", 1L, 40.0)))
+  }
+
+  test("gap_fill: days before the first ACTIVE day survive with a null fill") {
+    // input already carries a count=0 row before any active day — the
+    // payload re-attach must not drop it (left join, null forward-fill)
+    val daily = Seq(
+      (1L, Date.valueOf("2026-01-01"), 0L, 0.0),
+      (1L, Date.valueOf("2026-01-02"), 3L, 30.0)
+    ).toDF("user_id", "day", "n_events", "day_value")
+    val got = Analytics.gapFillDaily(daily, "user_id", "day", "n_events", "day_value")
+      .select(col("day").cast("string"), col("n_events"),
+        col("ff_day_value"))
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("2026-01-01", 0L, None), // no prior active day → null, not dropped
+      ("2026-01-02", 3L, Some(30.0))))
   }
 }

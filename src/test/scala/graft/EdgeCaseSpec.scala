@@ -49,6 +49,27 @@ class EdgeCaseSpec extends SparkSpec {
     val kmv = Sketches.kmvDistinct(withNulls, Seq("grp"), "v", 8)
       .select("grp", "n_kept").as[(String, Long)].collect().toMap
     assert(kmv === Map("a" -> 1L, "b" -> 0L))
+    // HLL must not turn a null into a phantom register: group "a" has
+    // exactly one real observation → one register; all-null group "b"
+    // vanishes entirely (no observations = no sketch row)
+    val hll = Sketches.hllDistinct(withNulls, Seq("grp"), "v")
+      .select("grp", "n_registers").as[(String, Long)].collect().toMap
+    assert(hll === Map("a" -> 1L))
+  }
+
+  test("hll linear-counting correction recovers tiny cardinalities") {
+    // 5 distinct ids in a 128-register sketch: the raw estimator reads
+    // high by design; the corrected column must land within ±1 of 5
+    // (linear counting is near-exact when most registers are empty)
+    val tiny = spark.range(0, 5).select(lit("g").as("grp"), col("id"))
+    val row = Sketches.hllDistinct(tiny, Seq("grp"), "id").head()
+    val corrected = row.getAs[Double]("est_corrected")
+    assert(math.abs(corrected - 5.0) <= 1.0, s"est_corrected=$corrected")
+    // and the correction only fires in-range: a full sketch falls back
+    // to the raw estimate (est_corrected === est_distinct)
+    val big = spark.range(0, 50000).select(lit("g").as("grp"), col("id"))
+    val r2 = Sketches.hllDistinct(big, Seq("grp"), "id").head()
+    assert(r2.getAs[Double]("est_corrected") === r2.getAs[Double]("est_distinct"))
   }
 
   test("bloom join handles empty probe and empty build") {
