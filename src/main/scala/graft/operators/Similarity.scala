@@ -32,11 +32,19 @@ object Similarity {
 
   /** LSH bucket id from `bits` hyperplanes over a quantized vector:
     * bit j set iff Σᵢ sign(j,i)·qᵢ ≥ 0. Exact integer dots.
+    *
+    * Each plane's dot is the codegen'd [[graft.functions.LongArrayDot]]
+    * against a constant ±1 literal array — NOT the
+    * `aggregate(zip_with(...))` builtin chain, which evaluates
+    * interpreted lambdas per element per row (bits × dims of them) and
+    * allocates an intermediate array per plane. Same rewrite that took
+    * dedup_embedding 41.2→2.2 s; null/length-mismatch semantics are
+    * identical (both yield NULL → bit contributes 0).
     */
   def lshBucket(q: Column, bits: Int, dims: Int): Column = {
     val bitCols = (0 until bits).map { j =>
       val signs = typedLit((0 until dims).map(i => planeSign(j, i).toLong))
-      val dot = aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L), (a, x) => a + x)
+      val dot = graft.functions.LongArrayDot.long_dot(q, signs)
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
