@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -84,20 +85,135 @@ object Dedup {
       .select(col(idCol), col("b.band_idx"), col("b.band_hash"))
   }
 
+  /** Skew guard for LSH-bucket self-joins. Annotates bucket-keyed rows
+    * with `_kept` (a deterministic ≈`cap`-row subset of each bucket —
+    * the whole bucket when it fits) and `_anchor` (the bucket's min
+    * id, always kept). An adversarial corpus — millions of IDENTICAL
+    * documents — collapses into ONE bucket, and an unguarded self-join
+    * does O(B²) work on a single shuffle key; with the guard, pairs
+    * are emitted only among the kept subset (O(cap²)) while every
+    * dropped row still links to the anchor (O(B) star edges), so
+    * CONNECTIVITY is exact — connected-components dedup downstream
+    * sees the same clusters. What is traded is pair-level recall among
+    * the dropped tail of a >cap bucket (two dropped near-dups that are
+    * NOT near the anchor won't surface as a pair).
+    *
+    * Shape: skew is DETECTED ON A SAMPLE, the way AQE detects it from
+    * runtime statistics — an exact per-bucket count would either
+    * recompute the whole upstream bucket derivation a second time or
+    * force a materialization/window sort of the big table, and all
+    * three cost more on natural data than the skew they guard against.
+    * A deterministic 1-in-`sampleMod` hash-sample of ids flows through
+    * the same bucket derivation (the id filter pushes below the
+    * per-doc aggregates, so only the sampled docs are shingled at
+    * all), per-bucket sample counts scale up to a size estimate, and
+    * only the estimated-oversized buckets (normally ZERO rows)
+    * broadcast back over a left join — everything else passes through
+    * a broadcast miss. The cap is therefore approximate: a bucket near
+    * the cap may engage or not (both behaviors are correct candidate
+    * sets), but a catastrophic bucket (B ≫ cap, the O(B²) killer) is
+    * flagged with overwhelming probability, and the decision is a pure
+    * hash function of the data — deterministic, partition-independent.
+    * The anchor is the min sampled id of the bucket (kept by
+    * construction); star edges order ids with least/greatest since the
+    * global min may be unsampled.
+    *
+    * The detection job runs EAGERLY (the same driver-side adaptivity
+    * as [[BloomJoin]]'s build job and Spark's own runtime filters),
+    * and its result — the tiny oversized-bucket list — is CACHED
+    * per (canonical input plan, cap, sampleMod) for the life of the
+    * JVM: skew is a property of a corpus version, so one detection
+    * pass serves every dedup query and repeat over the same input
+    * (production would persist the verdict next to the band table; a
+    * long-lived session over mutating data can [[clearSkewCache]]).
+    * When no oversized bucket exists — every natural corpus — the
+    * returned plan is the UNGUARDED plan plus constant columns, so
+    * `where(!_kept)` star-edge branches constant-fold to empty and
+    * the self-join plan is byte-for-byte what it was before the
+    * guard existed.
+    */
+  def bucketSkewGuard(rows: DataFrame, bucketCols: Seq[String],
+      idCol: String, cap: Int, sampleMod: Int = 100): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    // key on the canonicalized plan OBJECT: its equality covers what
+    // toString elides (e.g. LocalRelation prints only its schema — two
+    // in-memory tables with the same shape must not share a verdict)
+    val key = (rows.queryExecution.analyzed.canonicalized,
+      bucketCols.mkString(","), cap, sampleMod)
+    val overRows = skewCache.getOrElseUpdate(key, {
+      rows
+        .where(pmod(Sketches.hash60(col(idCol), "skewdetect"),
+          lit(sampleMod.toLong)) === 0)
+        .groupBy(bucketCols.map(col): _*)
+        .agg((count(lit(1)) * sampleMod).as("_bsize"),
+          min(col(idCol)).as("_anchor"))
+        .where(col("_bsize") > cap)
+        .collect().toSeq
+    })
+    if (overRows.isEmpty) {
+      rows
+        .withColumn("_bsize", lit(null).cast("long"))
+        .withColumn("_anchor", lit(null).cast(rows.schema(idCol).dataType))
+        .withColumn("_kept", lit(true))
+    } else {
+      val spark = rows.sparkSession
+      val overSchema = org.apache.spark.sql.types.StructType(
+        bucketCols.map(rows.schema(_)) :+
+          org.apache.spark.sql.types.StructField("_bsize",
+            org.apache.spark.sql.types.LongType) :+
+          org.apache.spark.sql.types.StructField("_anchor",
+            rows.schema(idCol).dataType))
+      val over = spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(overRows).asJava), overSchema)
+      rows.join(broadcast(over), bucketCols, "left")
+        .withColumn("_kept",
+          col("_bsize").isNull || col(idCol) === col("_anchor") ||
+            pmod(Sketches.hash60(col(idCol), "skew"), col("_bsize")) < cap)
+    }
+  }
+
+  /** Detection results from [[bucketSkewGuard]], keyed by canonical
+    * input plan — see its doc for the caching contract.
+    */
+  private val skewCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        String, Int, Int), Seq[org.apache.spark.sql.Row]]
+
+  /** Drop all cached skew-detection verdicts (for sessions whose
+    * underlying data mutates between queries).
+    */
+  def clearSkewCache(): Unit = skewCache.clear()
+
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The
     * self-join shuffles on (band_idx, band_hash); bucket sizes are the
-    * skew knob — more hashes/bands shrink buckets at 100 TB.
+    * skew knob — more hashes/bands shrink buckets at 100 TB — and
+    * buckets that still exceed `bucketCap` go through
+    * [[bucketSkewGuard]]: kept-subset pairs plus anchor star edges,
+    * never O(bucket²) on one key. Natural corpora stay far below the
+    * default cap, where output is bit-identical to the unguarded join.
     */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, numHashes: Int = 9, rowsPerBand: Int = 3): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 9, rowsPerBand: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
     val sigs = minhashSignatureTable(df, idCol, textCol, shingleK, numHashes)
     val bands = lshBands(sigs, idCol, numHashes, rowsPerBand)
-    val a = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("doc_a"))
-    val b = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val guarded =
+      bucketSkewGuard(bands, Seq("band_idx", "band_hash"), idCol, bucketCap)
+    val kept = guarded.where(col("_kept"))
+    val a = kept.select(col("band_idx"), col("band_hash"), col(idCol).as("doc_a"))
+    val b = kept.select(col("band_idx"), col("band_hash"), col(idCol).as("doc_b"))
+    val keptPairs = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    // the anchor is the min SAMPLED id (always kept); a dropped id may
+    // sort on either side of it, so order the edge explicitly
+    val starPairs = guarded.where(!col("_kept"))
+      .select(least(col("_anchor"), col(idCol)).as("doc_a"),
+        greatest(col("_anchor"), col(idCol)).as("doc_b"))
+    keptPairs.union(starPairs).distinct()
   }
 
   /** Incremental (batch-vs-corpus) near-dup detection: the daily-ingest
@@ -455,16 +571,35 @@ object Dedup {
     */
   def embeddingNearDupsLsh(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
-      bits: Int = 8, dims: Int = 64): DataFrame = {
+      bits: Int = 8, dims: Int = 64, bucketCap: Int = 10000): DataFrame = {
     val q = df.select(col(idCol), quantize(col(embCol)).as("q"))
       .withColumn("n2", squaredNorm(col("q")))
       .withColumn("bucket", Similarity.lshBucket(col("q"), bits, dims))
-    val a = q.select(col("bucket"), col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
-    val b = q.select(col("bucket"), col(idCol).as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
-    a.join(b, "bucket")
+    // Identical embeddings all land in one bucket — the adversarial
+    // O(B²) single-key case; [[bucketSkewGuard]] caps the self-join at
+    // O(cap²) + O(B) anchor comparisons per bucket.
+    val guarded = bucketSkewGuard(q, Seq("bucket"), idCol, bucketCap)
+    val kept = guarded.where(col("_kept"))
+    val a = kept.select(col("bucket"), col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = kept.select(col("bucket"), col(idCol).as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+    val keptPairs = a.join(b, "bucket")
       .where(col("vec_a") < col("vec_b"))
+    // dropped rows are compared against their bucket's anchor only —
+    // the 1-row anchor side fans out across the bucket, no O(B²)
+    val anchors = kept.where(col(idCol) === col("_anchor"))
+      .select(col("bucket"), col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val starPairs = guarded.where(!col("_kept"))
+      .select(col("bucket"), col(idCol).as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+      .join(anchors, "bucket")
+    val cols = Seq("bucket", "vec_a", "qa", "n2a", "vec_b", "qb", "n2b")
+    keptPairs.select(cols.map(col): _*)
+      .union(starPairs.select(cols.map(col): _*))
       .withColumn("cosine", quantizedCosine(col("qa"), col("qb"), col("n2a"), col("n2b")))
       .where(col("cosine") > threshold)
-      .select("vec_a", "vec_b", "cosine", "bucket")
+      // star edges may carry anchor > dropped id; normalize (cosine is
+      // symmetric, so only the id order needs fixing)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        col("cosine"), col("bucket"))
   }
 }

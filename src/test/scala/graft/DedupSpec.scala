@@ -68,6 +68,60 @@ class DedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("10k identical docs: the skew guard caps the bucket self-join at O(cap²)+O(n)") {
+    // Every doc identical → all 3 bands collapse to one bucket each. An
+    // unguarded self-join would emit ~n²/2 ≈ 50M pairs; the guard must
+    // keep the candidate list near n (kept-subset pairs + star edges).
+    val n = 10000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("a b c d e f g h i j k l").as("text"))
+    val cap = 64
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", bucketCap = cap)
+      .persist()
+    val nPairs = pairs.count()
+    // upper bound: kept-subset pairs (binomial ~cap per band, allow 3x
+    // headroom) + one star edge per dropped doc
+    assert(nPairs < 3L * (3 * cap) * (3 * cap) / 2 + n,
+      s"guard failed: $nPairs pairs for $n identical docs (cap $cap)")
+    assert(nPairs >= n - 1, s"connectivity needs >= ${n - 1} edges, got $nPairs")
+    // connectivity is EXACT: all n docs form one cluster labeled 0
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    assert(cc.count() === n.toLong)
+    assert(cc.where(col("cluster") =!= 0L).count() === 0L,
+      "every doc must join the min-id component")
+    pairs.unpersist()
+  }
+
+  test("skew guard output is bit-identical when no bucket exceeds the cap") {
+    def txt(seed: Int) = (0 until 12).map(j => s"w${seed}x$j").mkString(" ")
+    val docs = (1 to 20).map(i => (i.toLong, txt(i % 5))).toDF("doc_id", "text")
+    val guarded = Dedup.minhashCandidates(docs, "text", "doc_id", bucketCap = 10000)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // cap larger than any bucket → same pairs as an effectively
+    // unguarded run (cap = corpus size bounds every bucket)
+    val unguarded = Dedup.minhashCandidates(docs, "text", "doc_id", bucketCap = 20)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(guarded === unguarded && guarded.nonEmpty)
+  }
+
+  test("embedding LSH skew guard: identical vectors stay one cluster, not O(n²) pairs") {
+    val n = 2000
+    val dims = 8
+    val ident = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dims).map(_ => lit(0.5f)): _*).as("embedding"))
+    val pairs = Dedup.embeddingNearDupsLsh(ident, "vec_id", "embedding",
+      threshold = 0.99, bits = 4, dims = dims, bucketCap = 32).persist()
+    val nPairs = pairs.count()
+    assert(nPairs < 32L * 32 / 2 * 3 + n,
+      s"guard failed: $nPairs pairs for $n identical vectors")
+    // identical vectors: every pair that IS emitted has cosine 1, and
+    // the star edges keep all n vectors in one connected cluster
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    assert(cc.count() === n.toLong)
+    assert(cc.where(col("cluster") =!= 0L).count() === 0L)
+    pairs.unpersist()
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
     // pair 10-11, triangle 20-21-22 with a redundant edge
