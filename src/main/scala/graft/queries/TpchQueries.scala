@@ -81,6 +81,50 @@ object TpchQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
+  /** Q13 customer distribution — the outer-join shape Q1/Q3/Q5 don't
+    * exercise: a LEFT OUTER join whose filter lives in the ON clause
+    * (so orderless customers survive with count 0), aggregated twice
+    * (per-customer count, then distribution of counts). The reference
+    * TPC-H predicate is on o_comment, which the synthetic tables don't
+    * carry; the NOT LIKE lands on o_orderpriority instead — same
+    * shape, same NULL-group semantics. count(o_orderkey) (not
+    * count(*)) is what makes the no-order group count 0.
+    */
+  private val Q13 =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey
+      |    AND o_orderpriority NOT LIKE '%URGENT%'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q18 large-volume customer — the correlated-semi shape: an IN
+    * subquery over an AGGREGATE (orders whose total lineitem quantity
+    * exceeds 300), rejoined to customer/orders/lineitem for the
+    * per-order report. Spark plans the IN as a left-semi hash join on
+    * the aggregated subquery — at scale the semi side is tiny (the
+    * HAVING keeps only outlier orders), so it broadcasts and the big
+    * lineitem scan never reshuffles for it. Quantity sums go through
+    * DECIMAL like Q1; o_totalprice passes through unmodified (no
+    * arithmetic → bit-identical on both engines); ORDER BY carries a
+    * total tie-break.
+    */
+  private val Q18 =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
     spark.sql(sql)
@@ -89,12 +133,16 @@ object TpchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> run(Q1) _,
     "tpch_q3" -> run(Q3) _,
-    "tpch_q5" -> run(Q5) _
+    "tpch_q5" -> run(Q5) _,
+    "tpch_q13" -> run(Q13) _,
+    "tpch_q18" -> run(Q18) _
   )
 
   val oracle: Map[String, String] = Map(
     "tpch_q1" -> Q1,
     "tpch_q3" -> Q3,
-    "tpch_q5" -> Q5
+    "tpch_q5" -> Q5,
+    "tpch_q13" -> Q13,
+    "tpch_q18" -> Q18
   )
 }
