@@ -122,4 +122,35 @@ object Analytics {
       .select(col(keyCol), col(dayCol), col(countCol),
         col("last_active_day"), col(s"ff_$payloadCol"))
   }
+
+  /** [[gapFillDaily]] in one window pass: the payload carry uses
+    * `last(_, ignoreNulls = true)` over the same running window that
+    * computes last_active_day, so the re-attach equi-join disappears —
+    * one exchange on the key instead of a window exchange PLUS a join
+    * (PlanSpec pins the difference). Results are identical whenever
+    * active-day payloads are non-null (the contract of every current
+    * caller; an active day carrying a NULL payload is where the two
+    * forms diverge — this one skips past it to the previous active
+    * day, the join form faithfully re-attaches the null).
+    */
+  def gapFillDailyFF(daily: DataFrame, keyCol: String, dayCol: String,
+      countCol: String, payloadCol: String): DataFrame = {
+    val calendar = daily.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+      .withColumn(dayCol, explode(expr("sequence(_d0, _d1)")))
+      .select(col(keyCol), col(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(daily.select(col(keyCol), col(dayCol), col(countCol),
+        col(payloadCol)), Seq(keyCol, dayCol), "left")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+      .withColumn("last_active_day",
+        max(when(col(countCol) > 0, col(dayCol))).over(w))
+      .withColumn(s"ff_$payloadCol",
+        last(when(col(countCol) > 0, col(payloadCol)), ignoreNulls = true)
+          .over(w))
+      .select(col(keyCol), col(dayCol), col(countCol),
+        col("last_active_day"), col(s"ff_$payloadCol"))
+  }
 }

@@ -169,8 +169,11 @@ object AnalyticsQueries {
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 3).as("day_value"))
+    // the single-pass IGNORE-NULLS form: same output as gapFillDaily
+    // here (day_value is a non-null rounded sum), one exchange fewer
+    // (PlanSpec pins it)
     graft.operators.Analytics
-      .gapFillDaily(daily, keyCol = "user_id", dayCol = "day",
+      .gapFillDailyFF(daily, keyCol = "user_id", dayCol = "day",
         countCol = "n_events", payloadCol = "day_value")
       .withColumnRenamed("ff_day_value", "ff_value")
   }

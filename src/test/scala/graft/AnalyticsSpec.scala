@@ -120,6 +120,28 @@ class AnalyticsSpec extends SparkSpec {
       ("2026-01-04", 1L, 40.0)))
   }
 
+  test("gap_fill: the single-pass IGNORE-NULLS variant matches the join form") {
+    val daily = Seq(
+      (1L, Date.valueOf("2026-01-01"), 2L, 10.0),
+      (1L, Date.valueOf("2026-01-04"), 1L, 40.0),
+      (2L, Date.valueOf("2026-01-02"), 5L, 7.5),
+      // count=0 head row: both forms must keep it with a null fill
+      (3L, Date.valueOf("2026-01-01"), 0L, 0.0),
+      (3L, Date.valueOf("2026-01-03"), 2L, 9.0)
+    ).toDF("user_id", "day", "n_events", "day_value")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("day").cast("string"), col("n_events"),
+        col("last_active_day").cast("string"), col("ff_day_value"))
+      .as[(Long, String, Long, Option[String], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val joinForm = norm(Analytics.gapFillDaily(
+      daily, "user_id", "day", "n_events", "day_value"))
+    val ffForm = norm(Analytics.gapFillDailyFF(
+      daily, "user_id", "day", "n_events", "day_value"))
+    assert(joinForm === ffForm)
+    assert(joinForm.size === 4 + 1 + 3) // spans densified per user
+  }
+
   test("gap_fill: days before the first ACTIVE day survive with a null fill") {
     // input already carries a count=0 row before any active day — the
     // payload re-attach must not drop it (left join, null forward-fill)

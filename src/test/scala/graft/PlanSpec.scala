@@ -117,6 +117,24 @@ class PlanSpec extends SparkSpec {
       s"identical window specs must share one exchange:\n$w")
   }
 
+  test("single-pass gap-fill plans strictly fewer exchanges than the join form") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("day_value"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      countOccurrences(df.queryExecution.executedPlan.toString,
+        "Exchange hashpartitioning")
+    val joinForm = exchanges(graft.operators.Analytics.gapFillDaily(
+      daily, "user_id", "day", "n_events", "day_value"))
+    val ffForm = exchanges(graft.operators.Analytics.gapFillDailyFF(
+      daily, "user_id", "day", "n_events", "day_value"))
+    assert(ffForm < joinForm,
+      s"last(_, ignoreNulls) fill should drop the re-attach join's " +
+        s"exchanges: ff=$ffForm join=$joinForm")
+  }
+
   test("pivot with pinned values is one hash aggregate, no discovery job") {
     val p = plan("pivot_wide")
     assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p)
