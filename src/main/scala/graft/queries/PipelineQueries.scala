@@ -80,10 +80,67 @@ object PipelineQueries {
   def botOrigin(spark: SparkSession, sfDir: String): DataFrame =
     Aggregates.botOriginSummary(enriched(spark, sfDir))
 
+  // staged gzip input for elb_pipeline, one write per (session, sfDir):
+  // the pipeline's EXTRACT stage must read real (compressed) files, and
+  // re-staging identical bytes per bench repeat would time the harness,
+  // not the pipeline
+  private val stageMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Deterministic 10 % subset predicate for the whole-DAG query: the
+    * full composition (gzip extract → cache persist round-trip →
+    * enrich → filter → features → sessionize → rolling → sinks) runs
+    * end-to-end, but on a tenth of the lines so the per-round bench
+    * carries file I/O + five sink writes at a bounded cost. The oracle
+    * applies the identical predicate.
+    */
+  private val PipelineSubset = "event_id % 10 = 0"
+
+  /** The COMPLETE reference main() (elb_logs.py:398-437) as one
+    * hash-verified query: [[graft.ElbPipeline.run]] over staged gzip
+    * files — including the geolocation-cache parquet persist/reload and
+    * all five sinks — returning the featured frame the sinks consume.
+    * The projection keeps every stage observable (parse keys, geo
+    * fields, classification, time/path features, session ids, rolling
+    * windows) and excludes only columns bound to harness artifacts
+    * (log_source_file carries the temp path; time_diff/new_session are
+    * tie-order-dependent where session_number/session_id are not).
+    */
+  def elbPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = stageMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
+        val dir = java.nio.file.Files.createTempDirectory("graft-pipeq").toString
+        ElbSynth.lines(Tables.events(spark, sfDir).where(PipelineSubset))
+          .select("value").repartition(8)
+          .write.option("compression", "gzip").text(s"$dir/logs")
+        dir
+      })
+    // fresh cache/output dirs per run: the refresh starts from an empty
+    // cache every time, so its CONTENT (and the enriched output) is
+    // deterministic; dir names never reach the projection
+    val run = java.nio.file.Files.createTempDirectory("graft-pipeq-run").toString
+    graft.ElbPipeline.run(
+      spark, s"$work/logs/*.gz", s"$run/cache.parquet", s"$run/out",
+      StaticGeoProvider(JoinQueries.FixedClock))
+    // project from the pipeline's OWN cleaned-logs sink, not the
+    // returned frame: the round-trip additionally gates what the
+    // partitioned parquet sink persisted, and avoids re-running the
+    // full DAG for the projection (run() unpersists after its sinks)
+    spark.read.parquet(s"$run/out/cleaned_logs").select(
+      col("elb"), col("time"), col("client_ip"),
+      col("status_code_type"), col("countryName"), col("city"), col("isp"),
+      col("is_bot"), col("path_depth"), col("path_main_segment"),
+      col("request_hour"), col("total_processing_time"),
+      col("session_number"), col("session_id"),
+      col("rolling_5min_request_count"),
+      round(col("rolling_1h_avg_processing"), 6).as("rolling_1h_avg_processing"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "elb_hourly_geo" -> hourlyGeo,
     "elb_error_summary" -> errorSummary,
-    "elb_bot_origin" -> botOrigin
+    "elb_bot_origin" -> botOrigin,
+    "elb_pipeline" -> elbPipeline
   )
 
   /** Shared oracle CTE: the enriched frame, re-derived from events. */
@@ -115,6 +172,10 @@ object PipelineQueries {
        |  FROM events
        |  WHERE ${ElbSynth.survivorsWhere} AND event_id % 6 <> 4
        |)""".stripMargin
+
+  /** [[baseCte]] with an extra conjunct (the pipeline-subset oracle). */
+  private def baseCteAnd(extra: String): String =
+    baseCte.replace("AND event_id % 6 <> 4", s"AND event_id % 6 <> 4 AND $extra")
 
   val oracle: Map[String, String] = Map(
     "elb_hourly_geo" ->
@@ -160,6 +221,47 @@ object PipelineQueries {
          |SELECT countryName, isp,
          |  CAST(count(*) AS BIGINT) AS bot_request_count
          |FROM base WHERE event_id % 6 = 3
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    // Whole-DAG derivation: base (parse+enrich+filter) → session
+    // windows → rolling range windows, all re-derived from events.
+    // Session ORDER BY carries event_id as the oracle-side tie-break
+    // (the Spark side hashes request fields); the projected
+    // session_number/session_id are invariant to tie order, and the
+    // rolling range frames mirror the pandas (t−Δ, t] edge exactly as
+    // the rolling_window oracle does.
+    "elb_pipeline" ->
+      s"""${baseCteAnd(PipelineSubset)},
+         |sess AS (
+         |  SELECT *,
+         |    CASE WHEN coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER sw, 0)
+         |      > 1800000000 THEN 1 ELSE 0 END AS ns
+         |  FROM base
+         |  WINDOW sw AS (PARTITION BY client_ip ORDER BY ts, event_id)
+         |),
+         |s AS (
+         |  SELECT *,
+         |    CAST(sum(ns) OVER (PARTITION BY client_ip ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_number
+         |  FROM sess
+         |)
+         |SELECT 'app/elb-' || event_id AS elb, ts AS time, client_ip,
+         |  sct AS status_code_type, countryName, city, isp,
+         |  event_id % 6 = 3 AS is_bot,
+         |  CASE event_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1
+         |    WHEN 3 THEN 3 WHEN 4 THEN 3 ELSE 1 END AS path_depth,
+         |  CASE event_id % 6 WHEN 2 THEN 'api' WHEN 3 THEN 'api'
+         |    WHEN 4 THEN 'assets' WHEN 5 THEN 'search' ELSE '' END AS path_main_segment,
+         |  hour(e) AS request_hour,
+         |  tpt AS total_processing_time,
+         |  session_number,
+         |  client_ip || '_s' || session_number AS session_id,
+         |  CAST(count(*) OVER w5 AS BIGINT) AS rolling_5min_request_count,
+         |  round(avg(tpt) OVER w1, 6) AS rolling_1h_avg_processing
+         |FROM s
+         |WINDOW
+         |  w5 AS (PARTITION BY client_ip ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW),
+         |  w1 AS (PARTITION BY client_ip ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }
