@@ -53,6 +53,21 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Leakage-safe train/val/test split: rows arrive carrying a near-dup
+    * CLUSTER label (from [[Dedup.connectedComponents]] over candidate
+    * pairs), and the split hash is taken on the cluster — every member
+    * of a near-dup family lands in the same split, so test-set
+    * contamination by a training-set near-duplicate is structurally
+    * impossible (a doc-level hash split scatters ~1−Σwᵢ² of multi-doc
+    * clusters across splits). Same md5-threshold determinism as
+    * [[assignSplit]]; split proportions are weighted by CLUSTER count,
+    * which converges to the row weights when clusters are small.
+    */
+  def clusterAwareSplit(
+      df: DataFrame, clusterCol: String, weights: Seq[(String, Double)],
+      salt: String = "clsplit", splitCol: String = "split"): DataFrame =
+    assignSplit(df, clusterCol, weights, salt, splitCol)
+
   /** The row's md5 key mapped to [0, 1): the top 60 bits of the hash as
     * an exact long, divided by 2⁶⁰. Every step is reproducible across
     * engines: the long→double cast and the divide by an exact power of

@@ -128,7 +128,19 @@ object DocQueries {
         round(col("best.q"), 6).as("canonical_quality"))
   }
 
+  /** Leakage-safe corpus split: the near-dup cluster map feeds
+    * [[graft.operators.Sampling.clusterAwareSplit]], so a whole dup
+    * family shares one split — the train/test contamination a
+    * doc-level hash split would create is structurally impossible.
+    * Composes the same cluster derivation as `dedup_clusters`.
+    */
+  def splitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.clusterAwareSplit(
+      dedupClusters(spark, sfDir), "cluster",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
     "dedup_incremental" -> dedupIncremental,
@@ -154,6 +166,25 @@ object DocQueries {
 
   private val sigExprs: String =
     (0 until 9).map(s => s"min(md5('$s:' || sh)) AS sig_$s").mkString(", ")
+
+  /** Shingles → signatures → bands → candidate pairs → connected
+    * components (recursive reachability), shared by the cluster-shaped
+    * oracles. Use after `WITH RECURSIVE`.
+    */
+  private lazy val clusterChain: String =
+    s"""shr AS ($shingleRows),
+       |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b USING (band_idx, band_hash)
+       |          WHERE a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION
+       |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
+       |       FROM reach GROUP BY s)""".stripMargin
 
   private val bandSelects: String =
     (0 until 3).map { b =>
@@ -221,21 +252,21 @@ object DocQueries {
          |  doc_id AS canonical_doc, round(q, 6) AS canonical_quality
          |FROM r WHERE rn = 1""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE shr AS ($shingleRows),
-         |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b USING (band_idx, band_hash)
-         |          WHERE a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT s, d FROM edges
-         |          UNION
-         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-         |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
-         |       FROM reach GROUP BY s)
+      s"""WITH RECURSIVE $clusterChain
          |SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster
          |FROM documents LEFT JOIN cl ON doc_id = cl.node""".stripMargin,
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $clusterChain,
+         |clustered AS (
+         |  SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster
+         |  FROM documents LEFT JOIN cl ON doc_id = cl.node)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN md5('clsplit:' || CAST(cluster AS VARCHAR))
+         |         < '${graft.operators.Sampling.fractionThreshold(0.8)}' THEN 'train'
+         |       WHEN md5('clsplit:' || CAST(cluster AS VARCHAR))
+         |         < '${graft.operators.Sampling.fractionThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clustered""".stripMargin,
     "decontaminate" ->
       s"""WITH s AS (
          |  SELECT doc_id,

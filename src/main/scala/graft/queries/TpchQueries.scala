@@ -125,6 +125,42 @@ object TpchQueries {
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** Q6 forecasting-revenue-change — the pure pushdown query: every
+    * predicate (date range, discount band, quantity cap) reaches the
+    * parquet scan, and the single global aggregate is two-phase. At
+    * 100 TB this is the query where scan pruning IS the runtime.
+    */
+  private val Q6 =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Q10 returned-item reporting — the 4-table join with a selective
+    * fact filter (one quarter, returnflag 'R') and a top-N over a
+    * grouped revenue sum. The synthetic customer table carries no
+    * address/phone/comment columns, so the report keys are
+    * (custkey, name, acctbal, nation) — same join tree and
+    * aggregation shape. ORDER BY carries a total tie-break.
+    */
+  private val Q10 =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
     spark.sql(sql)
@@ -135,7 +171,9 @@ object TpchQueries {
     "tpch_q3" -> run(Q3) _,
     "tpch_q5" -> run(Q5) _,
     "tpch_q13" -> run(Q13) _,
-    "tpch_q18" -> run(Q18) _
+    "tpch_q18" -> run(Q18) _,
+    "tpch_q6" -> run(Q6) _,
+    "tpch_q10" -> run(Q10) _
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +181,8 @@ object TpchQueries {
     "tpch_q3" -> Q3,
     "tpch_q5" -> Q5,
     "tpch_q13" -> Q13,
-    "tpch_q18" -> Q18
+    "tpch_q18" -> Q18,
+    "tpch_q6" -> Q6,
+    "tpch_q10" -> Q10
   )
 }

@@ -25,6 +25,33 @@ class SamplingSpec extends SparkSpec {
       .where($"split" =!= $"s2").count() === 0)
   }
 
+  test("cluster-aware split never separates a near-dup family; doc-level split does") {
+    import graft.operators.Dedup
+    // 60 families of 3 near-identical docs each (ids i, i+1000, i+2000
+    // share a cluster); distinctive vocab keeps families apart
+    def txt(seed: Long) = (0 until 12).map(j => s"w${seed}x$j").mkString(" ")
+    val docs = (0L until 60L).flatMap(i =>
+      Seq((i, txt(i)), (i + 1000L, txt(i)), (i + 2000L, txt(i))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val clustered = docs.select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("node"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val safe = Sampling.clusterAwareSplit(clustered, "cluster", weights)
+    // no cluster spans two splits
+    assert(safe.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n")).where(col("n") > 1)
+      .count() === 0)
+    // the doc-level hash split DOES scatter families — the leakage the
+    // cluster-aware operator exists to prevent
+    val naive = Sampling.assignSplit(clustered, "doc_id", weights)
+    assert(naive.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n")).where(col("n") > 1)
+      .count() > 0)
+  }
+
   test("deterministic sample hits ~fraction and is a subset property of the id") {
     val s = Sampling.deterministicSample(events.select("event_id"), "event_id", 0.25)
     val n = s.count()
