@@ -162,6 +162,78 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine", "cell")
   }
 
+  /** Multi-probe IVF: the query probes its `probes` NEAREST cells
+    * instead of only the closest one — the standard IVF recall lever
+    * (FAISS nprobe): a true neighbor on the far side of a Voronoi
+    * boundary lives in the second- or third-closest cell, so probing
+    * them recovers it with the index unchanged. Mirrors what
+    * [[lshMultiProbeTopK]] does for hyperplane buckets.
+    *
+    * Cost shape: the corpus stays indexed exactly once (one cell per
+    * vector, so probe candidates can't duplicate); only the query side
+    * fans out ×probes. Query cell ranking is a row_number window over
+    * the |Q|×nCentroids broadcast product — 16 rows per query key, so
+    * the window partition is constant-size at any |Q|; the packed-long
+    * ordering keeps ties exact (no double rounding of the distance).
+    * The per-query top-k then spans cells, so the bounded-heap
+    * aggregate groups by query alone.
+    */
+  def ivfMultiProbeTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nCentroids: Int = 16, probes: Int = 4): DataFrame = {
+    require(probes >= 1 && probes <= nCentroids,
+      s"probes must be in [1, $nCentroids], got $probes")
+    val prep = prepared(corpus, idCol, embCol)
+    val mult = 1L << 20
+    val cents = prep
+      .orderBy(md5(concat(lit("centroid:"), col(idCol).cast("string"))), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("q").as("qcent"),
+        col("n2").as("n2cent"))
+      .withColumn("cidx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cent_id"))).cast("long") - 1)
+    val cellIds = cents.select(col("cidx").as("_cidx"), col("cent_id").as("cell"))
+
+    def packed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("_packed",
+          (col("n2") + col("n2cent")
+            - lit(2L) * graft.functions.LongArrayDot.long_dot(col("q"), col("qcent")))
+            * mult + col("cidx"))
+
+    // corpus: nearest cell only (the index), via the hash-aggregating
+    // packed argmin of ivfTopK
+    val c = packed(prep)
+      .groupBy(col(idCol))
+      .agg(min(col("_packed")).as("_best"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
+      .withColumn("_cidx", col("_best") % mult)
+      .join(broadcast(cellIds), Seq("_cidx"))
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col("q").as("qc"), col("n2").as("n2c"))
+    // queries: the `probes` nearest cells each
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_packed"))
+    val qs = packed(prepared(queries, idCol, embCol))
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= probes)
+      .withColumn("_cidx", col("_packed") % mult)
+      .join(broadcast(cellIds), Seq("_cidx"))
+      .select(col("cell"), col(idCol).as("query_id"),
+        col("q").as("qq"), col("n2").as("n2q"))
+    val grouped = c.join(qs, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+    rankRows(grouped, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket; then
     * exact cosine top-k within it. One shuffle on the bucket id, then the
     * same bounded-heap ranking as [[bruteForceTopK]] (bucket rides along

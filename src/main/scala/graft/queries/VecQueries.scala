@@ -32,6 +32,12 @@ object VecQueries {
       "vec_id", "embedding", k = 5, nCentroids = 16)
   }
 
+  def topkIvfMp(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.ivfMultiProbeTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16, probes = 4)
+  }
+
   def topkLshMp(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     Similarity.lshMultiProbeTopK(c, c.where(col("vec_id") < 10),
@@ -61,6 +67,7 @@ object VecQueries {
     recall(topkLsh(spark, sfDir), "lsh")
       .unionByName(recall(topkIvf(spark, sfDir), "ivf"))
       .unionByName(recall(topkLshMp(spark, sfDir), "lsh_mp"))
+      .unionByName(recall(topkIvfMp(spark, sfDir), "ivf_mp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,6 +75,7 @@ object VecQueries {
     "similarity_lsh" -> topkLsh,
     "similarity_lsh_mp" -> topkLshMp,
     "similarity_ivf" -> topkIvf,
+    "similarity_ivf_mp" -> topkIvfMp,
     "similarity_recall" -> similarityRecall
   )
 
@@ -146,6 +154,20 @@ object VecQueries {
          |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
          |        c.cent_id) AS rn
          |  FROM n v CROSS JOIN cents c) WHERE rn = 1),
+         |qasg AS (SELECT vec_id, qv, n2, cell FROM (
+         |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY v.n2 + c.n2cent
+         |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+         |        c.cent_id) AS rn
+         |  FROM n v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 4),
+         |ivfmp AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM qasg a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
          |ivf AS (SELECT query_id, neighbor_id FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY a.vec_id
@@ -167,7 +189,9 @@ object VecQueries {
          |hi AS (SELECT query_id, count(*) AS hits FROM truth
          |       JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
          |hm AS (SELECT query_id, count(*) AS hits FROM truth
-         |       JOIN lshmp USING (query_id, neighbor_id) GROUP BY query_id)
+         |       JOIN lshmp USING (query_id, neighbor_id) GROUP BY query_id),
+         |hp AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN ivfmp USING (query_id, neighbor_id) GROUP BY query_id)
          |SELECT 'lsh' AS method, query_id,
          |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hl.hits, 0) AS DOUBLE) / 5 AS recall_at_5
@@ -181,7 +205,12 @@ object VecQueries {
          |SELECT 'lsh_mp' AS method, query_id,
          |  CAST(coalesce(hm.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hm.hits, 0) AS DOUBLE) / 5 AS recall_at_5
-         |FROM qs LEFT JOIN hm USING (query_id)""".stripMargin,
+         |FROM qs LEFT JOIN hm USING (query_id)
+         |UNION ALL
+         |SELECT 'ivf_mp' AS method, query_id,
+         |  CAST(coalesce(hp.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hp.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hp USING (query_id)""".stripMargin,
     "similarity_topk" ->
       s"""WITH $qCte
          |SELECT query_id, neighbor_id, rank, cosine FROM (
@@ -193,6 +222,34 @@ object VecQueries {
          |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
          |  FROM n a, n b
          |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+    "similarity_ivf_mp" ->
+      s"""WITH $qCte,
+         |cents AS (SELECT vec_id AS cent_id, qv AS qcent, n2 AS n2cent FROM n
+         |          ORDER BY md5('centroid:' || CAST(vec_id AS VARCHAR)), vec_id
+         |          LIMIT 16),
+         |asg AS (SELECT vec_id, qv, n2, cell FROM (
+         |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY v.n2 + c.n2cent
+         |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+         |        c.cent_id) AS rn
+         |  FROM n v CROSS JOIN cents c) WHERE rn = 1),
+         |qasg AS (SELECT vec_id, qv, n2, cell FROM (
+         |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY v.n2 + c.n2cent
+         |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+         |        c.cent_id) AS rn
+         |  FROM n v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 4)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |      / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM qasg a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
          |WHERE rank <= 5""".stripMargin,
     "similarity_ivf" ->
       s"""WITH $qCte,

@@ -171,6 +171,7 @@ class PlanSpec extends SparkSpec {
       "kmeans_update" -> "broadcast k-centroid fan-out feeding the update",
       "mixture_sample" -> "crossJoin of the single global-totals row",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
+      "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",
       "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank")
     val hits = scala.collection.mutable.Map.empty[String, List[String]]
