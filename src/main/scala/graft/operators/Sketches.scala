@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.KMinValues.k_min_values
@@ -136,4 +137,45 @@ object Sketches {
     */
   def linearCountingTable(m: Int): Array[Double] =
     (1 to m).map(v => m * math.log(m.toDouble / v)).toArray
+
+  /** Fixed-bin histogram quantiles — the scalable p50/p90/p99.
+    * `percentile()`-style exact quantiles sort every group's values
+    * (per-group memory ∝ group size — the scale killer); here each
+    * value maps to one of `bins` fixed bins over [lo, hi) (clamped),
+    * ONE map-side-combining hash aggregate counts (group, bin) rows,
+    * and the quantile is located by a cumulative walk over ≤ `bins`
+    * rows per group — mergeable, streaming-compatible, error bounded
+    * by the bin width. Ranks use exact integer ceil-division
+    * (`(total·p + 99) div 100`), so placement is engine-independent;
+    * bin edges are the same double literals on both engines.
+    *
+    * Output per (group, percentile p): [bin_lo, bin_hi) bracketing the
+    * rank-⌈total·p/100⌉ value, plus rank_cum (≤-bin cumulative count)
+    * and total.
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      percents: Seq[Int]): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("int")))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        w.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("p", explode(typedLit(percents)))
+      .withColumn("_target", expr("(total * p + 99) div 100"))
+      .where(col("cum") >= col("_target") &&
+        col("cum") - col("n") < col("_target"))
+      .select(groupCols.map(col) ++ Seq(col("p"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
+        col("cum").as("rank_cum"), col("total")): _*)
+  }
 }

@@ -25,9 +25,23 @@ object SketchQueries {
     Sketches.hllDistinct(
       Tables.events(spark, sfDir), Seq("event_type"), "user_id", HllP)
 
+  private val QLo = 0.0
+  private val QHi = 500.0
+  private val QBins = 1000
+  private val QPercents = Seq(50, 90, 99)
+
+  /** Histogram-quantile value brackets per event type (p50/p90/p99 of
+    * `value` over fixed [0, 500)/1000 bins).
+    */
+  def quantileHist(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.histogramQuantiles(
+      Tables.events(spark, sfDir), Seq("event_type"), "value",
+      QLo, QHi, QBins, QPercents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_kmv" -> distinctKmv,
-    "distinct_hll" -> distinctHll
+    "distinct_hll" -> distinctHll,
+    "quantile_hist" -> quantileHist
   )
 
   // The double constants are interpolated from the SAME Scala values the
@@ -84,7 +98,28 @@ object SketchQueries {
          |         AND ${1 << HllP} - n_registers > 0
          |    THEN $hllLinList[CAST(${1 << HllP} - n_registers AS INT)]
          |    ELSE $hllNumer / CAST(sum_scaled AS DOUBLE) END, 3) AS est_corrected
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+    "quantile_hist" ->
+      s"""WITH c AS (
+         |  SELECT event_type,
+         |    least(${QBins - 1}, greatest(0,
+         |      CAST(floor((value - $QLo) / ${(QHi - QLo) / QBins}) AS INT))) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         |), cc AS (
+         |  SELECT event_type, bin, n,
+         |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n) OVER (PARTITION BY event_type) AS total
+         |  FROM c
+         |)
+         |SELECT event_type, p,
+         |  $QLo + bin * ${(QHi - QLo) / QBins} AS bin_lo,
+         |  $QLo + (bin + 1) * ${(QHi - QLo) / QBins} AS bin_hi,
+         |  CAST(cum AS BIGINT) AS rank_cum, CAST(total AS BIGINT) AS total
+         |FROM cc, (SELECT unnest([${QPercents.mkString(", ")}]) AS p) ps
+         |WHERE cum >= (total * p + 99) // 100
+         |  AND cum - n < (total * p + 99) // 100""".stripMargin
   )
 
   /** The linear-counting table as a DuckDB list literal — the SAME

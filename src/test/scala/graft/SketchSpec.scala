@@ -42,6 +42,22 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 10000.0) / 10000.0 < 0.37, s"est=$est")
   }
 
+  test("histogram quantiles bracket the exact rank on a known distribution") {
+    // values 0.1 .. 100.0 uniform: rank ⌈p·n/100⌉ value is p·100/100
+    val vals = spark.range(1, 1001)
+      .select(lit("g").as("grp"), (col("id") / 10.0).as("v"))
+    val got = Sketches.histogramQuantiles(vals, Seq("grp"), "v",
+        lo = 0.0, hi = 500.0, bins = 1000, percents = Seq(50, 90, 99))
+      .select("p", "bin_lo", "bin_hi", "total")
+      .as[(Int, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 3 && got.values.forall(_._4 == 1000L))
+    for ((p, truth) <- Seq(50 -> 50.0, 90 -> 90.0, 99 -> 99.0)) {
+      val (_, loE, hiE, _) = got(p)
+      assert(loE <= truth && truth < hiE, s"p$p bracket [$loE,$hiE) misses $truth")
+      assert(hiE - loE === 0.5) // one bin wide — error bounded by width
+    }
+  }
+
   test("kmv: duplicates collapse — repetition never shifts the sketch") {
     val once = Sketches.kmvDistinct(
       spark.range(0, 500).select(lit("g").as("grp"), col("id")),
