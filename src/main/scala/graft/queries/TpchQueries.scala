@@ -34,6 +34,7 @@ object TpchQueries {
     Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
     Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
     Tables.region(spark, sfDir).createOrReplaceTempView("region")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
   }
 
   private val Q1 =
@@ -161,6 +162,215 @@ object TpchQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** Q4 order-priority checking — the EXISTS semi-join shape: count
+    * orders that have at least one returned lineitem. The reference
+    * predicate (l_commitdate < l_receiptdate) uses columns the
+    * synthetic lineitem doesn't carry; l_returnflag = 'R' stands in —
+    * same plan (filter inside the subquery, left-semi hash join on
+    * orderkey, then a tiny group-count). At scale the semi probe rides
+    * lineitem's existing orderkey distribution; no new wide shuffle.
+    */
+  private val Q4 =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT * FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q7 volume shipping — the self-joined dimension shape: nation
+    * appears TWICE (supplier side and customer side) with a symmetric
+    * pair predicate, grouped by year. Both nation copies broadcast;
+    * the fact tables join on their natural keys only. year() is cast
+    * to INT because Spark's year() is int32 and DuckDB's is int64.
+    */
+  private val Q7 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 national market share — the widest join tree in the suite
+    * (7 tables, nation twice, region gate on the CUSTOMER side while
+    * the reported nation is the SUPPLIER side) plus a conditional-sum
+    * ratio per year. Numerator uses CASE WHEN ... THEN volume END
+    * (ELSE NULL) so the summed type is the exact decimal on both
+    * engines; the division happens on already-exact DOUBLE casts.
+    */
+  private val Q8 =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** Q12 shipping-mode priority — the conditional two-counter shape:
+    * one fact join, two CASE-counted columns per group. The synthetic
+    * lineitem has no l_shipmode/commit/receipt dates, so the group key
+    * is l_returnflag and the "late" predicate is the priority class —
+    * identical plan (join + single hash-agg with two conditional sums).
+    */
+  private val Q12 =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag IN ('A', 'R')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Q14 promotion effect — the global conditional-ratio shape: one
+    * part join, one scalar output. volume is computed once as exact
+    * decimal in the subquery; the promo branch sums THEN volume
+    * (ELSE NULL) so both sums stay in the same exact type.
+    */
+  private val Q14 =
+    """SELECT CAST(100.00
+      |  * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume END) AS DOUBLE)
+      |  / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS promo_revenue
+      |FROM (
+      |  SELECT p_type,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+      |) pl""".stripMargin
+
+  /** Q17 small-quantity-order revenue — the correlated SCALAR subquery
+    * shape: each lineitem row compares against 0.2 × the avg quantity
+    * of ITS part. Spark decorrelates this into an aggregate + self-join
+    * on partkey. Determinism note: l_quantity is integral (pinned by
+    * the data survey), so sum is FP-exact, avg is the correctly-rounded
+    * quotient, and 0.2*avg is one more correctly-rounded product —
+    * bit-identical on both engines, so the < threshold never flips.
+    * p_container doesn't exist in the synthetic part; p_size < 15
+    * plays the second filter.
+    */
+  private val Q17 =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |  / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l1, part
+      |WHERE p_partkey = l1.l_partkey
+      |  AND p_brand = 'Brand#2' AND p_size < 15
+      |  AND l1.l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  /** Q19 discounted revenue — the disjunctive-predicate join: three
+    * OR-branches each repeating the equi key with different brand/
+    * size/quantity bands. Catalyst's CNF extraction must lift the
+    * common p_partkey = l_partkey out of the OR so the join stays
+    * hash (the plan-gate test rejects a cartesian); the residual
+    * disjunction evaluates post-join.
+    */
+  private val Q19 =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+      |    AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_partkey = l_partkey AND p_brand = 'Brand#15'
+      |    AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_partkey = l_partkey AND p_brand = 'Brand#18'
+      |    AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** Q21 suppliers-who-kept-orders-waiting — the hardest subquery shape
+    * in TPC-H: EXISTS and NOT EXISTS over the SAME fact table, both
+    * correlated on the outer orderkey AND carrying a non-equality
+    * correlated predicate (a different supplier on the same order).
+    * l_returnflag = 'R' stands in for receipt-after-commit lateness.
+    * Spark decorrelates both into semi/anti joins keyed on orderkey.
+    */
+  private val Q21 =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT * FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT * FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** Q22 global sales opportunity — the anti-join + uncorrelated scalar
+    * threshold shape: customers above the average positive balance with
+    * NO orders at all. The country code derives from c_nationkey % 7
+    * (no c_phone in the synthetic table). The threshold is written as
+    * exact-decimal sum / count rather than avg(double) so both engines
+    * compute the identical correctly-rounded double (a double avg's
+    * summation order is engine-dependent). Every synthetic customer has
+    * at least one order, so the literal "no orders" anti-join would be
+    * vacuously empty; "no URGENT order" keeps the identical anti-join
+    * plan with a non-empty result.
+    */
+  private val Q22 =
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      |    AND c_acctbal > (
+      |      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |        / count(*)
+      |      FROM customer
+      |      WHERE c_acctbal > 0.00
+      |        AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      |    AND NOT EXISTS (
+      |      SELECT * FROM orders
+      |      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
     spark.sql(sql)
@@ -173,7 +383,16 @@ object TpchQueries {
     "tpch_q13" -> run(Q13) _,
     "tpch_q18" -> run(Q18) _,
     "tpch_q6" -> run(Q6) _,
-    "tpch_q10" -> run(Q10) _
+    "tpch_q10" -> run(Q10) _,
+    "tpch_q4" -> run(Q4) _,
+    "tpch_q7" -> run(Q7) _,
+    "tpch_q8" -> run(Q8) _,
+    "tpch_q12" -> run(Q12) _,
+    "tpch_q14" -> run(Q14) _,
+    "tpch_q17" -> run(Q17) _,
+    "tpch_q19" -> run(Q19) _,
+    "tpch_q21" -> run(Q21) _,
+    "tpch_q22" -> run(Q22) _
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,6 +402,15 @@ object TpchQueries {
     "tpch_q13" -> Q13,
     "tpch_q18" -> Q18,
     "tpch_q6" -> Q6,
-    "tpch_q10" -> Q10
+    "tpch_q10" -> Q10,
+    "tpch_q4" -> Q4,
+    "tpch_q7" -> Q7,
+    "tpch_q8" -> Q8,
+    "tpch_q12" -> Q12,
+    "tpch_q14" -> Q14,
+    "tpch_q17" -> Q17,
+    "tpch_q19" -> Q19,
+    "tpch_q21" -> Q21,
+    "tpch_q22" -> Q22
   )
 }
