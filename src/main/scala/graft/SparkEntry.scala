@@ -19,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ ElbQueries.queries ++ JoinQueries.queries ++ PipelineQueries.queries ++ DocQueries.queries ++ VecQueries.queries ++ TextQueries.queries ++ MiscQueries.queries ++ CurationQueries.queries ++ ClusterQueries.queries ++ AnalyticsQueries.queries ++ SketchQueries.queries ++ TpchQueries.queries
+    EventQueries.queries ++ ElbQueries.queries ++ JoinQueries.queries ++ PipelineQueries.queries ++ DocQueries.queries ++ VecQueries.queries ++ TextQueries.queries ++ MiscQueries.queries ++ CurationQueries.queries ++ ClusterQueries.queries ++ AnalyticsQueries.queries ++ SketchQueries.queries ++ TpchQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventQueries.oracle ++ ElbQueries.oracle ++ JoinQueries.oracle ++ PipelineQueries.oracle ++ DocQueries.oracle ++ VecQueries.oracle ++ TextQueries.oracle ++ MiscQueries.oracle ++ CurationQueries.oracle ++ ClusterQueries.oracle ++ AnalyticsQueries.oracle ++ SketchQueries.oracle ++ TpchQueries.oracle
+    EventQueries.oracle ++ ElbQueries.oracle ++ JoinQueries.oracle ++ PipelineQueries.oracle ++ DocQueries.oracle ++ VecQueries.oracle ++ TextQueries.oracle ++ MiscQueries.oracle ++ CurationQueries.oracle ++ ClusterQueries.oracle ++ AnalyticsQueries.oracle ++ SketchQueries.oracle ++ TpchQueries.oracle ++ GraphQueries.oracle
 }
