@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.KMinValues.k_min_values
+import graft.functions.SpaceSaving.space_saving
 
 /** Cardinality sketches — distinct counting WITHOUT the exact-distinct
   * shuffle. `count(DISTINCT x)` at 100 TB moves every distinct value
@@ -178,4 +179,22 @@ object Sketches {
         (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
         col("cum").as("rank_cum"), col("total")): _*)
   }
+
+  /** Heavy hitters per group via the Space-Saving sketch: items whose
+    * estimated count is ≥ `minCount`. One hash-aggregate shuffle
+    * carrying ≤ `capacity` counters per (task, group) — the exact
+    * GROUP-BY-item alternative shuffles every distinct item, which at
+    * 100 TB means the full key cardinality on the wire. With `capacity`
+    * ≥ the per-group distinct count the counters are exact (the
+    * oracle-verified regime); below it, estimates overshoot by at most
+    * N/capacity and the output is a superset of the true heavy hitters.
+    */
+  def heavyHitters(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      minCount: Long, capacity: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(space_saving(col(itemCol).cast("string"), capacity).as("_hh"))
+      .select(groupCols.map(col) :+ explode(col("_hh")).as("_e"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("_e.item").as("item"), col("_e.est").as("est")): _*)
+      .where(col("est") >= minCount)
 }

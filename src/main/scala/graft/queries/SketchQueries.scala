@@ -38,10 +38,20 @@ object SketchQueries {
       Tables.events(spark, sfDir), Seq("event_type"), "value",
       QLo, QHi, QBins, QPercents)
 
+  private val HhMin = 15L
+  private val HhCapacity = 8192 // ≥ per-group distinct users at bench SF → exact regime
+
+  /** Space-Saving heavy hitters: users with ≥ 15 events of a type. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.heavyHitters(
+      Tables.events(spark, sfDir), Seq("event_type"), "user_id",
+      HhMin, HhCapacity)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_kmv" -> distinctKmv,
     "distinct_hll" -> distinctHll,
-    "quantile_hist" -> quantileHist
+    "quantile_hist" -> quantileHist,
+    "heavy_hitters" -> heavyHitters
   )
 
   // The double constants are interpolated from the SAME Scala values the
@@ -119,7 +129,15 @@ object SketchQueries {
          |  CAST(cum AS BIGINT) AS rank_cum, CAST(total AS BIGINT) AS total
          |FROM cc, (SELECT unnest([${QPercents.mkString(", ")}]) AS p) ps
          |WHERE cum >= (total * p + 99) // 100
-         |  AND cum - n < (total * p + 99) // 100""".stripMargin
+         |  AND cum - n < (total * p + 99) // 100""".stripMargin,
+    // capacity ≥ distinct users per group at this SF ⇒ the sketch never
+    // truncates and its counters equal the exact GROUP BY counts.
+    "heavy_hitters" ->
+      s"""SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+         |  CAST(count(*) AS BIGINT) AS est
+         |FROM events
+         |GROUP BY event_type, user_id
+         |HAVING count(*) >= $HhMin""".stripMargin
   )
 
   /** The linear-counting table as a DuckDB list literal — the SAME

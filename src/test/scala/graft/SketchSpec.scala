@@ -78,4 +78,46 @@ class SketchSpec extends SparkSpec {
     assert(plan.sliding("ObjectHashAggregate".length).count(_ == "ObjectHashAggregate") >= 2,
       s"expected partial+final ObjectHashAggregate:\n$plan")
   }
+
+  // Zipf-ish stream: item i appears ~N/i times — a heavy head over a
+  // long tail, far more distinct items than sketch capacity.
+  private lazy val skewed = {
+    val rows = (1 to 400).flatMap(i => Seq.fill(2000 / i)(s"item$i"))
+    rows.toDF("item").withColumn("grp", lit("g"))
+  }
+
+  test("space-saving: exact regime (capacity ≥ distinct) equals GROUP BY counts") {
+    val exact = skewed.groupBy("item").count()
+      .as[(String, Long)].collect().toMap
+    val hh = Sketches.heavyHitters(skewed, Seq("grp"), "item",
+      minCount = 1L, capacity = 1000)
+      .select("item", "est").as[(String, Long)].collect().toMap
+    assert(hh == exact)
+  }
+
+  test("space-saving: approximate regime keeps every true heavy hitter with bounded overshoot") {
+    val n = skewed.count()
+    val m = 64
+    val bound = n / m // εN with ε = 1/capacity
+    val truth = skewed.groupBy("item").count()
+      .as[(String, Long)].collect().toMap
+    // repartition forces real partial-sketch merges across 8 tasks
+    val hh = Sketches.heavyHitters(skewed.repartition(8), Seq("grp"), "item",
+      minCount = 1L, capacity = m)
+      .select("item", "est").as[(String, Long)].collect().toMap
+    val mustKeep = truth.filter(_._2 > 2 * bound).keySet
+    assert(mustKeep.subsetOf(hh.keySet),
+      s"missing true heavy hitters: ${mustKeep -- hh.keySet}")
+    for ((item, est) <- hh if truth.contains(item) && truth(item) > 2 * bound)
+      assert(est >= truth(item) && est <= truth(item) + 2 * bound,
+        s"$item est=$est true=${truth(item)} bound=$bound")
+  }
+
+  test("space-saving plans as two-phase ObjectHashAggregate — bounded partials on the wire") {
+    val plan = Sketches.heavyHitters(skewed, Seq("grp"), "item",
+      minCount = 1L, capacity = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_spacesaving"),
+      s"expected a map-side partial sketch phase:\n$plan")
+  }
 }
