@@ -153,4 +153,40 @@ object Analytics {
       .select(col(keyCol), col(dayCol), col(countCol),
         col("last_active_day"), col(s"ff_$payloadCol"))
   }
+
+  /** Rolling z-score outliers WITHOUT floating point: flags rows whose
+    * value deviates from its trailing-window mean by more than k
+    * standard deviations, computed entirely in integer arithmetic.
+    *
+    * (x−μ)² > k²σ² is multiplied through by n² (μ = S/n,
+    * σ² = (nQ−S²)/n²) into (n·x − S)² > k²·(n·Q − S²) over integer
+    * cents — exact, associative, and therefore identical on any
+    * engine/partitioning, where a float mean/stddev window differs in
+    * the last ulp run-to-run and can flip the comparison for boundary
+    * rows. The cast chain value → DECIMAL(12,2) → ×100 → BIGINT is
+    * lossless for 2-decimal inputs.
+    *
+    * One exchange: the three window aggregates share a single
+    * (key, ts, tie) sort. `minN` suppresses early-window noise. Bounds:
+    * |x| ≤ 10^10 cents and lookback ≤ ~80 keep every product under
+    * 2⁶³ (n·Q ≤ n²·x²max).
+    */
+  def anomalyZscore(rows: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String,
+      lookback: Int, minN: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, Window.currentRow)
+    val x = (col(valCol).cast("decimal(12,2)") * 100).cast("long")
+    val flagged = rows
+      .withColumn("_x", x)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("_s", sum(col("_x")).over(w))
+      .withColumn("_q", sum(col("_x") * col("_x")).over(w))
+    val dev = col("n") * col("_x") - col("_s")
+    val varN2 = col("n") * col("_q") - col("_s") * col("_s")
+    flagged
+      .where(col("n") >= minN && dev * dev > lit(k.toLong * k) * varN2)
+      .select(col(tieCol), col(keyCol), col(tsCol), col(valCol), col("n"))
+  }
 }

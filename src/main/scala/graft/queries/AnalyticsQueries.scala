@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Analytics
 
 /** Product-analytics surface over `events`/`orders`: cube, pivot,
   * ordered-step funnel, cohort retention, and SCD2 history. The
@@ -203,7 +204,17 @@ object AnalyticsQueries {
         array_contains(col("types"), "purchase").as("has_purchase"),
         element_at(col("types"), 1).as("first_type"))
 
+  /** Rolling 2σ outliers per user over the trailing 21 events —
+    * integer-cents arithmetic end to end (see Analytics.anomalyZscore
+    * for why a float z-score can't be hash-verified).
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.anomalyZscore(
+      Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value",
+      lookback = 20, minN = 8, k = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_zscore" -> anomalyZscore,
     "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
@@ -217,6 +228,23 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "anomaly_zscore" ->
+      """WITH cents AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |), win AS (
+        |  SELECT event_id, user_id, ts, value, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS q
+        |  FROM cents
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts, value, n
+        |FROM win
+        |WHERE n >= 8 AND (n*x - s)*(n*x - s) > 4*(n*q - s*s)""".stripMargin,
     "array_funcs" ->
       """WITH dt AS (
         |  SELECT user_id, event_type FROM events GROUP BY 1, 2

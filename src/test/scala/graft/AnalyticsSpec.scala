@@ -157,4 +157,39 @@ class AnalyticsSpec extends SparkSpec {
       ("2026-01-01", 0L, None), // no prior active day → null, not dropped
       ("2026-01-02", 3L, Some(30.0))))
   }
+
+  test("anomaly z-score: a planted spike is the only flagged row") {
+    // 19 calm readings around 10.00 ± 0.05, one 100.00 spike in the
+    // middle. Only the spike deviates by > 2σ from its trailing window.
+    val base = (1 to 20).map { i =>
+      val v = if (i == 15) 100.00 else 10.00 + (i % 3) * 0.05
+      (i.toLong, 1L, Timestamp.valueOf(f"2026-01-01 00:$i%02d:00"), v)
+    }
+    val df = base.toDF("event_id", "user_id", "ts", "value")
+    val got = Analytics.anomalyZscore(
+      df, "user_id", "ts", "event_id", "value",
+      lookback = 20, minN = 8, k = 2)
+      .select("event_id").as[Long].collect().toSeq
+    assert(got === Seq(15L))
+  }
+
+  test("anomaly z-score: constant series never flags (zero variance, exact zero)") {
+    val df = (1 to 30).map(i =>
+      (i.toLong, 1L, Timestamp.valueOf(f"2026-01-01 00:$i%02d:00"), 42.42))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Analytics.anomalyZscore(
+      df, "user_id", "ts", "event_id", "value",
+      lookback = 20, minN = 8, k = 2).count()
+    assert(got === 0L)
+  }
+
+  test("anomaly z-score plans a single window exchange") {
+    val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val plan = Analytics.anomalyZscore(
+      df, "user_id", "ts", "event_id", "value", 20, 8, 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1, s"expected one exchange:\n$plan")
+  }
 }
