@@ -34,6 +34,24 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.where(hash(col(idCol), salt) < lit(fractionThreshold(fraction)))
 
+  /** Weight-proportional Bernoulli sampling: keep a row with
+    * probability min(1, weight / scaleWeight), membership a pure
+    * function of (salt, id) like everything here. The uniform draw is
+    * the row's 60-bit md5 prefix divided by 2⁶⁰ — an EXACT double
+    * (integer ≤ 2⁶⁰ over a power of two), so the `u < w/scale`
+    * comparison is two correctly-rounded IEEE ops with identical
+    * inputs on any engine: reproducible, partitioning-independent,
+    * and shuffle-free (a pushed-down filter, nothing else).
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, scaleWeight: Double,
+      salt: String = "wsamp"): DataFrame = {
+    require(scaleWeight > 0, s"bad scaleWeight $scaleWeight")
+    val u = conv(substring(hash(col(idCol), salt), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit((1L << 60).toDouble)
+    df.where(u < col(weightCol) / lit(scaleWeight))
+  }
+
   /** Assign every row to a named split with the given weights —
     * the reproducible replacement for randomSplit. Weights are
     * normalized; bucket edges are cumulative thresholds over md5 space.

@@ -176,6 +176,15 @@ object MiscQueries {
       idCol = "doc_id", groupCol = "source", budgetFraction = 0.5)
       .select("doc_id", "source")
 
+  /** Weight-proportional deterministic sample: P(keep) = value/40,
+    * capped at 1 — high-value events oversampled, membership a pure
+    * function of event_id.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "value"),
+      idCol = "event_id", weightCol = "value", scaleWeight = 40.0)
+
   /** Deterministic per-group downsample: at most 20 docs per language. */
   def capPerGroup(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.capPerGroup(
@@ -199,6 +208,7 @@ object MiscQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_value" -> zorderValue,
     "sample_split" -> sampleSplit,
+    "weighted_sample" -> weightedSample,
     "cap_per_group" -> capPerGroup,
     "mixture_sample" -> mixtureSample,
     "multimodal_features" -> multimodalFeatures,
@@ -255,6 +265,12 @@ object MiscQueries {
          |       ELSE 'test' END AS split,
          |  md5('sample:' || CAST(event_id AS VARCHAR)) < '$t25' AS in_quarter_sample
          |FROM events""".stripMargin,
+    "weighted_sample" ->
+      """SELECT event_id, user_id, value
+        |FROM events
+        |WHERE CAST(concat('0x',
+        |    substr(md5('wsamp:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+        |  / 1152921504606846976.0 < value / 40.0""".stripMargin,
     "streaming_event_pairs" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -91,4 +91,22 @@ class SamplingSpec extends SparkSpec {
     assert(kept.exceptAll(again).count() === 0)
     assert(again.exceptAll(kept).count() === 0)
   }
+
+  test("weightedSample: keep rate tracks the weight; saturated and zero weights are exact") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 4000).select(col("id"),
+      (col("id") % 4).cast("double").as("w")) // weights 0,1,2,3 over scale 2
+    val kept = Sampling.weightedSample(df, "id", "w", scaleWeight = 2.0)
+      .groupBy("w").count().as[(Double, Long)].collect().toMap
+    assert(!kept.contains(0.0))                  // w=0 → never kept
+    assert(kept(2.0) === 1000L)                  // w ≥ scale → always kept
+    assert(kept(3.0) === 1000L)
+    assert(math.abs(kept(1.0) - 500L) < 80)      // w/scale = 0.5 ± noise
+    val again = Sampling.weightedSample(
+      df.repartition(17), "id", "w", scaleWeight = 2.0)
+    assert(Sampling.weightedSample(df, "id", "w", 2.0)
+      .exceptAll(again).count() === 0)
+    assert(again.exceptAll(
+      Sampling.weightedSample(df, "id", "w", 2.0)).count() === 0)
+  }
 }
