@@ -153,6 +153,21 @@ object MiscQueries {
       "graft_stream_kmv")
   }
 
+  /** Streaming twin of [[SketchQueries.heavyHitters]]: the Space-Saving
+    * buffer is mergeable state, so the one-aggregation shape runs as a
+    * Complete-mode stateful query — each trigger merges new partial
+    * sketches into the store; the explode + threshold filter are
+    * stateless post-agg projections. Same exact-regime capacity, so
+    * the batch oracle hash-matches the stream's final answer.
+    */
+  def streamingHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = StreamingPipeline.readEvents(spark, sfDir)
+    StreamingPipeline.runToMemory(
+      graft.operators.Sketches.heavyHitters(
+        events, Seq("event_type"), "user_id", minCount = 15L, capacity = 8192),
+      "graft_stream_hh")
+  }
+
   /** Reproducible train/val/test assignment + an independent 25%
     * sample flag, both pure functions of the row id.
     */
@@ -218,6 +233,7 @@ object MiscQueries {
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
     "streaming_distinct_kmv" -> streamingDistinctKmv,
+    "streaming_heavy_hitters" -> streamingHeavyHitters,
     "streaming_dedup" -> streamingDedup,
     "streaming_event_pairs" -> streamingEventPairs,
     "streaming_incremental_dedup" -> streamingIncrementalDedup,
@@ -231,6 +247,7 @@ object MiscQueries {
   val oracle: Map[String, String] = Map(
     // the streaming twin must converge to the batch sketch exactly
     "streaming_distinct_kmv" -> SketchQueries.oracle("distinct_kmv"),
+    "streaming_heavy_hitters" -> SketchQueries.oracle("heavy_hitters"),
     "zorder_value" ->
       """WITH q AS (
         |  SELECT event_id,

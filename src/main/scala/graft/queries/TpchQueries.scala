@@ -371,6 +371,28 @@ object TpchQueries {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** Q15 top supplier — the uncorrelated scalar-MAX-over-aggregate
+    * shape: a revenue-per-supplier aggregate compared against its own
+    * maximum. Spark plans the subquery once (reused exchange) and the
+    * equality against the scalar broadcast. Exact decimal revenue on
+    * both sides makes the MAX comparison safe — with double sums the
+    * winner could differ by a last-ulp tie.
+    */
+  private val Q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
     spark.sql(sql)
@@ -392,7 +414,8 @@ object TpchQueries {
     "tpch_q17" -> run(Q17) _,
     "tpch_q19" -> run(Q19) _,
     "tpch_q21" -> run(Q21) _,
-    "tpch_q22" -> run(Q22) _
+    "tpch_q22" -> run(Q22) _,
+    "tpch_q15" -> run(Q15) _
   )
 
   val oracle: Map[String, String] = Map(
@@ -411,6 +434,7 @@ object TpchQueries {
     "tpch_q17" -> Q17,
     "tpch_q19" -> Q19,
     "tpch_q21" -> Q21,
-    "tpch_q22" -> Q22
+    "tpch_q22" -> Q22,
+    "tpch_q15" -> Q15
   )
 }
