@@ -17,12 +17,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventQueries.hourlyAgg(spark, "/root/testdata/sf0.001")
 
+  /** Per-module registries, kept as a list so EdgeCaseSpec can assert
+    * the union is collision-free — `Map ++` silently keeps the LAST
+    * binding, so a duplicate name across modules would shadow an
+    * existing query without any compile- or run-time signal.
+    */
+  val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    EventQueries.queries, ElbQueries.queries, JoinQueries.queries,
+    PipelineQueries.queries, DocQueries.queries, VecQueries.queries,
+    TextQueries.queries, MiscQueries.queries, CurationQueries.queries,
+    ClusterQueries.queries, AnalyticsQueries.queries, SketchQueries.queries,
+    TpchQueries.queries, GraphQueries.queries)
+
+  val oracleModules: Seq[Map[String, String]] = Seq(
+    EventQueries.oracle, ElbQueries.oracle, JoinQueries.oracle,
+    PipelineQueries.oracle, DocQueries.oracle, VecQueries.oracle,
+    TextQueries.oracle, MiscQueries.oracle, CurationQueries.oracle,
+    ClusterQueries.oracle, AnalyticsQueries.oracle, SketchQueries.oracle,
+    TpchQueries.oracle, GraphQueries.oracle)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ ElbQueries.queries ++ JoinQueries.queries ++ PipelineQueries.queries ++ DocQueries.queries ++ VecQueries.queries ++ TextQueries.queries ++ MiscQueries.queries ++ CurationQueries.queries ++ ClusterQueries.queries ++ AnalyticsQueries.queries ++ SketchQueries.queries ++ TpchQueries.queries ++ GraphQueries.queries
+    queryModules.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventQueries.oracle ++ ElbQueries.oracle ++ JoinQueries.oracle ++ PipelineQueries.oracle ++ DocQueries.oracle ++ VecQueries.oracle ++ TextQueries.oracle ++ MiscQueries.oracle ++ CurationQueries.oracle ++ ClusterQueries.oracle ++ AnalyticsQueries.oracle ++ SketchQueries.oracle ++ TpchQueries.oracle ++ GraphQueries.oracle
+    oracleModules.reduce(_ ++ _)
 }

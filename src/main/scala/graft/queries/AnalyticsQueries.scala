@@ -204,38 +204,6 @@ object AnalyticsQueries {
         array_contains(col("types"), "purchase").as("has_purchase"),
         element_at(col("types"), 1).as("first_type"))
 
-  /** ROLLUP over (returnflag, linestatus) with GROUPING flags — the
-    * hierarchical-subtotal shape cube_agg doesn't cover (cube emits
-    * ALL 2ⁿ margins; rollup only the prefix hierarchy). Spark expands
-    * both through a single Expand + hash-aggregate: one shuffle for
-    * every subtotal level.
-    */
-  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n"),
-        grouping(col("l_returnflag")).cast("int").as("g_rf"),
-        grouping(col("l_linestatus")).cast("int").as("g_ls"))
-
-  /** Set-operator surface: INTERSECT / EXCEPT over distinct user sets
-    * (viewers vs purchasers). Spark plans these as left-semi/left-anti
-    * hash joins over the distinct aggregates — the same shuffles an
-    * explicit join would take, with the dedup fused in.
-    */
-  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
-    val viewers = e.where(col("event_type") === "view")
-      .select("user_id").distinct()
-    val buyers = e.where(col("event_type") === "purchase")
-      .select("user_id").distinct()
-    viewers.intersect(buyers).withColumn("tag", lit("both"))
-      .unionByName(viewers.except(buyers).withColumn("tag", lit("view_only")))
-      .unionByName(buyers.except(viewers).withColumn("tag", lit("purchase_only")))
-      .select("tag", "user_id")
-  }
-
   /** Rolling 2σ outliers per user over the trailing 21 events —
     * integer-cents arithmetic end to end (see Analytics.anomalyZscore
     * for why a float z-score can't be hash-verified).
@@ -247,8 +215,6 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_zscore" -> anomalyZscore,
-    "rollup_agg" -> rollupAgg,
-    "set_ops" -> setOps,
     "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
@@ -279,22 +245,6 @@ object AnalyticsQueries {
         |SELECT event_id, user_id, ts, value, n
         |FROM win
         |WHERE n >= 8 AND (n*x - s)*(n*x - s) > 4*(n*q - s*s)""".stripMargin,
-    "rollup_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-    "set_ops" ->
-      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        |SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p) b
-        |UNION ALL
-        |SELECT 'view_only' AS tag, user_id FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p) vo
-        |UNION ALL
-        |SELECT 'purchase_only' AS tag, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v) po""".stripMargin,
     "array_funcs" ->
       """WITH dt AS (
         |  SELECT user_id, event_type FROM events GROUP BY 1, 2

@@ -107,4 +107,18 @@ class EdgeCaseSpec extends SparkSpec {
     val iv = Seq((1L, 0L, 10L)).toDF("i_id", "s", "e")
     assert(RangeJoin.intervalJoin(noPts, "p", iv, "s", "e", 10).count() === 0)
   }
+
+  test("query registry is collision-free across modules (Map ++ shadows silently)") {
+    def dups[V](mods: Seq[Map[String, V]]): Seq[String] =
+      mods.flatMap(_.keys).groupBy(identity).collect {
+        case (k, ks) if ks.size > 1 => k
+      }.toSeq.sorted
+    assert(dups(SparkEntry.queryModules) === Seq.empty,
+      "duplicate query names across modules")
+    assert(dups(SparkEntry.oracleModules) === Seq.empty,
+      "duplicate oracle names across modules")
+    // every oracle points at a registered query
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans === Set.empty, s"oracles without queries: $orphans")
+  }
 }
