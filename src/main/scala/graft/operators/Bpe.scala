@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * tokenizer-construction step of a training-data pipeline, run as an
+  * iterative sequence of declarative plans.
+  *
+  * Classic BPE over a word histogram: every word starts as
+  * space-separated characters (`" k e y "`); each round counts
+  * adjacent symbol pairs corpus-wide (weighted by word frequency),
+  * picks the most frequent pair, and merges every non-overlapping
+  * left-to-right occurrence. Merge application is a plain literal
+  * `replace` of `" p1 p2 "` with `" p1p2 "` — the same scan-and-skip
+  * semantics in Spark and DuckDB, so the learned merge table is
+  * hash-verifiable against an unrolled-CTE oracle. Argmax ties break
+  * by (freq DESC, p1, p2): fully deterministic, any partitioning.
+  *
+  * Scale posture: the state is the word HISTOGRAM (vocabulary-sized,
+  * millions of rows at 100 TB — not corpus-sized; the one corpus-sized
+  * pass is the initial word count). Each round is one explode +
+  * hash-aggregate shuffle over the histogram plus a TakeOrdered(1);
+  * the winning pair rejoins as a broadcast single row (never a
+  * driver-side collect-loop). `localCheckpoint` after every round
+  * keeps the plan linear in rounds instead of exponential (each
+  * round's input appears in both the argmax and the rewrite).
+  */
+object Bpe {
+
+  /** Corpus word histogram: one corpus pass, vocabulary-sized output. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** `" k e y "` — substring-based char split (identical semantics to
+    * the oracle's substr comprehension; Spark's split-on-empty-regex
+    * keeps a trailing empty token, so it is NOT used).
+    */
+  private def charSpaced(colName: String): Column =
+    concat(lit(" "),
+      array_join(expr(
+        s"transform(sequence(1, length($colName)), i -> substring($colName, i, 1))"), " "),
+      lit(" "))
+
+  /** Train `rounds` merges. Returns (merges, vocab):
+    * merges = (round, p1, p2, freq) one row per learned merge;
+    * vocab  = (word, cnt, toks) the final symbol sequence per word.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    var cur = wordHistogram(docs, textCol)
+      .withColumn("toks", charSpaced("word"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = cur
+        .withColumn("arr", split(trim(col("toks")), " "))
+        .where(size(col("arr")) >= 2) // 1-symbol words have no pairs
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(arr) - 2), i -> struct(arr[i] AS p1, arr[i + 1] AS p2))")).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum("cnt").as("freq"))
+      val best = pairs
+        .orderBy(col("freq").desc, col("p1"), col("p2")).limit(1)
+        .select(lit(r).as("round"), col("p1"), col("p2"), col("freq"))
+        .localCheckpoint()
+      merges += best
+      cur = cur
+        .crossJoin(broadcast(best.select(col("p1").as("_bp1"), col("p2").as("_bp2"))))
+        .withColumn("toks", expr(
+          "replace(toks, concat(' ', _bp1, ' ', _bp2, ' '), concat(' ', _bp1, _bp2, ' '))"))
+        .drop("_bp1", "_bp2")
+        .localCheckpoint()
+    }
+    (merges.result().reduce(_ unionByName _), cur)
+  }
+
+  /** The learned merge table alone. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    train(docs, textCol, rounds)._1
+
+  /** Per-document token counts under the trained vocabulary: re-join
+    * each document's words to the final word→symbols table (vocab is
+    * broadcast-sized next to the corpus) and sum symbol counts.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, vocab) = train(docs, textCol, rounds)
+    val perWord = vocab.select(col("word"),
+      size(split(trim(col("toks")), " ")).cast("long").as("_ntok"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(perWord), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("_ntok").as("n_tokens"))
+  }
+}

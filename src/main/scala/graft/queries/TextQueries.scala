@@ -159,7 +159,21 @@ object TextQueries {
         round(percentile(col("n_words"), lit(0.75)), 6).as("p75"),
         round(percentile(col("n_words"), lit(0.95)), 6).as("p95"))
 
+  private val BpeRounds = 8
+
+  /** Distributed BPE vocabulary training: the learned merge table. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(
+      Tables.distributed(spark, sfDir, "documents"), "text", BpeRounds)
+
+  /** Per-doc token counts under the trained BPE vocabulary. */
+  def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.tokenCounts(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text", BpeRounds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> bpeTrain,
+    "bpe_token_count" -> bpeTokenCount,
     "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
     "text_repetition" -> textRepetition,
@@ -239,7 +253,62 @@ object TextQueries {
       |SELECT lang, token, CAST(rn AS INT) AS rank, CAST(cnt AS BIGINT) AS cnt
       |FROM r WHERE rn <= 20""".stripMargin
 
+  /** Unrolled-CTE twin of Bpe.train: rK holds the symbol table after k
+    * merges; bK the k-th learned merge. `replace` has the same
+    * scan-and-skip-past-replacement semantics in both engines, which is
+    * what makes the merge application hash-comparable.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      """wh AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |r0 AS (SELECT word, cnt,
+        |  ' ' || array_to_string([substr(word, i, 1)
+        |    for i in generate_series(1, len(word))], ' ') || ' ' AS toks
+        |  FROM wh)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT p1, p2, CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM (
+         |    SELECT cnt, arr[i] AS p1, arr[i + 1] AS p2
+         |    FROM (
+         |      SELECT cnt, string_split(trim(toks), ' ') AS arr,
+         |        unnest(generate_series(1, len(string_split(trim(toks), ' ')) - 1)) AS i
+         |      FROM r${k - 1})
+         |  ) GROUP BY p1, p2),
+         |b$k AS (SELECT $k AS round, p1, p2, freq FROM p$k
+         |  ORDER BY freq DESC, p1, p2 LIMIT 1),
+         |r$k AS (SELECT word, cnt,
+         |  replace(toks, ' ' || b.p1 || ' ' || b.p2 || ' ',
+         |    ' ' || b.p1 || b.p2 || ' ') AS toks
+         |  FROM r${k - 1}, b$k b)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private def bpeTrainOracle: String =
+    s"""WITH ${bpeCtes(BpeRounds)}
+       |SELECT CAST(round AS INT) AS round, p1, p2, freq
+       |FROM (${(1 to BpeRounds).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")})""".stripMargin
+
+  private def bpeTokenCountOracle: String =
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |pw AS (SELECT word,
+       |  CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS ntok
+       |  FROM r$BpeRounds),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN pw USING (word)
+       |WHERE word <> ''
+       |GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainOracle,
+    "bpe_token_count" -> bpeTokenCountOracle,
     "vocab_coverage" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |           FROM documents),

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns merges in frequency order with deterministic tie-breaks") {
+    // "ab" ×3, "ac" ×1 → round 1 merges (a,b) freq 3; round 2 (a,c) freq 1.
+    val docs = Seq("ab ab ab ac").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges === Seq((1, "a", "b", 3L), (2, "a", "c", 1L)))
+  }
+
+  test("overlapping pairs: counting sees both, replacement skips past (left-to-right)") {
+    // "aaa": symbols a a a → pair (a,a) counted TWICE per word, but the
+    // merge rewrites ' a a a ' to ' aa a ' (the second occurrence's
+    // leading space was consumed) — the classic BPE scan semantics.
+    val docs = Seq("aaa aaa").toDF("text")
+    val (merges, vocab) = Bpe.train(docs, "text", rounds = 2)
+    val m = merges.as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(m(0) === ((1, "a", "a", 4L)))    // 2 adjacencies × 2 occurrences
+    assert(m(1) === ((2, "aa", "a", 2L)))   // then (aa, a) once per word
+    val toks = vocab.select("toks").as[String].collect().toSeq
+    assert(toks === Seq(" aaa "))
+  }
+
+  test("token counts shrink as merges apply; single-char words survive") {
+    val docs = Seq((1L, "ab ab x"), (2L, "ac")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // round 1 merges (a,b): doc1 = ab(1) + ab(1) + x(1) = 3 tokens,
+    // doc2 = a c = 2 tokens.
+    assert(got === Seq((1L, 3L, 3L), (2L, 1L, 2L)))
+  }
+
+  test("merge table is invariant under input partitioning") {
+    val docs = (1 to 200).map(i => s"w$i w${i % 7} shared shared tokens")
+      .toDF("text")
+    val a = Bpe.trainMerges(docs.repartition(1), "text", 4)
+      .as[(Int, String, String, Long)].collect().toSet
+    val b = Bpe.trainMerges(docs.repartition(13), "text", 4)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(a === b)
+  }
+}
