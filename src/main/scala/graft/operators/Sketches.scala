@@ -180,6 +180,54 @@ object Sketches {
         col("cum").as("rank_cum"), col("total")): _*)
   }
 
+  /** KMV set algebra: estimate |A∪B|, |A∩B|, and Jaccard(A, B) from
+    * bottom-k sketches of the two sets — WITHOUT materializing either
+    * distinct set. The union sketch is the bottom-k of the merged hash
+    * sets (KMV's defining mergeability); the classic estimator
+    * (Beyer et al. 2007) then counts how many of the union's k minima
+    * belong to both inputs: J ≈ n_common / k, |A∩B| ≈ J · |A∪B|.
+    *
+    * Scale contract: each side collapses to ≤ k hashes via map-side
+    * partial sketches (the same wire bound as [[kmvDistinct]]); the
+    * membership probes are broadcast semi-joins of a k-row table
+    * against the per-side sketch — nothing corpus-sized ever shuffles.
+    * Every count is an exact integer and the estimates are single
+    * correctly-rounded double ops over them, so the whole output
+    * hash-verifies against a SQL twin.
+    *
+    * Output (one row): k_used, kth_hash, n_common, union_est,
+    * jaccard_est, inter_est.
+    */
+  def kmvSetAlgebra(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int, salt: String = "kmv"): DataFrame = {
+    val numer = (k - 1).toDouble * (1L << 60).toDouble
+    def hashes(df: DataFrame) =
+      df.where(col(valueCol).isNotNull)
+        .select(hash60(col(valueCol), salt).as("_h")).distinct()
+    val ha = hashes(a).persist()
+    val hb = hashes(b).persist()
+    // bottom-k of the union: mergeability means this equals the
+    // bottom-k of (bottom-k(A) ∪ bottom-k(B)) — at cluster scale the
+    // per-side sketches would feed this directly.
+    val bottom = ha.union(hb).distinct()
+      .orderBy(col("_h")).limit(k).persist()
+    val inA = bottom.join(ha, Seq("_h"), "left_semi")
+    val common = inA.join(hb, Seq("_h"), "left_semi")
+    val stats = bottom.agg(
+      count(lit(1)).as("k_used"), max(col("_h")).as("kth_hash"))
+    stats.crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+      .select(
+        col("k_used"), col("kth_hash"), col("n_common"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit(numer) / col("kth_hash").cast("double"))
+          .as("union_est"))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / col("k_used").cast("double"))
+      .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 3))
+      .withColumn("union_est", round(col("union_est"), 3))
+      .withColumn("jaccard_est", round(col("jaccard_est"), 6))
+  }
+
   /** Heavy hitters per group via the Space-Saving sketch: items whose
     * estimated count is ≥ `minCount`. One hash-aggregate shuffle
     * carrying ≤ `capacity` counters per (task, group) — the exact

@@ -47,11 +47,25 @@ object SketchQueries {
       Tables.events(spark, sfDir), Seq("event_type"), "user_id",
       HhMin, HhCapacity)
 
+  private val SetK = 128
+
+  /** KMV set algebra: viewer-set vs purchaser-set overlap estimated
+    * from bottom-128 sketches (union, intersection, Jaccard).
+    */
+  def kmvSetAlgebra(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    Sketches.kmvSetAlgebra(
+      e.where(org.apache.spark.sql.functions.col("event_type") === "view"),
+      e.where(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+      "user_id", SetK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_kmv" -> distinctKmv,
     "distinct_hll" -> distinctHll,
     "quantile_hist" -> quantileHist,
-    "heavy_hitters" -> heavyHitters
+    "heavy_hitters" -> heavyHitters,
+    "kmv_set_algebra" -> kmvSetAlgebra
   )
 
   // The double constants are interpolated from the SAME Scala values the
@@ -130,6 +144,32 @@ object SketchQueries {
          |FROM cc, (SELECT unnest([${QPercents.mkString(", ")}]) AS p) ps
          |WHERE cum >= (total * p + 99) // 100
          |  AND cum - n < (total * p + 99) // 100""".stripMargin,
+    "kmv_set_algebra" -> {
+      val numer = (SetK - 1).toDouble * (1L << 60).toDouble
+      s"""WITH ha AS (
+         |  SELECT DISTINCT CAST(concat('0x',
+         |    substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |hb AS (
+         |  SELECT DISTINCT CAST(concat('0x',
+         |    substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+         |      ORDER BY h LIMIT $SetK),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash
+         |      FROM u),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM u
+         |      WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+         |raw AS (SELECT k_used, kth_hash, n_common,
+         |    CASE WHEN k_used < $SetK THEN CAST(k_used AS DOUBLE)
+         |         ELSE $numer / CAST(kth_hash AS DOUBLE) END AS ue,
+         |    CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE) AS je
+         |  FROM s, c)
+         |SELECT k_used, kth_hash, n_common,
+         |  round(ue, 3) AS union_est, round(je, 6) AS jaccard_est,
+         |  round(je * ue, 3) AS inter_est
+         |FROM raw""".stripMargin
+    },
     // capacity ≥ distinct users per group at this SF ⇒ the sketch never
     // truncates and its counters equal the exact GROUP BY counts.
     "heavy_hitters" ->

@@ -79,6 +79,29 @@ class SketchSpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate:\n$plan")
   }
 
+  test("kmv set algebra: under-filled union sketch is exact set arithmetic") {
+    // |A| = 30 (0..29), |B| = 20 (20..39) → |A∪B| = 40, |A∩B| = 10,
+    // J = 0.25. k = 64 > 40, so the sketch never truncates and every
+    // estimate must be the exact value.
+    val a = spark.range(0, 30).select(col("id").as("v"))
+    val b = spark.range(20, 40).select(col("id").as("v"))
+    val row = Sketches.kmvSetAlgebra(a.toDF(), b.toDF(), "v", k = 64)
+      .select("k_used", "n_common", "union_est", "jaccard_est", "inter_est")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(row === ((40L, 10L, 40.0, 0.25, 10.0)))
+  }
+
+  test("kmv set algebra: saturated estimate lands near truth") {
+    val a = spark.range(0, 3000).select(col("id").as("v"))
+    val b = spark.range(1500, 4500).select(col("id").as("v"))
+    // truth: union 4500, inter 1500, J = 1/3
+    val row = Sketches.kmvSetAlgebra(a.toDF(), b.toDF(), "v", k = 256)
+      .select("union_est", "jaccard_est")
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - 4500) < 900, s"union_est=${row._1}")
+    assert(math.abs(row._2 - 1.0 / 3) < 0.12, s"jaccard_est=${row._2}")
+  }
+
   // Zipf-ish stream: item i appears ~N/i times — a heavy head over a
   // long tail, far more distinct items than sketch capacity.
   private lazy val skewed = {
