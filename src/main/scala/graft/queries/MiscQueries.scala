@@ -200,6 +200,16 @@ object MiscQueries {
       Tables.events(spark, sfDir).select("event_id", "user_id", "value"),
       idCol = "event_id", weightCol = "value", scaleWeight = 40.0)
 
+  /** One-pass profile of the orders table: per-column row/null/exact
+    * distinct counts and min/max (see Profiling for the Expand-cost
+    * note and the string-rendering contract).
+    */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profiling.profile(
+      Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
   /** Deterministic per-group downsample: at most 20 docs per language. */
   def capPerGroup(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.capPerGroup(
@@ -224,6 +234,7 @@ object MiscQueries {
     "zorder_value" -> zorderValue,
     "sample_split" -> sampleSplit,
     "weighted_sample" -> weightedSample,
+    "profile_columns" -> profileColumns,
     "cap_per_group" -> capPerGroup,
     "mixture_sample" -> mixtureSample,
     "multimodal_features" -> multimodalFeatures,
@@ -288,6 +299,22 @@ object MiscQueries {
         |WHERE CAST(concat('0x',
         |    substr(md5('wsamp:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
         |  / 1152921504606846976.0 < value / 40.0""".stripMargin,
+    "profile_columns" -> {
+      def one(c: String, numeric: Boolean): String = {
+        val mn = if (numeric) s"CAST(CAST(min($c) AS DECIMAL(28,6)) AS VARCHAR)"
+                 else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (numeric) s"CAST(CAST(max($c) AS DECIMAL(28,6)) AS VARCHAR)"
+                 else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_value, $mx AS max_value FROM orders""".stripMargin
+      }
+      Seq(one("o_orderkey", false), one("o_custkey", false),
+        one("o_orderstatus", false), one("o_totalprice", true),
+        one("o_orderdate", false), one("o_orderpriority", false))
+        .mkString("\nUNION ALL\n")
+    },
     "streaming_event_pairs" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -108,6 +108,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(RangeJoin.intervalJoin(noPts, "p", iv, "s", "e", 10).count() === 0)
   }
 
+  test("column profile counts nulls and distincts like the SQL oracle would") {
+    import graft.operators.Profiling
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (None, Some("b"))
+    ).toDF("x", "s")
+    val rows = Profiling.profile(df, Seq("x", "s"))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("x") === (("x", 3L, 1L, 1L, "1", "1")))
+    assert(rows("s") === (("s", 3L, 1L, 2L, "a", "b")))
+  }
+
   test("query registry is collision-free across modules (Map ++ shadows silently)") {
     def dups[V](mods: Seq[Map[String, V]]): Seq[String] =
       mods.flatMap(_.keys).groupBy(identity).collect {
