@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * adjacent symbol pairs corpus-wide (weighted by word frequency),
   * picks the most frequent pair, and merges every non-overlapping
   * left-to-right occurrence. Merge application is a plain literal
-  * `replace` of `" p1 p2 "` with `" p1p2 "` — the same scan-and-skip
-  * semantics in Spark and DuckDB, so the learned merge table is
-  * hash-verifiable against an unrolled-CTE oracle. Argmax ties break
-  * by (freq DESC, p1, p2): fully deterministic, any partitioning.
+  * `replace` of `" p1 p2 "` with `" p1p2 "`, which gives the identical
+  * scan semantics in Spark and DuckDB — including one deliberate
+  * variant vs textbook BPE: the replaced occurrence consumes its
+  * TRAILING separator, so the symbol immediately after a merge cannot
+  * begin another merge in the same round (`b b b b b` becomes
+  * `bb b bb`, not `bb bb b`; the skipped merge is simply picked up by
+  * a later round). PropertySpec pins this rule against a sequential
+  * reference model, and the unrolled-CTE oracle hash-verifies the
+  * learned merge table. Argmax ties break by (freq DESC, p1, p2):
+  * fully deterministic, any partitioning.
   *
   * Scale posture: the state is the word HISTOGRAM (vocabulary-sized,
   * millions of rows at 100 TB — not corpus-sized; the one corpus-sized

@@ -201,4 +201,58 @@ class PropertySpec extends SparkSpec {
       assert(out(user).map(_._3).max === gaps.toLong)
     }
   }
+
+  // -- BPE training vs a sequential reference model ------------------
+
+  /** Straight-line reference BPE: word histogram, then per round count
+    * adjacent pairs (overlaps counted), argmax by (freq desc, pair
+    * asc), merge via the scan-and-skip replace — the semantics
+    * Bpe.scala promises.
+    */
+  private def referenceBpe(
+      docs: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var hist: Map[Vector[String], Long] = docs
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }
+    (1 to rounds).flatMap { r =>
+      val freq = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- hist; i <- 0 until syms.size - 1)
+        freq(syms(i) -> syms(i + 1)) = freq.getOrElse(syms(i) -> syms(i + 1), 0L) + cnt
+      if (freq.isEmpty) Seq.empty
+      else {
+        val ((p1, p2), f) = freq.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        hist = hist.map { case (syms, cnt) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == p1 && syms(i + 1) == p2) {
+              out += p1 + p2; i += 2
+              // string-replace semantics: the merge consumed the shared
+              // separator, so the NEXT symbol cannot begin a match in
+              // this round (Bpe.scala documents this cooldown rule)
+              if (i < syms.size) { out += syms(i); i += 1 }
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> cnt
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        Seq((r, p1, p2, f))
+      }
+    }
+  }
+
+  test("BPE merge table matches the sequential reference on random corpora") {
+    import spark.implicits._
+    val word: Gen[String] =
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc: Gen[String] = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus: Gen[List[String]] = Gen.choose(3, 15).flatMap(n => Gen.listOfN(n, doc))
+    forAllSampled(corpus, n = 12) { docs =>
+      val expected = referenceBpe(docs, rounds = 3)
+      val got = graft.operators.Bpe.trainMerges(docs.toDF("text"), "text", rounds = 3)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expected, s"corpus: $docs")
+    }
+  }
 }
