@@ -38,6 +38,17 @@ object VecQueries {
       "vec_id", "embedding", k = 5, nCentroids = 16, probes = 4)
   }
 
+  /** The nprobe=8 rung of the recall ladder: same 16-cell index, the
+    * query side probes half the cells — measured only through
+    * [[similarityRecall]] (registering it standalone would duplicate
+    * similarity_ivf_mp's surface).
+    */
+  private def topkIvfMp8(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.ivfMultiProbeTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16, probes = 8)
+  }
+
   def topkLshMp(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     Similarity.lshMultiProbeTopK(c, c.where(col("vec_id") < 10),
@@ -68,6 +79,7 @@ object VecQueries {
       .unionByName(recall(topkIvf(spark, sfDir), "ivf"))
       .unionByName(recall(topkLshMp(spark, sfDir), "lsh_mp"))
       .unionByName(recall(topkIvfMp(spark, sfDir), "ivf_mp"))
+      .unionByName(recall(topkIvfMp8(spark, sfDir), "ivf_mp8"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,6 +173,20 @@ object VecQueries {
          |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
          |        c.cent_id) AS rn
          |  FROM n v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 4),
+         |qasg8 AS (SELECT vec_id, qv, n2, cell FROM (
+         |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY v.n2 + c.n2cent
+         |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+         |        c.cent_id) AS rn
+         |  FROM n v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 8),
+         |ivfmp8 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM qasg8 a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
          |ivfmp AS (SELECT query_id, neighbor_id FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY a.vec_id
@@ -191,7 +217,9 @@ object VecQueries {
          |hm AS (SELECT query_id, count(*) AS hits FROM truth
          |       JOIN lshmp USING (query_id, neighbor_id) GROUP BY query_id),
          |hp AS (SELECT query_id, count(*) AS hits FROM truth
-         |       JOIN ivfmp USING (query_id, neighbor_id) GROUP BY query_id)
+         |       JOIN ivfmp USING (query_id, neighbor_id) GROUP BY query_id),
+         |hp8 AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN ivfmp8 USING (query_id, neighbor_id) GROUP BY query_id)
          |SELECT 'lsh' AS method, query_id,
          |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hl.hits, 0) AS DOUBLE) / 5 AS recall_at_5
@@ -210,7 +238,12 @@ object VecQueries {
          |SELECT 'ivf_mp' AS method, query_id,
          |  CAST(coalesce(hp.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hp.hits, 0) AS DOUBLE) / 5 AS recall_at_5
-         |FROM qs LEFT JOIN hp USING (query_id)""".stripMargin,
+         |FROM qs LEFT JOIN hp USING (query_id)
+         |UNION ALL
+         |SELECT 'ivf_mp8' AS method, query_id,
+         |  CAST(coalesce(hp8.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hp8.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hp8 USING (query_id)""".stripMargin,
     "similarity_topk" ->
       s"""WITH $qCte
          |SELECT query_id, neighbor_id, rank, cosine FROM (
