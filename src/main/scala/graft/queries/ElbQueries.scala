@@ -27,6 +27,36 @@ object ElbQueries {
       "http_method", "full_url", "http_version", "protocol", "hostname",
       "port", "path", "query_params", "request_creation_time", "log_source_file")
 
+  // staged gzip for the DSv2-source twin, one write per (session, sfDir)
+  private val dsv2Stage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** [[elbParse]] ingested through the custom DataSource V2 reader
+    * ([[graft.sources.ElbLogSourceV2]]) instead of the synthesized
+    * in-memory lines: the same parse must fall out of real gzip files
+    * read by the custom source — gating the source's decompression,
+    * line splitting, and scan pruning under the oracle. The lineage
+    * column is excluded (it carries the temp staging path).
+    */
+  def elbDsv2Parse(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = dsv2Stage.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
+        val dir = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
+        ElbSynth.lines(Tables.events(spark, sfDir)).select("value")
+          .repartition(4)
+          .write.option("compression", "gzip").text(s"$dir/logs")
+        dir
+      })
+    val raw = spark.read.format("graft.sources.ElbLogSourceV2")
+      .load(s"$work/logs/*.gz")
+    ElbParser.parse(raw).select(
+      "elb", "time", "client_ip",
+      "request_processing_time", "target_processing_time", "response_processing_time",
+      "elb_status_code", "target_status_code", "received_bytes", "sent_bytes",
+      "http_method", "full_url", "http_version", "protocol", "hostname",
+      "port", "path", "query_params", "request_creation_time")
+  }
+
   def elbClassify(spark: SparkSession, sfDir: String): DataFrame =
     ElbParser.filterCategorize(parsed(spark, sfDir)).select(
       "elb", "user_agent", "ua_browser_family", "ua_os_family",
@@ -44,6 +74,7 @@ object ElbQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "elb_parse" -> elbParse,
+    "elb_dsv2_parse" -> elbDsv2Parse,
     "elb_classify" -> elbClassify,
     "elb_features" -> elbFeatures
   )
@@ -70,9 +101,11 @@ object ElbQueries {
       | WHEN 4 THEN 'Datadog Agent/7.54.0'
       | ELSE 'curl/8.0.1' END""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "elb_parse" ->
-      s"""SELECT $key AS elb, ts AS time,
+  /** elb_parse expectation; the DSv2 twin drops the lineage column
+    * (its value is the temp staging path).
+    */
+  private def parseOracle(withFile: Boolean): String =
+    s"""SELECT $key AS elb, ts AS time,
          |  '10.' || (user_id % 200) || '.' || (event_id % 250) || '.' || ((event_id*7) % 250) AS client_ip,
          |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE 0.001 END AS request_processing_time,
          |  CAST('0.' || lpad((event_id % 500)::VARCHAR, 3, '0') AS DOUBLE) AS target_processing_time,
@@ -92,9 +125,13 @@ object ElbQueries {
          |  CASE WHEN event_id % 4 = 0 THEN 443 ELSE NULL END AS port,
          |  $pathCase AS path,
          |  CASE WHEN event_id % 3 = 0 THEN 'q=' || (event_id % 11) ELSE '' END AS query_params,
-         |  ts AS request_creation_time,
-         |  'synthetic.log.gz' AS log_source_file
-         |FROM events WHERE ${ElbSynth.survivorsWhere}""".stripMargin,
+       |  ts AS request_creation_time${
+        if (withFile) ",\n       |  'synthetic.log.gz' AS log_source_file" else ""}
+       |FROM events WHERE ${ElbSynth.survivorsWhere}""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "elb_parse" -> parseOracle(withFile = true),
+    "elb_dsv2_parse" -> parseOracle(withFile = false),
     "elb_classify" ->
       s"""SELECT $key AS elb, $uaCase AS user_agent,
          |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'

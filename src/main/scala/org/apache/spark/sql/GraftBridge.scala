@@ -18,4 +18,15 @@ object GraftBridge {
     */
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Serializable Hadoop conf wrapper (`private[spark]` upstream) — a
+    * DSv2 reader factory must ship the driver's conf to executors or
+    * non-local filesystems (s3a, hdfs) lose their credentials/settings.
+    */
+  def serializableConf(
+      conf: org.apache.hadoop.conf.Configuration): Serializable =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
+  def confOf(wrapped: Serializable): org.apache.hadoop.conf.Configuration =
+    wrapped.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }
