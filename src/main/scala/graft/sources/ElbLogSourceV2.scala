@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,17 +71,57 @@ private[sources] class ElbLogTable(path: String) extends Table with SupportsRead
 }
 
 private[sources] class ElbLogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = ElbLogSourceV2.Schema
+  private var fileFilters: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Spark hands back a subset of our schema (possibly empty for
     // count(*) — the reader then just ticks rows).
     required = requiredSchema
   }
-  override def build(): Scan = new ElbLogScan(path, required)
+
+  /** PARTITION pruning: predicates on the lineage column eliminate
+    * whole FILES before any partition is planned — the DSv2 analogue
+    * of Hive-partition pruning ("reprocess one S3 object" never lists,
+    * opens, or schedules the rest). Accepted filters are still
+    * re-applied by Spark above the scan (we return them as residuals),
+    * so partial support is always correct.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    fileFilters = filters.filter(ElbLogScan.prunable)
+    filters // all residual: Spark re-checks above the scan
+  }
+  override def pushedFilters(): Array[sources.Filter] = fileFilters
+
+  override def build(): Scan = new ElbLogScan(path, required, fileFilters)
 }
 
-private[sources] class ElbLogScan(path: String, required: StructType)
+private[sources] object ElbLogScan {
+  /** File-prunable predicate shapes over the lineage column. */
+  def prunable(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo("log_source_file", _: String) => true
+    case sources.StringEndsWith("log_source_file", _) => true
+    case sources.StringContains("log_source_file", _) => true
+    case sources.In("log_source_file", vs) => vs.forall(_.isInstanceOf[String])
+    case _ => false
+  }
+
+  def keeps(f: sources.Filter, file: String): Boolean = f match {
+    case sources.EqualTo("log_source_file", v: String) => file == v
+    case sources.StringEndsWith("log_source_file", s) => file.endsWith(s)
+    case sources.StringContains("log_source_file", s) => file.contains(s)
+    case sources.In("log_source_file", vs) => vs.contains(file)
+    case _ => true
+  }
+}
+
+private[sources] class ElbLogScan(
+    path: String,
+    required: StructType,
+    fileFilters: Array[sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -99,8 +140,10 @@ private[sources] class ElbLogScan(path: String, required: StructType)
       case _ => Array.empty[org.apache.hadoop.fs.FileStatus]
     }
     statuses.filterNot(st => isHiddenFile(st.getPath.getName))
-      .map(st => ElbLogPartition(st.getPath.toString): InputPartition)
-      .sortBy(_.asInstanceOf[ElbLogPartition].file)
+      .map(_.getPath.toString)
+      .filter(f => fileFilters.forall(ElbLogScan.keeps(_, f)))
+      .sorted
+      .map(f => ElbLogPartition(f): InputPartition)
   }
 
   private def isHiddenFile(name: String): Boolean =

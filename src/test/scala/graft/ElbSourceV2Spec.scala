@@ -53,6 +53,18 @@ class ElbSourceV2Spec extends SparkSpec {
     assert(read().count() === 3L)
   }
 
+  test("lineage-column filters prune whole files from the planned partitions") {
+    val pruned = read().where(col("log_source_file").endsWith("b.log"))
+    assert(pruned.rdd.getNumPartitions === 1, "expected 1 surviving file")
+    assert(pruned.select("value").as[String].collect().toSeq === Seq("line-b1"))
+    // residual re-check above the scan keeps partial pushdown correct:
+    // a non-prunable predicate still filters rows
+    val mixed = read().where(
+      col("log_source_file").endsWith(".gz") && col("value") === "line-a2")
+    assert(mixed.rdd.getNumPartitions === 1)
+    assert(mixed.select("value").as[String].collect().toSeq === Seq("line-a2"))
+  }
+
   test("matches the built-in text reader on the staged pipeline input") {
     val d = Files.createTempDirectory("graft-dsv2-par").toString
     Seq("x 1", "y 2", "z 3").toDF("value").coalesce(1)
