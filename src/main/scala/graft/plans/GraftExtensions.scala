@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ElbParseFields, ElbUnquote, LongArrayDot, TopKByScore, TopKStringByScore, WordShingles}
+import graft.functions.{ElbParseFields, ElbUnquote, KMinValues, LongArrayDot, SpaceSaving, TopKByScore, TopKStringByScore, WordShingles}
 
 /** Session extensions exposing graft's custom Catalyst expressions to
   * SQL. Install with either:
@@ -54,7 +54,15 @@ object GraftExtensions {
     (FunctionIdentifier("top_k_string_by"),
       info("top_k_string_by",
         "top_k_string_by(score, token, k) - aggregate: k highest-score (string token) pairs, best-first"),
-      (args: Seq[Expression]) => TopKStringByScore(args(0), args(1), literalK(args(2)))))
+      (args: Seq[Expression]) => TopKStringByScore(args(0), args(1), literalK(args(2)))),
+    (FunctionIdentifier("k_min_values"),
+      info("k_min_values",
+        "k_min_values(hash, k) - aggregate: bottom-k distinct-hash sketch as struct(n_kept, kth_hash)"),
+      (args: Seq[Expression]) => KMinValues(args(0), literalK(args(1)))),
+    (FunctionIdentifier("space_saving"),
+      info("space_saving",
+        "space_saving(item, capacity) - aggregate: bounded heavy-hitter counters as array<struct<item, est>>"),
+      (args: Seq[Expression]) => SpaceSaving(args(0), literalK(args(1)))))
 
   /** k is a structural parameter of the bounded heap, not a per-row
     * input: demand a literal.

@@ -134,6 +134,24 @@ class ExpressionSpec extends SparkSpec {
       Seq(("tok19", 9.0), ("tok9", 9.0)))
   }
 
+  test("sketch aggregates are SQL-callable once registered") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.range(0, 100).select((col("id") % 7).cast("string").as("item"),
+        (col("id") % 40).as("h"))
+      .createOrReplaceTempView("sk_in")
+    val row = spark.sql(
+      """SELECT space_saving(item, 16) AS hh, k_min_values(h, 8) AS kmv
+        |FROM sk_in""".stripMargin).head()
+    val hh = row.getSeq[org.apache.spark.sql.Row](0)
+    // 100 rows over 7 items: counts 15×2 + 14×5, exact (16 ≥ 7),
+    // sorted by (est DESC, item ASC)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).take(2) ===
+      Seq(("0", 15L), ("1", 15L)))
+    assert(hh.map(_.getLong(1)).sum === 100L)
+    val kmv = row.getStruct(1)
+    assert(kmv.getLong(0) === 8L && kmv.getLong(1) === 7L) // bottom-8 of 0..39
+  }
+
   test("RewriteLongDot leaves a non-identity finish lambda alone") {
     graft.plans.GraftExtensions.register(spark)
     val df = spark.range(1, 2)
