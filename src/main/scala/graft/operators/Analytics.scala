@@ -171,6 +171,38 @@ object Analytics {
     * |x| ≤ 10^10 cents and lookback ≤ ~80 keep every product under
     * 2⁶³ (n·Q ≤ n²·x²max).
     */
+  /** Per-group covariance and Pearson correlation WITHOUT
+    * order-dependent floating point: Spark's `covar_pop`/`corr` sum
+    * doubles in partition order (different layout → different last
+    * ulp), so they can't be hash-verified. Here the moments n, Σx, Σy,
+    * Σxy, Σx², Σy² accumulate as EXACT decimals (inputs are 2-decimal
+    * money/quantity values), and the final
+    *   cov = (nΣxy − ΣxΣy) / n²
+    *   corr = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * are a handful of correctly-rounded double ops over those exact
+    * integers — deterministic on any engine, any partitioning. One
+    * map-side-combining shuffle carrying 6 decimals per group.
+    */
+  def corrExact(rows: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val (n, sx, sy, sxy, sxx, syy) = (col("n"),
+      col("_sx").cast("double"), col("_sy").cast("double"),
+      col("_sxy").cast("double"), col("_sxx").cast("double"),
+      col("_syy").cast("double"))
+    val num = sxy * n - sx * sy
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
+      .select(groupCols.map(col) ++ Seq(
+        n,
+        (num / (n * n)).as("cov_pop"),
+        (num / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))).as("corr")): _*)
+  }
+
   def anomalyZscore(rows: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valCol: String,
       lookback: Int, minN: Int, k: Int): DataFrame = {

@@ -213,8 +213,18 @@ object AnalyticsQueries {
       Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value",
       lookback = 20, minN = 8, k = 2)
 
+  /** Exact-moment covariance/correlation of quantity vs price per
+    * return flag (see Analytics.corrExact for why builtin corr can't
+    * be hash-verified).
+    */
+  def statsCorr(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.corrExact(
+      Tables.lineitem(spark, sfDir), Seq("l_returnflag"),
+      "l_quantity", "l_extendedprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_zscore" -> anomalyZscore,
+    "stats_corr" -> statsCorr,
     "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
@@ -245,6 +255,26 @@ object AnalyticsQueries {
         |SELECT event_id, user_id, ts, value, n
         |FROM win
         |WHERE n >= 8 AND (n*x - s)*(n*x - s) > 4*(n*q - s*s)""".stripMargin,
+    "stats_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * n) AS cov_pop,
+        |  (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr
+        |FROM m""".stripMargin,
     "array_funcs" ->
       """WITH dt AS (
         |  SELECT user_id, event_type FROM events GROUP BY 1, 2

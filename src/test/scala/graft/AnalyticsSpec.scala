@@ -183,6 +183,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === 0L)
   }
 
+  test("exact-moment corr matches builtin corr to FP tolerance and is layout-invariant") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map { _ =>
+      val x = rnd.nextInt(5000) / 100.0
+      ("g", x, math.round((3 * x + rnd.nextInt(1000) / 100.0) * 100) / 100.0)
+    }.toDF("g", "x", "y")
+    val got = Analytics.corrExact(df, Seq("g"), "x", "y")
+      .select("cov_pop", "corr").as[(Double, Double)].head()
+    val builtin = df.groupBy("g")
+      .agg(covar_pop($"x", $"y").as("c"), corr($"x", $"y").as("r"))
+      .select("c", "r").as[(Double, Double)].head()
+    assert(math.abs(got._1 - builtin._1) < 1e-6 * math.abs(builtin._1))
+    assert(math.abs(got._2 - builtin._2) < 1e-9)
+    // exact moments ⇒ bit-identical under any partitioning (builtin is not)
+    val a = Analytics.corrExact(df.repartition(1), Seq("g"), "x", "y")
+      .select("corr").as[Double].head()
+    val b = Analytics.corrExact(df.repartition(17), Seq("g"), "x", "y")
+      .select("corr").as[Double].head()
+    assert(a == b)
+  }
+
   test("anomaly z-score plans a single window exchange") {
     val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
