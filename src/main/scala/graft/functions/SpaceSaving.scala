@@ -165,6 +165,9 @@ case class SpaceSaving(
       InternalRow(UTF8String.fromString(k), c)
     }.toArray[Any])
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws past 64 KB,
+  // and space_saving is SQL-registered over arbitrary string columns
+  // (a whole document as the item must sketch, not crash).
   override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
@@ -172,7 +175,8 @@ case class SpaceSaving(
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bytes.toByteArray
@@ -183,7 +187,13 @@ case class SpaceSaving(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var j = 0
-    while (j < n) { buf.counts.put(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      j += 1
+    }
     buf.rebuildHeap()
     buf
   }

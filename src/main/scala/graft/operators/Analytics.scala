@@ -167,9 +167,16 @@ object Analytics {
     * lossless for 2-decimal inputs.
     *
     * One exchange: the three window aggregates share a single
-    * (key, ts, tie) sort. `minN` suppresses early-window noise. Bounds:
-    * |x| ≤ 10^10 cents and lookback ≤ ~80 keep every product under
-    * 2⁶³ (n·Q ≤ n²·x²max).
+    * (key, ts, tie) sort. `minN` suppresses early-window noise.
+    *
+    * Overflow contract: the largest intermediate is dev² = (n·x − S)²
+    * ≤ (2·n·|x|max)², so staying under 2⁶³ needs
+    * |x|max ≤ √(2⁶³)/(2n) ≈ 1.5e9/(lookback+1) cents — with the
+    * default lookback 20 that is |x| ≤ ~7.2e7 cents (~$720k), far
+    * above any event-value domain here but NOT the naive 10^10 a
+    * 64-bit sum would suggest; callers with larger magnitudes must
+    * rescale first (DuckDB errors on the same overflow where Spark's
+    * non-ANSI long arithmetic would wrap silently).
     */
   /** Per-group covariance and Pearson correlation WITHOUT
     * order-dependent floating point: Spark's `covar_pop`/`corr` sum
@@ -199,7 +206,9 @@ object Analytics {
         sum(x * y).as("_sxy"), sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
       .select(groupCols.map(col) ++ Seq(
         n,
-        (num / (n * n)).as("cov_pop"),
+        // n.cast(double) first: a LongType n*n wraps past ~3e9 rows
+        // per group — inside the 100 TB posture this operator claims
+        (num / (n.cast("double") * n)).as("cov_pop"),
         (num / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))).as("corr")): _*)
   }
 

@@ -73,10 +73,18 @@ object Bpe {
         .select(lit(r).as("round"), col("p1"), col("p2"), col("freq"))
         .localCheckpoint()
       merges += best
+      // LEFT join on TRUE, not crossJoin: when a round learns no merge
+      // (the corpus is fully merged before `rounds` runs out) `best` is
+      // EMPTY, and a crossJoin would silently erase the vocabulary —
+      // the left join keeps every word with a null pair, and the CASE
+      // passes toks through unchanged. The oracle mirrors this shape.
       cur = cur
-        .crossJoin(broadcast(best.select(col("p1").as("_bp1"), col("p2").as("_bp2"))))
+        .join(broadcast(best.select(col("p1").as("_bp1"), col("p2").as("_bp2"))),
+          lit(true), "left")
         .withColumn("toks", expr(
-          "replace(toks, concat(' ', _bp1, ' ', _bp2, ' '), concat(' ', _bp1, _bp2, ' '))"))
+          """CASE WHEN _bp1 IS NULL THEN toks
+            |ELSE replace(toks, concat(' ', _bp1, ' ', _bp2, ' '),
+            |  concat(' ', _bp1, _bp2, ' ')) END""".stripMargin))
         .drop("_bp1", "_bp2")
         .localCheckpoint()
     }

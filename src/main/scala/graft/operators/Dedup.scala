@@ -139,7 +139,7 @@ object Dedup {
     // toString elides (e.g. LocalRelation prints only its schema — two
     // in-memory tables with the same shape must not share a verdict)
     val key = (rows.queryExecution.analyzed.canonicalized,
-      bucketCols.mkString(","), cap, sampleMod)
+      bucketCols.mkString(","), idCol, cap, sampleMod)
     val overRows = skewCache.getOrElseUpdate(key, {
       rows
         .where(pmod(Sketches.hash60(col(idCol), "skewdetect"),
@@ -179,7 +179,7 @@ object Dedup {
   private val skewCache =
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        String, Int, Int), Seq[org.apache.spark.sql.Row]]
+        String, String, Int, Int), Seq[org.apache.spark.sql.Row]]
 
   /** Drop all cached skew-detection verdicts (for sessions whose
     * underlying data mutates between queries).

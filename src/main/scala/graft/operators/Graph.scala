@@ -55,6 +55,11 @@ object Graph {
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
       if (i % 4 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the result, then release the per-call caches — a
+    // long-lived session invoking pagerank repeatedly must not pin
+    // three dead DataFrames in executor storage per call
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    out
   }
 }

@@ -163,7 +163,10 @@ object Sketches {
     val bin = least(lit(bins - 1), greatest(lit(0),
       floor((col(valueCol) - lit(lo)) / lit(width)).cast("int")))
     val w = Window.partitionBy(groupCols.map(col): _*)
-    df.where(col(valueCol).isNotNull)
+    // NaN must be excluded explicitly: Spark's non-ANSI cast would
+    // silently bucket floor(NaN) into bin 0 while DuckDB errors on the
+    // same cast — a cross-engine divergence AND a miscount.
+    df.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("cum", sum(col("n")).over(
@@ -215,7 +218,8 @@ object Sketches {
     val common = inA.join(hb, Seq("_h"), "left_semi")
     val stats = bottom.agg(
       count(lit(1)).as("k_used"), max(col("_h")).as("kth_hash"))
-    stats.crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+    val result = stats
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
       .select(
         col("k_used"), col("kth_hash"), col("n_common"),
         when(col("k_used") < k, col("k_used").cast("double"))
@@ -226,6 +230,10 @@ object Sketches {
       .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 3))
       .withColumn("union_est", round(col("union_est"), 3))
       .withColumn("jaccard_est", round(col("jaccard_est"), 6))
+      // single row: materialize, then release the per-call caches
+      .localCheckpoint()
+    ha.unpersist(); hb.unpersist(); bottom.unpersist()
+    result
   }
 
   /** Heavy hitters per group via the Space-Saving sketch: items whose

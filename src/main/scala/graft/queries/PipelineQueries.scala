@@ -117,15 +117,21 @@ object PipelineQueries {
       })
     // fresh cache/output dirs per run: the refresh starts from an empty
     // cache every time, so its CONTENT (and the enriched output) is
-    // deterministic; dir names never reach the projection
-    val run = java.nio.file.Files.createTempDirectory("graft-pipeq-run").toString
+    // deterministic; dir names never reach the projection. Each run's
+    // tree is REUSED via a fixed per-(session, sf) path and overwritten
+    // in place — bench repeats must not accumulate five-sink output
+    // trees in /tmp until the disk fills.
+    val run = s"$work/run"
+    deleteRecursively(java.nio.file.Paths.get(run))
     graft.ElbPipeline.run(
       spark, s"$work/logs/*.gz", s"$run/cache.parquet", s"$run/out",
       StaticGeoProvider(JoinQueries.FixedClock))
     // project from the pipeline's OWN cleaned-logs sink, not the
     // returned frame: the round-trip additionally gates what the
     // partitioned parquet sink persisted, and avoids re-running the
-    // full DAG for the projection (run() unpersists after its sinks)
+    // full DAG for the projection (run() unpersists after its sinks).
+    // localCheckpoint materializes the projection NOW, so the returned
+    // frame stays valid after the next invocation wipes the run dir.
     spark.read.parquet(s"$run/out/cleaned_logs").select(
       col("elb"), col("time"), col("client_ip"),
       col("status_code_type"), col("countryName"), col("city"), col("isp"),
@@ -134,7 +140,15 @@ object PipelineQueries {
       col("session_number"), col("session_id"),
       col("rolling_5min_request_count"),
       round(col("rolling_1h_avg_processing"), 6).as("rolling_1h_avg_processing"))
+      .localCheckpoint()
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "elb_hourly_geo" -> hourlyGeo,

@@ -129,7 +129,8 @@ object SketchQueries {
          |    least(${QBins - 1}, greatest(0,
          |      CAST(floor((value - $QLo) / ${(QHi - QLo) / QBins}) AS INT))) AS bin,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1, 2
          |), cc AS (
          |  SELECT event_type, bin, n,
          |    sum(n) OVER (PARTITION BY event_type ORDER BY bin

@@ -281,9 +281,10 @@ object TextQueries {
          |b$k AS (SELECT $k AS round, p1, p2, freq FROM p$k
          |  ORDER BY freq DESC, p1, p2 LIMIT 1),
          |r$k AS (SELECT word, cnt,
-         |  replace(toks, ' ' || b.p1 || ' ' || b.p2 || ' ',
-         |    ' ' || b.p1 || b.p2 || ' ') AS toks
-         |  FROM r${k - 1}, b$k b)""".stripMargin
+         |  CASE WHEN b.p1 IS NULL THEN toks
+         |    ELSE replace(toks, ' ' || b.p1 || ' ' || b.p2 || ' ',
+         |      ' ' || b.p1 || b.p2 || ' ') END AS toks
+         |  FROM r${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }

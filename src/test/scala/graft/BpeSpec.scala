@@ -37,6 +37,18 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 3L), (2L, 1L, 2L)))
   }
 
+  test("rounds past the last learnable merge preserve the vocabulary (no silent wipe)") {
+    // "ab" fully merges in round 1; rounds 2-4 learn nothing. The
+    // vocab and token counts must survive the empty rounds.
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs.select("text"), "text", rounds = 4)
+    assert(merges.count() === 1L) // only round 1 learned a merge
+    assert(vocab.select("toks").as[String].collect().toSeq === Seq(" ab "))
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts === Seq((1L, 2L, 2L))) // 2 words, 1 token each
+  }
+
   test("merge table is invariant under input partitioning") {
     val docs = (1 to 200).map(i => s"w$i w${i % 7} shared shared tokens")
       .toDF("text")
