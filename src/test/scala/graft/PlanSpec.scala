@@ -169,7 +169,9 @@ class PlanSpec extends SparkSpec {
       "kmeans_assign2" -> "broadcast k-centroid fan-out (two Lloyd rounds)",
       "kmeans_sse" -> "broadcast k-centroid fan-out in both SSE rounds",
       "kmeans_update" -> "broadcast k-centroid fan-out feeding the update",
-      "kmv_set_algebra" -> "crossJoin of the single n_common row onto the single stats row",
+      // kmv_set_algebra's 1-row crossJoin no longer appears here: its
+      // result is localCheckpointed (cache-release fix), so the gate
+      // sees only the materialized RDD scan.
       "mixture_sample" -> "crossJoin of the single global-totals row",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",

@@ -136,6 +136,17 @@ class SketchSpec extends SparkSpec {
         s"$item est=$est true=${truth(item)} bound=$bound")
   }
 
+  test("space-saving survives items larger than 64KB (writeUTF would throw)") {
+    val big = "x" * 70000
+    val df = (Seq.fill(5)(big) ++ Seq("small", "small")).toDF("item")
+      .withColumn("grp", lit("g"))
+      .repartition(4) // force partial-buffer serialization across tasks
+    val hh = Sketches.heavyHitters(df, Seq("grp"), "item",
+      minCount = 1L, capacity = 8)
+      .select("item", "est").as[(String, Long)].collect().toMap
+    assert(hh(big) === 5L && hh("small") === 2L)
+  }
+
   test("space-saving plans as two-phase ObjectHashAggregate — bounded partials on the wire") {
     val plan = Sketches.heavyHitters(skewed, Seq("grp"), "item",
       minCount = 1L, capacity = 64)
