@@ -178,6 +178,36 @@ object Analytics {
     * rescale first (DuckDB errors on the same overflow where Spark's
     * non-ANSI long arithmetic would wrap silently).
     */
+  /** CDC-style snapshot diff: classify every key as added / removed /
+    * changed between two versions of a table. One full-outer hash join
+    * on the key (the minimal possible shuffle for the semantics —
+    * both sides partition by the same key, and at 100 TB bucketing
+    * both snapshots on the key makes it exchange-free); attribute
+    * comparison is a single null-safe struct equality, so adding
+    * columns never changes the plan shape. Unchanged keys are dropped
+    * (they are the overwhelming majority of a day-over-day diff).
+    */
+  def snapshotDiff(old: DataFrame, current: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs key columns")
+    val attrs = old.columns.filterNot(keyCols.contains).toSeq
+    require(attrs == current.columns.filterNot(keyCols.contains).toSeq,
+      "snapshots must share a schema")
+    val o = old.select(
+      struct(keyCols.map(col): _*).as("_k"),
+      struct(attrs.map(col): _*).as("_vo"))
+    val c = current.select(
+      struct(keyCols.map(col): _*).as("_k"),
+      struct(attrs.map(col): _*).as("_vc"))
+    o.join(c, Seq("_k"), "full_outer")
+      .withColumn("change_type",
+        when(col("_vo").isNull, lit("added"))
+          .when(col("_vc").isNull, lit("removed"))
+          .when(!(col("_vo") <=> col("_vc")), lit("changed")))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(k => col(s"_k.$k").as(k)) :+ col("change_type"): _*)
+  }
+
   /** Per-group covariance and Pearson correlation WITHOUT
     * order-dependent floating point: Spark's `covar_pop`/`corr` sum
     * doubles in partition order (different layout → different last

@@ -222,8 +222,28 @@ object AnalyticsQueries {
       Tables.lineitem(spark, sfDir), Seq("l_returnflag"),
       "l_quantity", "l_extendedprice")
 
+  /** Snapshot diff of orders against a deterministically mutated
+    * next-day version: keys % 13 deleted, priorities of keys % 7
+    * rewritten, keys % 11 re-inserted shifted by 10^7 — both engines
+    * synthesize the identical "new" snapshot, so the classified diff
+    * hash-matches.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = Tables.orders(spark, sfDir)
+    val mutated = old
+      .where(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit("X-DIFF"))
+          .otherwise(col("o_orderpriority")))
+    val inserted = old.where(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    Analytics.snapshotDiff(
+      old, mutated.unionByName(inserted), Seq("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_zscore" -> anomalyZscore,
+    "snapshot_diff" -> snapshotDiff,
     "stats_corr" -> statsCorr,
     "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
@@ -255,6 +275,35 @@ object AnalyticsQueries {
         |SELECT event_id, user_id, ts, value, n
         |FROM win
         |WHERE n >= 8 AND (n*x - s)*(n*x - s) > 4*(n*q - s*s)""".stripMargin,
+    "snapshot_diff" ->
+      """WITH neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X-DIFF'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority,
+        |    o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |         OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |       THEN 'changed' END AS change_type
+        |FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |           WHEN n.o_orderkey IS NULL THEN 'removed'
+        |           WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |             OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |             OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |             OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |           THEN 'changed' END IS NOT NULL""".stripMargin,
     "stats_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -183,6 +183,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === 0L)
   }
 
+  test("snapshot diff classifies added/removed/changed incl. null transitions") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some("a")), (3L, Some("c")), (4L, None), (5L, Some("e")))
+      .toDF("k", "v")
+    val got = Analytics.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (2L, "removed"),
+      (3L, "changed"), // null -> 'c' must register (null-safe compare)
+      (4L, "changed"), // 'd' -> null likewise
+      (5L, "added")))  // k=1 unchanged and absent
+  }
+
   test("exact-moment corr matches builtin corr to FP tolerance and is layout-invariant") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 500).map { _ =>
