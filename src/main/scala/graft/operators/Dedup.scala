@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -140,6 +139,10 @@ object Dedup {
     // in-memory tables with the same shape must not share a verdict)
     val key = (rows.queryExecution.analyzed.canonicalized,
       bucketCols.mkString(","), idCol, cap, sampleMod)
+    // the canonicalized-plan keys can pin LocalRelation input data;
+    // bound the cache so a long-lived session over many distinct
+    // inputs re-detects instead of leaking
+    if (skewCache.size > 64) skewCache.clear()
     val overRows = skewCache.getOrElseUpdate(key, {
       rows
         .where(pmod(Sketches.hash60(col(idCol), "skewdetect"),
@@ -185,6 +188,21 @@ object Dedup {
     * underlying data mutates between queries).
     */
   def clearSkewCache(): Unit = skewCache.clear()
+
+  /** Cast-to-long graph ids must BE integral: see the call sites. */
+  private def requireIntegralIds(
+      df: DataFrame, cols: Seq[String], op: String): Unit =
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"$op needs integral node ids; column '$c' is $dt " +
+            "(dense-rank or hash60 string ids to longs first)")
+      }
+    }
 
   /** Candidate near-dup pairs (a < b) from shared LSH buckets. The
     * self-join shuffles on (band_idx, band_hash); bucket sizes are the
@@ -257,9 +275,22 @@ object Dedup {
     * j-th sum is non-negative. Near-dups differ in few bits (compare
     * with bit_count(xor)). Narrow, shuffle-free.
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val words = array_distinct(split(text, " "))
-    val hashes = transform(words, w => md5(w))
+  def simhash(text: Column, bits: Int = 16): Column =
+    simhashFromHashes(transform(array_distinct(split(text, " ")), w => md5(w)), bits)
+
+  /** Fingerprint from an already-materialized per-word md5 array.
+    * [[simhashPairs]] computes the hash array in its OWN projection and
+    * passes the bound attribute here: each of the `bits` bit
+    * expressions then re-reads the array instead of carrying its own
+    * copy of the transform(words, md5) subtree (interpreted HOFs get no
+    * reliable common-subexpression elimination, so the inlined form
+    * md5-hashes every word once PER BIT).
+    */
+  private[operators] def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    // md5 hex has 32 nibbles: bit j reads nibble j+1, so bits > 32
+    // would read past the digest and silently zero the upper bits
+    // (every doc colliding on the upper LSH blocks)
+    require(bits >= 1 && bits <= 32, s"simhash bits must be in [1, 32], got $bits")
     val bitCols = (0 until bits).map { j =>
       val bitSum = aggregate(hashes, lit(0),
         (acc, h) => acc + when(
@@ -289,7 +320,13 @@ object Dedup {
       s"pigeonhole exactness needs maxHamming ($maxHamming) < blocks ($blocks)")
     val bpb = bits / blocks
     val mask = (1L << bpb) - 1
-    val fps = df.select(col(idCol), simhash(col(textCol), bits).as("fp"))
+    // hash array materialized in its own projection (see
+    // simhashFromHashes); CollapseProject keeps the split because the
+    // attribute is referenced `bits` times by a non-cheap producer
+    val fps = df
+      .withColumn("_wh",
+        transform(array_distinct(split(col(textCol), " ")), w => md5(w)))
+      .select(col(idCol), simhashFromHashes(col("_wh"), bits).as("fp"))
     val blocked = fps.select(col(idCol), col("fp"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("block_idx"),
@@ -320,11 +357,16 @@ object Dedup {
     * exploded shingle table is built once and shared by signature
     * aggregation and intersection counting; the candidate pair list is
     * broadcast into both intersection joins, so the big table is never
-    * shuffled on a skewed key.
+    * shuffled on a skewed key. Oversized band buckets go through the
+    * same [[bucketSkewGuard]] as [[minhashCandidates]] — an adversarial
+    * all-identical corpus would otherwise emit O(n²) candidate pairs
+    * AND broadcast them (pairs for dropped docs are the documented
+    * recall trade; no-skew corpora are bit-identical to unguarded).
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3,
-      numHashes: Int = 9, rowsPerBand: Int = 3): DataFrame = {
+      numHashes: Int = 9, rowsPerBand: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
     // Exploded-row formulation: the shingle array materializes once per
     // doc, and min-hash, set sizes, and intersections all run on the
     // codegen'd row path (the array_intersect/array_union + per-side
@@ -337,8 +379,10 @@ object Dedup {
     val stats = s.groupBy(col("doc"))
       .agg(sigAggs.head, sigAggs.tail :+ count(lit(1)).as("n_sh"): _*)
     val bands = lshBands(stats, "doc", numHashes, rowsPerBand)
-    val cand = bands.select(col("band_idx"), col("band_hash"), col("doc").as("doc_a"))
-      .join(bands.select(col("band_idx"), col("band_hash"), col("doc").as("doc_b")),
+    val kept = bucketSkewGuard(bands, Seq("band_idx", "band_hash"), "doc", bucketCap)
+      .where(col("_kept"))
+    val cand = kept.select(col("band_idx"), col("band_hash"), col("doc").as("doc_a"))
+      .join(kept.select(col("band_idx"), col("band_hash"), col("doc").as("doc_b")),
         Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -387,6 +431,10 @@ object Dedup {
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, propagationRounds: Int = 8): DataFrame = {
+    // integral ids only: a non-ANSI cast of a string id to long yields
+    // NULL per row, silently collapsing the graph into one null
+    // "cluster" — fail loud instead (hash/dense-rank string ids first)
+    requireIntegralIds(edges, Seq(aCol, bCol), "connectedComponents")
     val sym = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(edges.select(col(bCol).cast("long").as("src"),
@@ -452,6 +500,7 @@ object Dedup {
     */
   def starComponents(edges: DataFrame, maxRounds: Int,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    requireIntegralIds(edges, Seq(aCol, bCol), "starComponents")
     val allNodes = edges.select(col(aCol).cast("long").as("node"))
       .unionByName(edges.select(col(bCol).cast("long").as("node")))
       .distinct().localCheckpoint()

@@ -31,10 +31,21 @@ object Packing {
   /** Adds `start_offset`: the row's start position in the global
     * concatenated stream of `weightCol`, ordered by `idCol` (which must
     * be unique — ties would make the order, and thus offsets,
-    * ambiguous).
+    * ambiguous). Weights are validated (≥ 1) INSIDE the offset
+    * computation, so the check is part of `start_offset`'s lineage and
+    * cannot be projection-pruned away by a caller that never reads the
+    * validated column (a zero/negative/null weight corrupts every
+    * subsequent offset, and downstream `sequence(start, end)` walks
+    * BACKWARDS for inverted spans).
     */
   def globalOffsets(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
     val id = col(idCol)
+    val guardedW = when(col(weightCol).cast("long") >= 1,
+        col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"globalOffsets: $weightCol must be >= 1, got "),
+        col(weightCol).cast("string"),
+        lit(s" at $idCol="), id.cast("string"))))
     // CORRECTNESS INVARIANT: both plan branches below (the local cumsum
     // and the partition-totals aggregate) contain the same range
     // exchange, and the RangePartitioner's sampled boundaries must be
@@ -60,14 +71,14 @@ object Packing {
     val parts0 = df.repartitionByRange(id).withColumn("_pid", spark_partition_id())
     val parts = if (reuse) parts0 else parts0.localCheckpoint()
     val local = parts.withColumn("_cum",
-      sum(col(weightCol).cast("long")).over(
+      sum(guardedW).over(
         Window.partitionBy("_pid").orderBy(id)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // partition totals need only a partial-aggregating sum (NOT the
     // cumsum branch — that would recompute the sort+window); the bare
     // orderBy window then runs over O(numPartitions) rows, not the data
     val prefix = parts.groupBy("_pid")
-      .agg(sum(col(weightCol).cast("long")).as("_ptotal"))
+      .agg(sum(guardedW).as("_ptotal"))
       .withColumn("_prefix",
         coalesce(sum("_ptotal").over(
           Window.orderBy("_pid")
@@ -88,20 +99,20 @@ object Packing {
   def packAssignments(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
-    // Weights must be >= 1: a zero-weight row would compute
-    // end_pack < start_pack, and a downstream explode(sequence(start,
-    // end)) silently walks BACKWARDS (Spark's sequence defaults to
-    // step -1), emitting spurious descending pack rows. Enforce the
-    // contract here with a diagnosable error instead.
-    val w = when(col(weightCol).cast("long") >= 1, col(weightCol).cast("long"))
-      .otherwise(raise_error(concat(
-        lit(s"packAssignments: $weightCol must be >= 1, got "),
-        col(weightCol).cast("string"), lit(s" at $idCol="), col(idCol).cast("string"))))
+    // Weight validation (>= 1) lives inside globalOffsets, on
+    // start_offset's lineage — see its doc. Pack spans use `DIV`
+    // (exact long division; offsets are non-negative so it IS floor):
+    // `floor(a / b)` on longs goes through DOUBLE division in Spark,
+    // which misrounds once offsets approach 2⁵³ — real at 100 TB token
+    // streams.
     globalOffsets(df, idCol, weightCol)
-      .withColumn("start_pack", floor(col("start_offset") / budget))
-      .withColumn("end_pack",
-        floor((col("start_offset") + w - 1) / budget))
+      .withColumn("_end_off",
+        col("start_offset") + col(weightCol).cast("long") - 1)
+      .withColumn("start_pack",
+        expr(s"start_offset DIV CAST($budget AS BIGINT)"))
+      .withColumn("end_pack", expr(s"_end_off DIV CAST($budget AS BIGINT)"))
       .withColumn("n_packs", col("end_pack") - col("start_pack") + 1)
+      .drop("_end_off")
   }
 
   /** Sliding-window character chunking (the RAG/embedding-prep shape):
@@ -116,6 +127,11 @@ object Packing {
   def chunk(df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0, "chunk size and stride must be positive")
+    // stride > size would leave unsampled gaps AND make the count
+    // formula emit a phantom zero-length tail chunk (e.g. size=2,
+    // stride=5, len=4 plans a window starting past the text)
+    require(stride <= size,
+      s"chunk stride ($stride) must be <= size ($size): windows must tile")
     val len = length(col(textCol))
     // integer-arithmetic chunk count: 1 + ceil((len-size)/stride), all
     // in LONG so the identical formula runs in the SQL oracle

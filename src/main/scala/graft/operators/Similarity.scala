@@ -50,9 +50,22 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  private def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  private def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    // every top-k path feeds ids through TopKByScore via cast("long"):
+    // a non-ANSI cast of a string id would null out and the aggregate
+    // would silently return ZERO neighbors for every query — fail loud
+    // (dense-rank/hash string ids to longs, or use TopKStringByScore)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"similarity ids must be integral; '$idCol' is $dt")
+    }
     df.select(col(idCol), Dedup.quantize(col(embCol)).as("q"))
       .withColumn("n2", Dedup.squaredNorm(col("q")))
+  }
 
   /** Turn a per-query best-first top-k struct array into
     * (rank, neighbor_id, cosine) rows; rank is 1-based and int like the

@@ -92,6 +92,33 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("ngram Jaccard: identical-doc corpus stays bounded and unskewed corpora are unchanged") {
+    Dedup.clearSkewCache()
+    // adversarial: every doc identical — the unguarded formulation
+    // would emit (and BROADCAST) n²/2 candidate pairs
+    val n = 5000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("a b c d e f g h i j k l").as("text"))
+    val cap = 64
+    val nPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", bucketCap = cap)
+      .count()
+    assert(nPairs < 3L * (3 * cap) * (3 * cap) / 2,
+      s"guard failed: $nPairs verified pairs for $n identical docs")
+    // natural corpus: guarded output must equal the historical shape
+    // (every returned pair fully verified with an exact jaccard)
+    val natural = (1 to 200).map(i => (i.toLong,
+      if (i % 50 == 0) "alpha beta gamma delta epsilon zeta"
+      else s"w$i w${i + 1} w${i + 2} w${i + 3} unique$i text here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(natural, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+    val clique = Seq(50L, 100L, 150L, 200L).combinations(2)
+      .map(s => (s(0), s(1))).toSet
+    assert(clique.subsetOf(pairs.map(p => (p._1, p._2)).toSet),
+      s"all 6 identical-doc pairs must survive the guard: ${pairs.toSeq}")
+    assert(pairs.filter(p => clique((p._1, p._2))).forall(_._3 == 1.0))
+  }
+
   test("skew guard output is bit-identical when no bucket exceeds the cap") {
     def txt(seed: Int) = (0 until 12).map(j => s"w${seed}x$j").mkString(" ")
     val docs = (1 to 20).map(i => (i.toLong, txt(i % 5))).toDF("doc_id", "text")
