@@ -4,10 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 
-/** TPC-H flagship queries (Q1 pricing summary, Q3 shipping priority,
-  * Q5 local-supplier volume) through the pure-SQL entry path — the
-  * standard OLAP credibility check for any engine claiming the
-  * reference's analytics surface and beyond.
+/** The complete TPC-H suite — all 22 queries — through the pure-SQL
+  * entry path: the standard OLAP credibility check for any engine
+  * claiming the reference's analytics surface and beyond. The five
+  * partsupp-dependent queries (Q2/Q9/Q11/Q16/Q20) run against a
+  * partsupp stand-in derived from distinct lineitem (part, supplier)
+  * pairs — every spec plan shape (correlated MIN, profit rollup,
+  * group-vs-global HAVING, NOT-IN distinct-count, nested correlated
+  * scalar) is preserved; see each query's Scaladoc.
   *
   * The SQL is written in the dialect intersection of Spark and DuckDB,
   * so the ENGINE AND THE ORACLE RUN THE SAME STRING — the strongest
@@ -393,6 +397,138 @@ object TpchQueries {
       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Q2 minimum-cost supplier — the correlated-MIN-over-a-shared-CTE
+    * shape: the partsupp-equivalent is scanned twice (outer join tree +
+    * correlated scalar MIN on the same part), and the correlation key
+    * (p_partkey) forces decorrelation into an aggregate + rejoin. The
+    * synthetic schema has no partsupp table, so the (part, supplier)
+    * catalog derives from lineitem history: ps_supplycost := the
+    * cheapest unit price that supplier ever shipped the part at.
+    * min() of an IEEE division is order-independent and correctly
+    * rounded on both engines, so the `=` against the correlated MIN
+    * never flips. Region gate + acctbal-DESC top-N as in the spec.
+    */
+  private val Q2 =
+    """WITH psupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      |FROM part, psupp, supplier, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_size = 15 AND p_type = 'ECONOMY'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (
+      |    SELECT min(ps_supplycost)
+      |    FROM psupp, supplier, nation, region
+      |    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |      AND r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** Q9 product-type profit — the 5-table profit rollup grouped by
+    * (nation, year). The spec's cost term ps_supplycost*l_quantity has
+    * no partsupp to read from; l_tax*l_quantity stands in — the same
+    * exact-decimal product subtracted inside the same per-row amount,
+    * so the engine still exercises a two-term decimal expression summed
+    * per group. p_name LIKE 'red%' is the spec's %green% filter against
+    * this corpus's color-adjective names. At scale: lineitem joins
+    * part/supplier broadcast-side, orders shuffles once on orderkey,
+    * and the final (nation, o_year) agg is two-phase.
+    */
+  private val Q9 =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      |      - CAST(l_tax AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+      |      AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE 'red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11 important stock — the group-vs-global-fraction shape: the same
+    * aggregate runs twice (per-part and global), and the HAVING
+    * compares each group against a scalar fraction of the global. The
+    * partsupp value sum becomes lineitem revenue attributed through the
+    * supplier's nation gate. Spark plans the scalar subquery once and
+    * broadcasts it into the HAVING filter; both sums ride the identical
+    * exact-decimal path so the > threshold is engine-stable.
+    */
+  private val Q11 =
+    """SELECT l_partkey AS ps_partkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) > (
+      |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 0.001
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_3')
+      |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  /** Q16 parts/supplier relationship — the NOT-IN + count-DISTINCT
+    * shape: a distinct (part, supplier) catalog filtered by a
+    * null-safe anti-join (NOT IN over a filtered supplier list — the
+    * spec's complaint suppliers become negative-balance suppliers),
+    * then count(DISTINCT suppkey) per (brand, type, size) bucket.
+    * Spark plans NOT IN as a null-aware anti join; count distinct
+    * expands to a two-level aggregate. Both inputs here are provably
+    * non-null (keys), so the null-aware path degenerates to a plain
+    * anti-join on both engines.
+    */
+  private val Q16 =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |      FROM lineitem) psupp, part
+      |WHERE p_partkey = ps_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_type NOT LIKE 'STANDARD%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND ps_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 potential part promotion — the deepest nesting in the suite:
+    * an IN-subquery whose body contains ANOTHER correlated scalar
+    * aggregate over a different scan of the same fact table. The
+    * partsupp availqty becomes the supplier's all-time shipped
+    * quantity per part, compared against half of its 1996 shipments —
+    * the same "stock exceeds half a year's demand" semantics. Spark
+    * decorrelates the inner sum into a keyed aggregate joined on
+    * (partkey, suppkey), then the IN into a left-semi on suppkey; a
+    * NULL inner sum (no 1996 shipments) filters the row on both
+    * engines identically.
+    */
+  private val Q20 =
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |  SELECT ps_suppkey FROM (
+      |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ps_availqty
+      |    FROM lineitem GROUP BY l_partkey, l_suppkey) psupp
+      |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND ps_availqty > (
+      |      SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |      FROM lineitem
+      |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      |ORDER BY s_name""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
     spark.sql(sql)
@@ -415,7 +551,12 @@ object TpchQueries {
     "tpch_q19" -> run(Q19) _,
     "tpch_q21" -> run(Q21) _,
     "tpch_q22" -> run(Q22) _,
-    "tpch_q15" -> run(Q15) _
+    "tpch_q15" -> run(Q15) _,
+    "tpch_q2" -> run(Q2) _,
+    "tpch_q9" -> run(Q9) _,
+    "tpch_q11" -> run(Q11) _,
+    "tpch_q16" -> run(Q16) _,
+    "tpch_q20" -> run(Q20) _
   )
 
   val oracle: Map[String, String] = Map(
@@ -435,6 +576,11 @@ object TpchQueries {
     "tpch_q19" -> Q19,
     "tpch_q21" -> Q21,
     "tpch_q22" -> Q22,
-    "tpch_q15" -> Q15
+    "tpch_q15" -> Q15,
+    "tpch_q2" -> Q2,
+    "tpch_q9" -> Q9,
+    "tpch_q11" -> Q11,
+    "tpch_q16" -> Q16,
+    "tpch_q20" -> Q20
   )
 }
