@@ -64,11 +64,87 @@ object GraphQueries {
       s"\nSELECT node, rank FROM pr$iterations"
   }
 
+  /** Triangle counting over the customer co-purchase graph: customers
+    * are adjacent when they bought the same part. The incidence list is
+    * capped at the 4 LOWEST custkeys per part — a deterministic hub
+    * guard (a part bought by 100k customers would otherwise emit 5e9
+    * edges; the cap bounds every part's contribution at 6 while keeping
+    * the graph connected through popular parts), the same
+    * bounded-fanout posture as the LSH bucket caps in Dedup. The
+    * triangle algorithm itself needs no cap: Graph.triangles orients
+    * edges by degree, which bounds wedge fan-out at O(√m) per node.
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val inc = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .distinct()
+    val byPart = Window.partitionBy("part").orderBy("cust")
+    val top = inc.withColumn("rn", row_number().over(byPart))
+      .where(col("rn") <= 4)
+    val edges = top.as("a").join(top.as("b"),
+        col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
+      .select(col("a.cust").as("u"), col("b.cust").as("v"))
+    Graph.triangles(edges)
+  }
+
+  /** The identical orientation + wedge-closure in portable SQL; the
+    * (deg, id) total order is spelled as an explicit disjunction. */
+  private val TriangleOracle =
+    """WITH inc AS (
+      |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |top4 AS (
+      |  SELECT part, cust FROM (
+      |    SELECT part, cust,
+      |      row_number() OVER (PARTITION BY part ORDER BY cust) AS rn
+      |    FROM inc) t
+      |  WHERE rn <= 4),
+      |e0 AS (
+      |  SELECT DISTINCT a.cust AS lo, b.cust AS hi
+      |  FROM top4 a JOIN top4 b ON a.part = b.part AND a.cust < b.cust),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT lo AS node FROM e0
+      |    UNION ALL SELECT hi AS node FROM e0) n
+      |  GROUP BY node),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+      |      THEN e0.lo ELSE e0.hi END AS src,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+      |      THEN e0.hi ELSE e0.lo END AS dst,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e0.lo < e0.hi)
+      |      THEN dh.deg ELSE dl.deg END AS ddst
+      |  FROM e0
+      |  JOIN deg dl ON dl.node = e0.lo
+      |  JOIN deg dh ON dh.node = e0.hi),
+      |tris AS (
+      |  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      |  FROM oriented o1
+      |  JOIN oriented o2 ON o1.src = o2.src
+      |    AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+      |  JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+      |corners AS (
+      |  SELECT a AS node FROM tris
+      |  UNION ALL SELECT b AS node FROM tris
+      |  UNION ALL SELECT c AS node FROM tris),
+      |tcnt AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+      |  FROM corners GROUP BY node)
+      |SELECT deg.node, deg.deg,
+      |  CAST(COALESCE(tcnt.tri_count, 0) AS BIGINT) AS tri_count
+      |FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pagerank" -> (pagerank _)
+    "pagerank" -> (pagerank _),
+    "triangle_count" -> (triangleCount _)
   )
 
   val oracle: Map[String, String] = Map(
-    "pagerank" -> oracleSqlFor(Iterations)
+    "pagerank" -> oracleSqlFor(Iterations),
+    "triangle_count" -> TriangleOracle
   )
 }

@@ -52,4 +52,31 @@ class GraphSpec extends SparkSpec {
     assert(ranks("a") == S / 20 * 3) // 0.15 * scale exactly
     assert(ranks("b") == S / 20 * 3 + 85 * S / 100)
   }
+
+  test("triangles: K4 has 4 triangles, every node in 3 of them") {
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toDF("u", "v")
+    val out = Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == (1L to 4L).map(n => (n, 3L, 3L)))
+  }
+
+  test("triangles: square with one diagonal = exactly two, corner counts split") {
+    // 1-2-3-4-1 plus diagonal 1-3: triangles (1,2,3) and (1,3,4).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("u", "v")
+    val out = Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(
+      1L -> (3L, 2L), 2L -> (2L, 1L), 3L -> (3L, 2L), 4L -> (2L, 1L)))
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges are canonicalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("u", "v")
+    val out = Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
 }
