@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 quantization of embedding columns — the standard 4×
+  * storage/bandwidth reduction applied to vector corpora before ANN
+  * serving (each float32 dimension becomes one byte plus a per-vector
+  * (min, scale) pair).
+  *
+  * All arithmetic is INTEGER on a fixed-point domain: floats enter as
+  * `round(x · 10⁴)` BIGINTs (the repo-wide convention from the
+  * similarity oracles), the code is `((v − mn) · 255) DIV span`, and
+  * the reconstruction is `mn + (code · span) DIV 255`. Integer DIV on
+  * non-negative operands truncates identically on every engine, so the
+  * codes — and therefore the reconstruction-error column — are a pure
+  * function of the input, hash-verifiable against a SQL oracle.
+  * (A float formulation would not be: `(v-mn)/span*255` rounds at
+  * three data-dependent places, and `floor` of a correctly-rounded
+  * quotient can land one integer too high.)
+  *
+  * Scale posture: one narrow projection, no shuffle — per-row min/max
+  * are codegen array expressions, the per-element maps are lambda HOFs
+  * evaluated once per vector. The output keeps only O(1) summary
+  * columns per vector (codes collapse to sum + position-weighted sum),
+  * so the result is a scan-shaped pipeline at any corpus size.
+  */
+object Quantize {
+
+  /** @param df       input with an `array<float|double>` column
+    * @param vecCol   embedding column name
+    * @param idCols   passthrough identifier columns
+    * @param fixedScale fixed-point multiplier for float→int entry
+    * @return one row per input row: id columns, the quantization range
+    *         (`mn_q`, `mx_q`), two exact code-array signatures
+    *         (`code_sum`, position-weighted `code_wsum` — order
+    *         sensitivity is what makes the pair a signature), and the
+    *         total fixed-point reconstruction error `abs_err_q`.
+    */
+  def int8(
+      df: DataFrame,
+      vecCol: String,
+      idCols: Seq[String],
+      fixedScale: Int = 10000): DataFrame = {
+    val prepared = df
+      .withColumn("_qv", expr(
+        s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $fixedScale) AS BIGINT))"))
+      .withColumn("mn_q", array_min(col("_qv")))
+      .withColumn("mx_q", array_max(col("_qv")))
+      .withColumn("_codes", expr(
+        """transform(_qv, v -> CASE WHEN mx_q = mn_q THEN CAST(0 AS BIGINT)
+          |  ELSE ((v - mn_q) * 255) DIV (mx_q - mn_q) END)""".stripMargin))
+    prepared.select(
+      idCols.map(col) ++ Seq(
+        col("mn_q"),
+        col("mx_q"),
+        expr("aggregate(_codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("code_sum"),
+        // 1-based position weights (matches SQL's 1-based list index)
+        expr("""aggregate(transform(_codes, (c, i) -> c * CAST(i + 1 AS BIGINT)),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("code_wsum"),
+        expr("""aggregate(zip_with(_qv, _codes,
+               |    (v, c) -> abs(v - (mn_q + (c * (mx_q - mn_q)) DIV 255))),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("abs_err_q")): _*)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Quantize, Similarity}
 
 /** Driver-contract queries for similarity search over `embeddings`:
   * vectors with vec_id < 10 act as queries against the full corpus.
@@ -88,7 +88,9 @@ object VecQueries {
     "similarity_lsh_mp" -> topkLshMp,
     "similarity_ivf" -> topkIvf,
     "similarity_ivf_mp" -> topkIvfMp,
-    "similarity_recall" -> similarityRecall
+    "similarity_recall" -> similarityRecall,
+    "embedding_quantize" -> ((s: SparkSession, dir: String) =>
+      Quantize.int8(Tables.embeddings(s, dir), "embedding", Seq("vec_id")))
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -124,6 +126,25 @@ object VecQueries {
       |  FROM bk WHERE vec_id < 10)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, qv,
+        |    list_min(qv) AS mn_q, list_max(qv) AS mx_q FROM q),
+        |c AS (SELECT vec_id, qv, mn_q, mx_q,
+        |    list_transform(qv, v -> CASE WHEN mx_q = mn_q THEN CAST(0 AS BIGINT)
+        |      ELSE ((v - mn_q) * 255) // (mx_q - mn_q) END) AS codes
+        |  FROM s)
+        |SELECT vec_id, mn_q, mx_q,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_sum(list_transform(codes,
+        |    (x, i) -> x * CAST(i AS BIGINT))) AS BIGINT) AS code_wsum,
+        |  CAST(list_sum(list_transform(qv, (v, i) ->
+        |    abs(v - (mn_q + (codes[i] * (mx_q - mn_q)) // 255)))) AS BIGINT)
+        |    AS abs_err_q
+        |FROM c""".stripMargin,
     "similarity_lsh_mp" ->
       s"""WITH $qCte,
          |bk AS (SELECT vec_id, qv, n2,
