@@ -139,7 +139,16 @@ object DocQueries {
       dedupClusters(spark, sfDir), "cluster",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Cdc.chunkSummary(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
+  def cdcDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Cdc.dedupStats(Tables.documents(spark, sfDir), "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_chunks" -> cdcChunks,
+    "cdc_dedup_stats" -> cdcDedupStats,
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
@@ -228,7 +237,53 @@ object DocQueries {
        |    count(*) OVER (PARTITION BY cluster) AS n_docs
        |  FROM scored)""".stripMargin
 
+  /** The md5-window CDC boundary rule, shared by both cdc oracles:
+    * a chunk ends after position p when md5 of the 16-char window
+    * ending at p starts with "00". */
+  private val cdcChunkCte =
+    """b AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    list_filter(generate_series(16, greatest(length(text), 16)),
+      |      p -> p <= length(text)
+      |        AND substr(md5(substr(text, p - 15, 16)), 1, 2) = '00') AS bnds
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, len, text,
+      |    list_prepend(1, list_transform(bnds, x -> x + 1)) AS starts,
+      |    list_append(bnds, len) AS ends
+      |  FROM b)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "cdc_chunks" ->
+      s"""WITH $cdcChunkCte,
+         |h AS (
+         |  SELECT doc_id, len,
+         |    list_filter(list_transform(starts, (s, i) ->
+         |      CASE WHEN ends[i] >= s
+         |        THEN md5(substr(text, s, ends[i] - s + 1)) END),
+         |      x -> x IS NOT NULL) AS hashes
+         |  FROM ch)
+         |SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
+         |  CAST(length(hashes) AS BIGINT) AS n_chunks,
+         |  md5(array_to_string(hashes, '')) AS chunk_sig
+         |FROM h""".stripMargin,
+    "cdc_dedup_stats" ->
+      s"""WITH $cdcChunkCte,
+         |pieces AS (
+         |  SELECT unnest(list_filter(list_transform(starts, (s, i) ->
+         |    CASE WHEN ends[i] >= s
+         |      THEN substr(text, s, ends[i] - s + 1) END),
+         |    x -> x IS NOT NULL)) AS chunk
+         |  FROM ch),
+         |grouped AS (
+         |  SELECT md5(chunk) AS h, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(min(length(chunk)) AS BIGINT) AS len
+         |  FROM pieces GROUP BY md5(chunk))
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
+         |  CAST(sum(len) AS BIGINT) AS distinct_bytes
+         |FROM grouped""".stripMargin,
     "dedup_incremental" ->
       s"""WITH shr AS ($shingleRows),
          |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
