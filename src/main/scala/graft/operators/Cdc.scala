@@ -52,11 +52,18 @@ object Cdc {
          |  h -> h IS NOT NULL)""".stripMargin)
   }
 
+  /** Input plus a `_hashes` column: the per-chunk md5 array under the
+    * portable boundary rule. Stateless projection — usable on batch
+    * AND streaming DataFrames (the streaming chunk-dedup twin builds
+    * on it). */
+  def withChunkHashes(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_bnds", mdBoundaries(textCol))
+      .withColumn("_hashes", chunkHashes(textCol))
+
   /** One row per document: chunk count and an order-sensitive chunk
     * signature (md5 of the concatenated chunk hashes). */
   def chunkSummary(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("_bnds", mdBoundaries(textCol))
-      .withColumn("_hashes", chunkHashes(textCol))
+    withChunkHashes(df, textCol)
       .select(
         col(idCol),
         length(col(textCol)).cast("long").as("n_chars"),

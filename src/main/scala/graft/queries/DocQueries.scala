@@ -146,9 +146,19 @@ object DocQueries {
   def cdcDedupStats(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Cdc.dedupStats(Tables.documents(spark, sfDir), "text")
 
+  /** Chunk-level dedup through the real streaming engine's
+    * dropDuplicates state store (the CDC twin of streaming_dedup). */
+  def streamingCdcDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamingPipeline.runToMemory(
+      graft.streaming.StreamingPipeline.cdcChunkDedup(
+        graft.streaming.StreamingPipeline.readDocuments(spark, sfDir)),
+      "graft_stream_cdc_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_chunks" -> cdcChunks,
     "cdc_dedup_stats" -> cdcDedupStats,
+    "streaming_cdc_dedup" -> streamingCdcDedup,
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
@@ -284,6 +294,15 @@ object DocQueries {
          |  CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
          |  CAST(sum(len) AS BIGINT) AS distinct_bytes
          |FROM grouped""".stripMargin,
+    "streaming_cdc_dedup" ->
+      s"""WITH $cdcChunkCte,
+         |pieces AS (
+         |  SELECT unnest(list_filter(list_transform(starts, (s, i) ->
+         |    CASE WHEN ends[i] >= s
+         |      THEN substr(text, s, ends[i] - s + 1) END),
+         |    x -> x IS NOT NULL)) AS chunk
+         |  FROM ch)
+         |SELECT DISTINCT md5(chunk) AS chunk_hash FROM pieces""".stripMargin,
     "dedup_incremental" ->
       s"""WITH shr AS ($shingleRows),
          |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),

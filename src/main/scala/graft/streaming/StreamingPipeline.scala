@@ -242,6 +242,21 @@ object StreamingPipeline {
     docs.select(md5(col(textCol)).as("text_hash"))
       .dropDuplicates("text_hash")
 
+  /** Streaming CHUNK-level dedup — the content-defined-chunking twin:
+    * each document explodes into its portable-rule CDC chunk hashes
+    * (operators/Cdc — a stateless projection, safe on a stream) and
+    * the running distinct-chunk set lives in dropDuplicates state.
+    * Same Append-mode determinism argument as [[dedupHashes]]: the
+    * emitted SET is arrival-order-independent. At scale the state is
+    * one row per distinct chunk — bound it with a watermark +
+    * dropDuplicatesWithinWatermark at the dedup horizon, exactly as
+    * the whole-document variant.
+    */
+  def cdcChunkDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.operators.Cdc.withChunkHashes(docs, textCol)
+      .select(explode(col("_hashes")).as("chunk_hash"))
+      .dropDuplicates("chunk_hash")
+
   /** Watermarked stream-stream self-join: pairs of events by the same
     * user within a 5-minute forward window — the follow-on-action shape
     * (click→purchase, request→retry). Both sides carry a watermark and
