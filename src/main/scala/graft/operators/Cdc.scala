@@ -3,14 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GearChunks
+import graft.functions.{GearChunks, Md5WindowChunks}
 
 /** Content-defined chunking for chunk-level dedup — the finer-grained
   * sibling of whole-document exact dedup (Dedup.exact): two documents
   * that share most of their bytes dedup chunk-by-chunk even though
   * their document hashes differ.
   *
-  * Two formulations, same operator:
+  * Two boundary rules, same operator:
   *
   *  - [[gearChunks]] — the SCALE PATH: one codegen pass per document
   *    (functions/GearChunks), O(1) rolling state, no per-position
@@ -19,80 +19,55 @@ import graft.functions.GearChunks
   *    (lossless reconstruction, length bounds, edit-locality) rather
   *    than the DuckDB oracle.
   *
-  *  - [[chunkSummary]] / [[dedupStats]] — the PORTABLE twin used for
-  *    the oracle-gated queries: a boundary falls after position p when
-  *    `md5(text[p-15..p])` starts with "00" (16-byte window, 1/256
-  *    boundary probability ⇒ 256-char expected chunks). md5 and substr
-  *    agree byte-for-byte across engines, so chunk hashes — and the
-  *    global dedup ratio built from them — hash-verify exactly. The
-  *    O(n·w) per-position md5 cost is the price of replayability; it
-  *    exists to PROVE the semantics the Gear path implements fast.
+  *  - the PORTABLE md5-window rule used for the oracle-gated queries:
+  *    a boundary falls after position p when `md5(text[p-15..p])`
+  *    starts with "00" (16-byte window, 1/256 boundary probability ⇒
+  *    256-char expected chunks). md5 and substr agree byte-for-byte
+  *    across engines, so chunk hashes — and the global dedup ratio
+  *    built from them — hash-verify exactly against DuckDB replaying
+  *    the rule in pure SQL. Spark evaluates the rule through ONE
+  *    compiled expression ([[graft.functions.Md5WindowChunks]], a
+  *    tight reused-digest loop); CdcSpec pins its equivalence to the
+  *    literal SQL HOF chain the oracle runs.
   */
 object Cdc {
 
-  /** Boundary positions of the md5-window formulation (1-based,
-    * boundary AFTER position p). The sequence upper bound is clamped
-    * with greatest() because Spark's sequence(a, b) runs DESCENDING
-    * when a > b — a <16-char document must yield no positions, not a
-    * reversed range. */
-  private def mdBoundaries(textCol: String): Column = expr(
-    s"""filter(sequence(16, greatest(length($textCol), 16)),
-       |  p -> p <= length($textCol)
-       |    AND substring(md5(substring($textCol, p - 15, 16)), 1, 2) = '00')
-       |""".stripMargin)
-
-  /** Per-chunk md5 hashes under the portable boundary rule. */
-  private def chunkHashes(textCol: String): Column = {
-    expr(
-      s"""filter(
-         |  zip_with(
-         |    concat(array(1), transform(_bnds, b -> b + 1)),
-         |    concat(_bnds, array(length($textCol))),
-         |    (s, e) -> IF(e >= s, md5(substring($textCol, s, e - s + 1)), NULL)),
-         |  h -> h IS NOT NULL)""".stripMargin)
-  }
+  /** Per-chunk (md5-hex, byte length) structs under the portable
+    * md5-window rule, in document order. */
+  def md5Chunks(textCol: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      Md5WindowChunks(org.apache.spark.sql.GraftBridge.expression(textCol)))
 
   /** Input plus a `_hashes` column: the per-chunk md5 array under the
     * portable boundary rule. Stateless projection — usable on batch
     * AND streaming DataFrames (the streaming chunk-dedup twin builds
     * on it). */
   def withChunkHashes(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("_bnds", mdBoundaries(textCol))
-      .withColumn("_hashes", chunkHashes(textCol))
+    df.withColumn("_hashes",
+      transform(md5Chunks(col(textCol)), c => c.getField("h")))
 
   /** One row per document: chunk count and an order-sensitive chunk
     * signature (md5 of the concatenated chunk hashes). */
   def chunkSummary(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withChunkHashes(df, textCol)
+    df.withColumn("_chunks", md5Chunks(col(textCol)))
       .select(
         col(idCol),
         length(col(textCol)).cast("long").as("n_chars"),
-        size(col("_hashes")).cast("long").as("n_chunks"),
-        md5(array_join(col("_hashes"), "")).as("chunk_sig"))
+        size(col("_chunks")).cast("long").as("n_chunks"),
+        md5(expr("array_join(transform(_chunks, c -> c.h), '')")).as("chunk_sig"))
 
   /** Corpus-level chunk dedup accounting: total vs distinct chunks and
     * bytes — the "what would chunk-level dedup save" report. One keyed
     * exchange (group by chunk hash), then a scalar rollup. */
-  def dedupStats(df: DataFrame, textCol: String): DataFrame = {
-    val chunks = df
-      .withColumn("_bnds", mdBoundaries(textCol))
-      .withColumn("_chunks", expr(
-        s"""filter(
-           |  zip_with(
-           |    concat(array(1), transform(_bnds, b -> b + 1)),
-           |    concat(_bnds, array(length($textCol))),
-           |    (s, e) -> IF(e >= s, substring($textCol, s, e - s + 1), NULL)),
-           |  c -> c IS NOT NULL)""".stripMargin))
-      .select(explode(col("_chunks")).as("chunk"))
-      .select(md5(col("chunk")).as("h"), length(col("chunk")).cast("long").as("len"))
-    chunks
+  def dedupStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(md5Chunks(col(textCol))).as("c"))
+      .select(col("c.h").as("h"), col("c.len").cast("long").as("len"))
       .groupBy("h").agg(count(lit(1)).as("cnt"), min(col("len")).as("len"))
       .agg(
         sum(col("cnt")).as("n_chunks"),
         count(lit(1)).as("n_distinct_chunks"),
         sum(col("cnt") * col("len")).as("total_bytes"),
         sum(col("len")).as("distinct_bytes"))
-  }
 
   /** The fast path: Gear-hash CDC chunks as a column (see
     * [[graft.functions.GearChunks]]). */

@@ -74,6 +74,38 @@ class CdcSpec extends SparkSpec {
       s"expected >=3 identical tail chunks, got ${tailMatch.size}")
   }
 
+  test("Md5WindowChunks matches the literal HOF chain the oracle replays") {
+    // the exact rule the DuckDB oracle runs, spelled with Spark's own
+    // builtin HOFs — the compiled expression must agree row-for-row
+    val hofHashes =
+      """filter(
+        |  zip_with(
+        |    concat(array(1), transform(_bnds, b -> b + 1)),
+        |    concat(_bnds, array(length(text))),
+        |    (s, e) -> IF(e >= s, md5(substring(text, s, e - s + 1)), NULL)),
+        |  h -> h IS NOT NULL)""".stripMargin
+    val bnds =
+      """filter(sequence(16, greatest(length(text), 16)),
+        |  p -> p <= length(text)
+        |    AND substring(md5(substring(text, p - 15, 16)), 1, 2) = '00')""".stripMargin
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionAll(Seq("", "x", "a" * 15, "b" * 16, randText(4000, 3)).toDF("text"))
+    val both = docs
+      .withColumn("_bnds", expr(bnds))
+      .select(
+        expr(hofHashes).as("hof"),
+        graft.operators.Cdc.md5Chunks(col("text")).as("fast"),
+        length(col("text")).as("len"))
+      .select(col("hof"),
+        expr("transform(fast, c -> c.h)").as("fast_h"),
+        expr("aggregate(transform(fast, c -> c.len), 0, (a, x) -> a + x)").as("fast_bytes"),
+        col("len"))
+    val bad = both.where(not(col("hof") <=> col("fast_h")) ||
+      col("fast_bytes") =!= col("len")).count()
+    assert(bad == 0)
+  }
+
   test("gearChunks column runs inside a projection over the corpus") {
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"), Cdc.gearChunks(col("text")).as("chunks"))
