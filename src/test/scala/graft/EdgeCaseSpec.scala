@@ -121,6 +121,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows("s") === (("s", 3L, 1L, 2L, "a", "b")))
   }
 
+  test("round-7 additions are empty-safe: triangles, quantization, cdc") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(graft.operators.Graph.triangles(noEdges).count() === 0)
+    // a single edge: two nodes of degree 1, zero triangles
+    val one = graft.operators.Graph.triangles(Seq((7L, 9L)).toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(one === Seq((7L, 1L, 0L), (9L, 1L, 0L)))
+
+    assert(graft.operators.Quantize.int8(noVecs, "embedding", Seq("vec_id"))
+      .count() === 0)
+    // empty embedding array: null range, zero-length signatures, no throw
+    val emptyVec = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val r = graft.operators.Quantize.int8(emptyVec, "embedding", Seq("vec_id"))
+    assert(r.count() === 1 && r.where(col("mn_q").isNull).count() === 1)
+
+    assert(graft.operators.Cdc.chunkSummary(noDocs, "doc_id", "text")
+      .count() === 0)
+    val statsEmpty = graft.operators.Cdc.dedupStats(noDocs, "text")
+      .as[(Option[Long], Long, Option[Long], Option[Long])].collect().head
+    assert(statsEmpty._2 === 0L) // zero distinct chunks, null sums, no throw
+    // empty STRING document: zero chunks, sig of the empty concat
+    val zeroDoc = Seq((1L, "")).toDF("doc_id", "text")
+    val zs = graft.operators.Cdc.chunkSummary(zeroDoc, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(zs._3 === 0L)
+  }
+
   test("query registry is collision-free across modules (Map ++ shadows silently)") {
     def dups[V](mods: Seq[Map[String, V]]): Seq[String] =
       mods.flatMap(_.keys).groupBy(identity).collect {
