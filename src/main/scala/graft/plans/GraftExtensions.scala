@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ElbParseFields, ElbUnquote, KMinValues, LongArrayDot, SpaceSaving, TopKByScore, TopKStringByScore, WordShingles}
+import graft.functions.{ElbParseFields, ElbUnquote, GearChunks, KMinValues, LongArrayDot, Md5WindowChunks, SpaceSaving, TopKByScore, TopKStringByScore, WordShingles}
 
 /** Session extensions exposing graft's custom Catalyst expressions to
   * SQL. Install with either:
@@ -62,7 +62,16 @@ object GraftExtensions {
     (FunctionIdentifier("space_saving"),
       info("space_saving",
         "space_saving(item, capacity) - aggregate: bounded heavy-hitter counters as array<struct<item, est>>"),
-      (args: Seq[Expression]) => SpaceSaving(args(0), literalK(args(1)))))
+      (args: Seq[Expression]) => SpaceSaving(args(0), literalK(args(1)))),
+    (FunctionIdentifier("gear_chunks"),
+      info("gear_chunks",
+        "gear_chunks(text, maskBits, minLen, maxLen) - content-defined chunks via a Gear rolling hash, one pass"),
+      (args: Seq[Expression]) => GearChunks(args(0), literalK(args(1)),
+        literalK(args(2)), literalK(args(3)))),
+    (FunctionIdentifier("md5_chunks"),
+      info("md5_chunks",
+        "md5_chunks(text) - portable md5-window CDC chunks as array<struct<h, len>>"),
+      (args: Seq[Expression]) => Md5WindowChunks(args.head)))
 
   /** k is a structural parameter of the bounded heap, not a per-row
     * input: demand a literal.

@@ -118,6 +118,19 @@ class ExpressionSpec extends SparkSpec {
     assert(got === Seq("a b c", "b c d"))
   }
 
+  test("cdc chunkers are SQL-callable once registered") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT gear_chunks('the quick brown fox jumps over the lazy dog', 4, 4, 16) AS g,
+        |  md5_chunks('short text') AS m""".stripMargin).head()
+    val g = r.getSeq[String](0)
+    assert(g.mkString == "the quick brown fox jumps over the lazy dog")
+    assert(g.forall(_.length <= 16))
+    val m = r.getSeq[org.apache.spark.sql.Row](1)
+    // <16 chars -> one chunk spanning the whole text
+    assert(m.size == 1 && m.head.getInt(1) == 10)
+  }
+
   test("top_k aggregates are SQL-callable once registered") {
     graft.plans.GraftExtensions.register(spark)
     spark.range(0, 20).select((col("id") % 10).cast("double").as("s"),
