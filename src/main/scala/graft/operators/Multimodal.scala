@@ -207,4 +207,49 @@ object Multimodal {
       }
     }
   }
+
+  // ---- ViT-style patch extraction --------------------------------------
+
+  case class ImagePatch(media_id: Long, px: Int, py: Int,
+      n_bytes: Int, sum_bytes: Long, min_byte: Int, max_byte: Int)
+
+  /** Split each decoded image into a grid of `patch`×`patch` pixel
+    * tiles — the vision-transformer preprocessing step (image →
+    * ordered patch sequence) applied corpus-wide. One row per FULL
+    * patch (edge remainders drop, like ViT center-crop conventions);
+    * stats are exact integers over the patch's RGB bytes. 1:many
+    * flatMap, partition-wise, no shuffle — the patch walk indexes the
+    * decoded raster directly, no per-patch copies.
+    */
+  def patchImages(ds: Dataset[MediaRecord], patch: Int = 8): Dataset[ImagePatch] = {
+    implicit val enc = Encoders.product[ImagePatch]
+    require(patch >= 1, s"patch must be >= 1, got $patch")
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodecs.decode(r.payload).toOption.toSeq.flatMap {
+          case img: DecodedImage =>
+            val nx = img.width / patch
+            val ny = img.height / patch
+            for (py <- 0 until ny; px <- 0 until nx) yield {
+              var sum = 0L; var mn = 255; var mx = 0
+              var dy = 0
+              while (dy < patch) {
+                val rowStart = 3 * ((py * patch + dy) * img.width + px * patch)
+                var k = 0
+                while (k < 3 * patch) {
+                  val v = img.pixels(rowStart + k) & 0xff
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  k += 1
+                }
+                dy += 1
+              }
+              ImagePatch(r.media_id, px, py, 3 * patch * patch, sum, mn, mx)
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
 }

@@ -46,6 +46,15 @@ object MiscQueries {
     Multimodal.sampleFrames(media, everyN = 2).toDF().drop("frame_md5")
   }
 
+  /** ViT-style 8×8 patch grid over each decoded PPM raster — one row
+    * per full patch with exact integer byte stats.
+    */
+  def multimodalPatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    Multimodal.patchImages(media, patch = 8).toDF()
+  }
+
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
@@ -240,6 +249,7 @@ object MiscQueries {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_patches" -> multimodalPatches,
     "streaming_sessions" -> streamingSessions,
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
@@ -370,6 +380,29 @@ object MiscQueries {
     // tail; sum of squares via the square-pyramidal p(m)=m(m+1)(2m+1)/6).
     // Validated against brute-force simulation for ids 0..600 and
     // 64-bit outliers before registration.
+    // pixel byte i of image id is (i + id) % 256 with i = 3*(y*iw+x)+c
+    // (Multimodal.synthesizePayload); the oracle materializes each
+    // patch's 192 byte values from that formula and aggregates them.
+    "multimodal_patches" ->
+      """WITH p AS (SELECT doc_id, CAST(16 + (doc_id % 8) * 4 AS BIGINT) AS iw,
+        |    CAST(12 + (doc_id % 5) * 4 AS BIGINT) AS ih
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |gx AS (SELECT doc_id, iw, ih,
+        |    unnest(generate_series(0, iw // 8 - 1)) AS px FROM p),
+        |gxy AS (SELECT doc_id, iw, ih, px,
+        |    unnest(generate_series(0, ih // 8 - 1)) AS py FROM gx)
+        |SELECT doc_id AS media_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        |  CAST(192 AS INT) AS n_bytes,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, 7), dy ->
+        |    list_transform(generate_series(0, 23), k ->
+        |      (3*((py*8+dy)*iw + px*8) + k + doc_id) % 256)))) AS BIGINT) AS sum_bytes,
+        |  CAST(list_min(flatten(list_transform(generate_series(0, 7), dy ->
+        |    list_transform(generate_series(0, 23), k ->
+        |      (3*((py*8+dy)*iw + px*8) + k + doc_id) % 256)))) AS INT) AS min_byte,
+        |  CAST(list_max(flatten(list_transform(generate_series(0, 7), dy ->
+        |    list_transform(generate_series(0, 23), k ->
+        |      (3*((py*8+dy)*iw + px*8) + k + doc_id) % 256)))) AS INT) AS max_byte
+        |FROM gxy""".stripMargin,
     "multimodal_features" ->
       """WITH p AS (SELECT doc_id, doc_id % 3 AS m3,
         |    16 + (doc_id % 8) * 4 AS iw, 12 + (doc_id % 5) * 4 AS ih,
