@@ -208,6 +208,44 @@ object Multimodal {
     }
   }
 
+  // ---- audio frame energies --------------------------------------------
+
+  case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+      frame_sum: Long, frame_sumsq: Long)
+
+  /** Fixed-length analysis frames over decoded PCM — the audio
+    * counterpart of [[patchImages]] (waveform → ordered frame
+    * sequence, the first step of any audio feature pipeline). One row
+    * per FULL `frameLen`-sample frame; energy is the exact integer
+    * Σv and Σv² over the frame's 16-bit samples (sumsq of ±1000-range
+    * synth samples peaks ~2.6e8 per frame — Long headroom ~3.5e10×).
+    * 1:many flatMap over the decoded samples, no shuffle.
+    */
+  def audioFrames(ds: Dataset[MediaRecord], frameLen: Int = 256): Dataset[AudioFrame] = {
+    implicit val enc = Encoders.product[AudioFrame]
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodecs.decode(r.payload).toOption.toSeq.flatMap {
+          case a: DecodedAudio =>
+            val nf = a.samples.length / frameLen
+            (0 until nf).map { f =>
+              var s = 0L; var s2 = 0L
+              var k = f * frameLen
+              val end = k + frameLen
+              while (k < end) {
+                val v = a.samples(k).toLong
+                s += v; s2 += v * v
+                k += 1
+              }
+              AudioFrame(r.media_id, f, frameLen, s, s2)
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
+
   // ---- ViT-style patch extraction --------------------------------------
 
   case class ImagePatch(media_id: Long, px: Int, py: Int,

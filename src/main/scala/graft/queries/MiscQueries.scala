@@ -55,6 +55,15 @@ object MiscQueries {
     Multimodal.patchImages(media, patch = 8).toDF()
   }
 
+  /** 256-sample analysis frames over each decoded WAV — exact integer
+    * energy (Σv, Σv²) per frame.
+    */
+  def multimodalAudioFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    Multimodal.audioFrames(media, frameLen = 256).toDF()
+  }
+
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
@@ -250,6 +259,7 @@ object MiscQueries {
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_patches" -> multimodalPatches,
+    "multimodal_audio_frames" -> multimodalAudioFrames,
     "streaming_sessions" -> streamingSessions,
     "streaming_session_ids" -> streamingSessionIds,
     "streaming_hourly" -> streamingHourly,
@@ -380,6 +390,22 @@ object MiscQueries {
     // tail; sum of squares via the square-pyramidal p(m)=m(m+1)(2m+1)/6).
     // Validated against brute-force simulation for ids 0..600 and
     // 64-bit outliers before registration.
+    // sample k of audio id is ((k + id) % 2001) - 1000, ns = 500+id%300
+    // (Multimodal.synthesizePayload); the oracle materializes each
+    // 256-sample frame from that formula.
+    "multimodal_audio_frames" ->
+      """WITH p AS (SELECT doc_id, CAST(500 + doc_id % 300 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (SELECT doc_id, ns,
+        |    unnest(generate_series(0, ns // 256 - 1)) AS frame_idx FROM p)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(256 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(generate_series(0, 255), k ->
+        |    ((frame_idx*256 + k + doc_id) % 2001) - 1000)) AS BIGINT) AS frame_sum,
+        |  CAST(list_sum(list_transform(generate_series(0, 255), k ->
+        |    (((frame_idx*256 + k + doc_id) % 2001) - 1000)
+        |    * (((frame_idx*256 + k + doc_id) % 2001) - 1000))) AS BIGINT) AS frame_sumsq
+        |FROM f""".stripMargin,
     // pixel byte i of image id is (i + id) % 256 with i = 3*(y*iw+x)+c
     // (Multimodal.synthesizePayload); the oracle materializes each
     // patch's 192 byte values from that formula and aggregates them.

@@ -30,6 +30,22 @@ class PatchSpec extends SparkSpec {
     assert(out.forall(_.n_bytes === 192))
   }
 
+  test("audio frames: exact per-frame energy, tail samples drop") {
+    // 600 samples: v_k = (k % 7) - 3 -> two full 256-frames, 88-sample tail drops
+    val samples = Array.tabulate(600)(k => ((k % 7) - 3).toShort)
+    val rec = Multimodal.MediaRecord(3L,
+      Wav.encode(DecodedAudio(8000, samples)),
+      Multimodal.MediaMeta("audio", 0, 0, 8000, 0))
+    val out = Multimodal.audioFrames(spark.createDataset(Seq(rec))(enc), 256)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 1))
+    for (f <- out) {
+      val vs = (f.frame_idx * 256 until f.frame_idx * 256 + 256)
+        .map(k => ((k % 7) - 3).toLong)
+      assert(f.frame_sum === vs.sum && f.frame_sumsq === vs.map(v => v * v).sum)
+    }
+  }
+
   test("images smaller than one patch, and non-images, produce no rows") {
     val tiny = DecodedImage(7, 7, Array.tabulate(7 * 7 * 3)(i => i.toByte))
     val recs = Seq(
