@@ -69,6 +69,39 @@ object Cdc {
         sum(col("cnt") * col("len")).as("total_bytes"),
         sum(col("len")).as("distinct_bytes"))
 
+  /** Near-dup PAIRS through shared chunks: two documents pair when
+    * they share at least `minShared` distinct chunk hashes — the
+    * chunk-level sibling of MinHash banding, catching documents that
+    * share long byte runs even when their shingle profiles drift.
+    *
+    * Skew guard, same posture as Contamination's df cap: a chunk
+    * appearing in more than `maxDf` documents (boilerplate — headers,
+    * license blocks) is excluded BEFORE the self-join, so no bucket
+    * exceeds maxDf and the join is O(Σ df²) with df ≤ maxDf, never
+    * O(corpus²) on one viral chunk. Dropping hub chunks trades recall
+    * only on pairs whose EVERY shared chunk is boilerplate — which is
+    * the pair you want to drop anyway.
+    */
+  def sharedChunkPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 1, maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, s"bad knobs ($minShared, $maxDf)")
+    val chunks = df
+      .select(col(idCol).as("doc"), explode(md5Chunks(col(textCol))).as("c"))
+      .select(col("doc"), col("c.h").as("h"))
+      .distinct()
+    val keep = chunks.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val f = chunks.join(keep, "h")
+    f.select(col("h"), col("doc").as("doc_a"))
+      .join(f.select(col("h"), col("doc").as("doc_b")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .where(col("shared_chunks") >= minShared)
+  }
+
   /** The fast path: Gear-hash CDC chunks as a column (see
     * [[graft.functions.GearChunks]]). */
   def gearChunks(

@@ -146,6 +146,10 @@ object DocQueries {
   def cdcDedupStats(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Cdc.dedupStats(Tables.documents(spark, sfDir), "text")
 
+  def cdcSharedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Cdc.sharedChunkPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
   /** Chunk-level dedup through the real streaming engine's
     * dropDuplicates state store (the CDC twin of streaming_dedup). */
   def streamingCdcDedup(spark: SparkSession, sfDir: String): DataFrame =
@@ -159,6 +163,7 @@ object DocQueries {
     "cdc_chunks" -> cdcChunks,
     "cdc_dedup_stats" -> cdcDedupStats,
     "streaming_cdc_dedup" -> streamingCdcDedup,
+    "dedup_cdc_pairs" -> cdcSharedPairs,
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
@@ -294,6 +299,22 @@ object DocQueries {
          |  CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
          |  CAST(sum(len) AS BIGINT) AS distinct_bytes
          |FROM grouped""".stripMargin,
+    "dedup_cdc_pairs" ->
+      s"""WITH $cdcChunkCte,
+         |pieces AS (
+         |  SELECT doc_id AS doc, unnest(list_filter(list_transform(starts, (s, i) ->
+         |    CASE WHEN ends[i] >= s
+         |      THEN md5(substr(text, s, ends[i] - s + 1)) END),
+         |    x -> x IS NOT NULL)) AS h
+         |  FROM ch),
+         |dch AS (SELECT DISTINCT doc, h FROM pieces),
+         |keep AS (SELECT h FROM dch GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+         |f AS (SELECT dch.doc, dch.h FROM dch JOIN keep USING (h))
+         |SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared_chunks
+         |FROM f a JOIN f b ON a.h = b.h AND a.doc < b.doc
+         |GROUP BY a.doc, b.doc
+         |HAVING count(*) >= 1""".stripMargin,
     "streaming_cdc_dedup" ->
       s"""WITH $cdcChunkCte,
          |pieces AS (

@@ -106,6 +106,28 @@ class CdcSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("sharedChunkPairs: planted near-dups pair, boilerplate hubs are capped out") {
+    val base = randText(3000, 99)
+    val nearDup = base.substring(0, 1500) + "EDIT" + base.substring(1500)
+    val unrelated = randText(3000, 100)
+    val boiler = randText(600, 101)
+    // 10 docs all sharing ONE boilerplate blob (a hub chunk set), plus
+    // a planted near-dup pair and one unrelated doc
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)) ++
+      (10L to 19L).map(i => (i, boiler + randText(50, i.toInt)))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = graft.operators.Cdc
+      .sharedChunkPairs(df, "doc_id", "text", minShared = 1, maxDf = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the near-dup pair survives with multiple shared chunks
+    val planted = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(planted.exists(_._3 >= 2), s"planted pair missing: $pairs")
+    // the 10-doc boilerplate family exceeds maxDf=5 -> its hub chunks
+    // are excluded and no boilerplate-only pair appears
+    assert(!pairs.exists(p => p._1 >= 10L && p._2 >= 10L),
+      s"boilerplate family must be df-capped out: $pairs")
+  }
+
   test("gearChunks column runs inside a projection over the corpus") {
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"), Cdc.gearChunks(col("text")).as("chunks"))
