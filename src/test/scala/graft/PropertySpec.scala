@@ -242,6 +242,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("round-7 ops are partitioning-invariant (exact-integer determinism)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    // triangles over a random graph
+    val edges = (1 to 300)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("u", "v")
+    def triSorted(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.triangles(df)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(triSorted(edges.repartition(1)) === triSorted(edges.repartition(13, $"v")))
+
+    // quantization over random vectors
+    val vecs = (1L to 100L)
+      .map(i => (i, Seq.fill(16)(rnd.nextFloat() * 4 - 2))).toDF("vec_id", "embedding")
+    def qSorted(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Quantize.int8(df, "embedding", Seq("vec_id"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(qSorted(vecs.repartition(1)) === qSorted(vecs.repartition(7)))
+
+    // chunk dedup stats over random docs
+    val docs = (1L to 60L).map { i =>
+      val n = 200 + rnd.nextInt(800)
+      (i, Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    def cSorted(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Cdc.dedupStats(df, "text")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cSorted(docs.repartition(1)) === cSorted(docs.repartition(9, $"doc_id")))
+  }
+
   test("BPE merge table matches the sequential reference on random corpora") {
     import spark.implicits._
     val word: Gen[String] =
