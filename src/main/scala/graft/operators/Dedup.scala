@@ -651,4 +651,69 @@ object Dedup {
         greatest(col("vec_a"), col("vec_b")).as("vec_b"),
         col("cosine"), col("bucket"))
   }
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.
+    * ICDE'08), the non-probabilistic sibling of [[minhashCandidates]]:
+    * where banded LSH trades recall for candidate count, prefix
+    * filtering is LOSSLESS — every pair with shingle-Jaccard ≥
+    * tauNum/tauDen is returned, none missed.
+    *
+    * The pruning theorem: order every document's shingles by one
+    * GLOBAL rarity order (ascending document frequency, ties by
+    * token); a document of set size s keeps only its first
+    * `s − ⌈τ·s⌉ + 1` tokens as its prefix. Two documents with
+    * J ≥ τ MUST share a prefix token, so the candidate join runs
+    * only over prefixes — dominated by RARE tokens, whose buckets
+    * are small by construction. A length filter (τ·|A| ≤ |B| ≤
+    * |A|/τ) prunes further before the exact intersection count
+    * confirms with pure integer arithmetic:
+    * J ≥ n/d ⇔ (n+d)·inter ≥ n·(szA+szB).
+    *
+    * Scale posture: the df table and per-doc prefix windows are one
+    * keyed exchange each; the candidate join shuffles only prefix
+    * rows (≈ (1−τ)·corpus shingle mass); the verify join re-keys the
+    * shingle table by doc id. Residual skew exposure: a document
+    * made ENTIRELY of corpus-common shingles still puts a common
+    * token in its prefix — bucket-cap with [[bucketSkewGuard]] if a
+    * real corpus shows it.
+    */
+  def prefixFilterJoin(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    require(tauNum >= 1 && tauNum < tauDen,
+      s"threshold must satisfy 0 < tauNum/tauDen < 1, got $tauNum/$tauDen")
+    import org.apache.spark.sql.expressions.Window
+    // WordShingles emits DISTINCT shingles, so (doc, sh) is unique
+    val sh = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), k)).as("sh")).persist()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("tdf"))
+    val byRarity = Window.partitionBy("doc").orderBy("tdf", "sh")
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(byRarity))
+      .join(sizes, "doc")
+      .where(expr(s"rn <= sz - (($tauNum * sz + ${tauDen - 1}) DIV $tauDen) + 1"))
+      .select(col("sh"), col("doc"), col("sz"))
+    val cand = prefix.select(col("sh"), col("doc").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("sh"), col("doc").as("doc_b"), col("sz").as("sz_b")), "sh")
+      .where(col("doc_a") < col("doc_b") &&
+        lit(tauDen) * col("sz_b") >= lit(tauNum) * col("sz_a") &&
+        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .where(lit(tauNum + tauDen) * col("inter") >=
+        lit(tauNum) * (col("size_a") + col("size_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
 }

@@ -146,6 +146,11 @@ object DocQueries {
   def cdcDedupStats(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Cdc.dedupStats(Tables.documents(spark, sfDir), "text")
 
+  /** Exact Jaccard ≥ 0.6 shingle-similarity self-join via prefix
+    * filtering — lossless, unlike the banded-LSH candidates. */
+  def dedupSsjoin(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.prefixFilterJoin(Tables.documents(spark, sfDir), "text", "doc_id")
+
   def cdcSharedPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Cdc.sharedChunkPairs(
       Tables.documents(spark, sfDir), "doc_id", "text")
@@ -164,6 +169,7 @@ object DocQueries {
     "cdc_dedup_stats" -> cdcDedupStats,
     "streaming_cdc_dedup" -> streamingCdcDedup,
     "dedup_cdc_pairs" -> cdcSharedPairs,
+    "dedup_ssjoin" -> dedupSsjoin,
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
@@ -299,6 +305,23 @@ object DocQueries {
          |  CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
          |  CAST(sum(len) AS BIGINT) AS distinct_bytes
          |FROM grouped""".stripMargin,
+    // brute-force twin of the prefix-filtered join: EVERY pair sharing
+    // a shingle, thresholded by the same integer inequality — prefix
+    // filtering only prunes candidates, so the sets must be identical
+    "dedup_ssjoin" ->
+      s"""WITH shr AS ($shingleRows),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM shr GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE 8 * inter >= 3 * (sa.sz + sb.sz)""".stripMargin,
     "dedup_cdc_pairs" ->
       s"""WITH $cdcChunkCte,
          |pieces AS (

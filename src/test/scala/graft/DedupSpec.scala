@@ -203,6 +203,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterJoin is lossless: equals brute force on a random corpus") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (1L to 40L).map(i => (i, doc(12 + rnd.nextInt(30))))
+    // planted near-dups: append two words to a copy
+    val dups = bases.take(8).map { case (i, t) => (i + 100L, t + " alpha beta") }
+    val docs = (bases ++ dups).toDF("doc_id", "text")
+
+    val fast = Dedup.prefixFilterJoin(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // brute force with the same shingles and threshold
+    val sh = docs.select(col("doc_id").as("doc"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val brute = sh.select(col("doc").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .where(lit(8) * col("inter") >= lit(3) * (col("size_a") + col("size_b")))
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fast === brute)
+    // every planted pair is found (small suffix edit keeps J >= 0.6)
+    val pairs = fast.map(p => (p._1, p._2))
+    for (i <- 1L to 8L) assert(pairs.contains((i, i + 100L)), s"missing planted $i")
+  }
+
   test("starComponents handles cliques, pairs, and empty input") {
     val clique = for (a <- 0L until 6L; b <- 0L until a) yield (a, b)
     val edges = (clique ++ Seq((50L, 60L))).toDF("a", "b")
