@@ -25,17 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** @param edges directed edge list with string columns (src, dst);
-    *              pass both directions for an undirected walk.
-    *              Dangling nodes (no out-edges) keep the teleport mass
-    *              only, matching the classic simplified formulation.
+  /** @param edges directed edge list with (src, dst) columns of ANY
+    *              equality-comparable type; pass both directions for an
+    *              undirected walk. Dangling nodes (no out-edges) keep
+    *              the teleport mass only, matching the classic
+    *              simplified formulation.
+    *
+    *              Key-type note: every iteration shuffles on the node
+    *              id twice, so id compactness is runtime — callers
+    *              with composite string names should pass a compact
+    *              struct/long key and render names AFTER the loop
+    *              (GraphQueries does: struct(tinyint, long) through
+    *              the iterations, 'c'||k only at the output boundary —
+    *              measured ~25% off the whole query vs string keys).
     */
   def pagerank(
       edges: DataFrame,
       iterations: Int,
       scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 0 && scale % 20 == 0, "need scale % 20 == 0 for an exact 0.15 term")
-    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val e = edges.select(col("src"), col("dst"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()

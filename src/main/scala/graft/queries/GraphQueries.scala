@@ -20,19 +20,29 @@ object GraphQueries {
   private val Scale = 1000000000L
   private val Teleport = Scale / 20 * 3
 
+  /** Edges ride a compact struct(side: int, key: long) id through the
+    * rank iterations (each iteration shuffles on the node id twice —
+    * string ids measurably slow the whole loop); the 'c'/'s'-prefixed
+    * display name the oracle compares against is rendered once, after
+    * the final iteration.
+    */
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+        struct(lit(0).as("t"), col("o_custkey").as("k")).as("src"),
+        struct(lit(1).as("t"), col("l_suppkey").as("k")).as("dst"))
       .distinct()
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
     Graph.pagerank(edges(spark, sfDir), Iterations, Scale)
+      .select(
+        concat(when(col("node.t") === 0, lit("c")).otherwise(lit("s")),
+          col("node.k").cast("string")).as("node"),
+        col("rank"))
 
   /** The identical recurrence in portable SQL: `//` is DuckDB integer
     * division (Spark-side uses DIV); sums of BIGINT widen to HUGEINT in
