@@ -85,18 +85,22 @@ object GraphQueries {
     * edges by degree, which bounds wedge fan-out at O(√m) per node.
     */
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
-    val inc = o.join(l, o("o_orderkey") === l("l_orderkey"))
+    // collect_set folds the distinct into the per-part aggregate (one
+    // keyed exchange, map-side combining), and the ≤4-element sorted
+    // array emits its C(4,2) ordered pairs MAP-SIDE — replacing the
+    // row_number window + self-join formulation (two more exchanges)
+    // with identical edge semantics: pairs of the 4 lowest custkeys.
+    val top = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
-      .distinct()
-    val byPart = Window.partitionBy("part").orderBy("cust")
-    val top = inc.withColumn("rn", row_number().over(byPart))
-      .where(col("rn") <= 4)
-    val edges = top.as("a").join(top.as("b"),
-        col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
-      .select(col("a.cust").as("u"), col("b.cust").as("v"))
+      .groupBy("part")
+      .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
+    val edges = top.select(explode(expr(
+        """flatten(transform(cs, (a, i) ->
+          |  transform(slice(cs, i + 2, size(cs)), b -> struct(a AS u, b AS v))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
     Graph.triangles(edges)
   }
 
