@@ -84,6 +84,30 @@ object JoinQueries {
       rightValueCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
   }
 
+  /** pandas merge_asof(direction="forward"): earliest order at-or-after
+    * each event. */
+  def asofJoinFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_custkey", "user_id")
+    graft.operators.AsOfJoin.asOfForward(
+      ev, ord, key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+      rightTieBreak = col("o_orderkey"),
+      rightValueCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+  }
+
+  /** pandas merge_asof(direction="nearest"): closest order either side,
+    * distance ties to the backward match. */
+  def asofJoinNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_custkey", "user_id")
+    graft.operators.AsOfJoin.asOfNearest(
+      ev, ord, key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+      rightTieBreak = col("o_orderkey"),
+      rightValueCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+  }
+
   /** Ranked top-k per group — the classic window + filter shape (rank
     * ties are impossible under the (price, orderkey) total order).
     */
@@ -194,6 +218,8 @@ object JoinQueries {
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
     "asof_join" -> asofJoin,
+    "asof_join_fwd" -> asofJoinFwd,
+    "asof_join_nearest" -> asofJoinNearest,
     "topk_per_group" -> topkPerGroup,
     "set_ops" -> setOps,
     "join_enrich" -> joinEnrich,
@@ -245,6 +271,42 @@ object JoinQueries {
         |UNION ALL
         |SELECT user_id, 'buy_only' AS tag FROM (SELECT user_id FROM buyers
         |  EXCEPT SELECT user_id FROM errorers)""".stripMargin,
+    "asof_join_fwd" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    o.o_orderkey, o.o_totalprice, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey, o_totalprice, o_orderdate
+        |FROM cand WHERE rn = 1
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, e.ts, NULL, NULL, NULL
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)""".stripMargin,
+    // nearest: rank ALL the user's orders by |Δt|, then
+    // backward-before-forward on distance ties, then the direction's
+    // own tie-break (largest key backward, smallest forward) — the
+    // exact rule AsOfJoin.asOfNearest implements windowed
+    "asof_join_nearest" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    o.o_orderkey, o.o_totalprice, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC,
+        |        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+        |        CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey
+        |          ELSE o.o_orderkey END ASC) AS rn
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id)
+        |SELECT event_id, user_id, ts, o_orderkey, o_totalprice, o_orderdate
+        |FROM cand WHERE rn = 1
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, e.ts, NULL, NULL, NULL
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = e.user_id)""".stripMargin,
     "asof_join" ->
       """WITH cand AS (
         |  SELECT e.event_id, e.user_id, e.ts,
