@@ -86,20 +86,27 @@ object Cdc {
       df: DataFrame, idCol: String, textCol: String,
       minShared: Int = 1, maxDf: Int = 100): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, s"bad knobs ($minShared, $maxDf)")
+    // the chunk scan is referenced by the df filter AND both self-join
+    // sides — persist it rather than lean on exchange reuse re-running
+    // the per-byte md5 pass up to 4× (same pattern as prefixFilterJoin)
     val chunks = df
       .select(col(idCol).as("doc"), explode(md5Chunks(col(textCol))).as("c"))
       .select(col("doc"), col("c.h").as("h"))
       .distinct()
+      .persist()
     val keep = chunks.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .select("h")
     val f = chunks.join(keep, "h")
-    f.select(col("h"), col("doc").as("doc_a"))
+    val out = f.select(col("h"), col("doc").as("doc_a"))
       .join(f.select(col("h"), col("doc").as("doc_b")), "h")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_chunks"))
       .where(col("shared_chunks") >= minShared)
+      .localCheckpoint()
+    chunks.unpersist()
+    out
   }
 
   /** The fast path: Gear-hash CDC chunks as a column (see

@@ -138,11 +138,11 @@ object VecQueries {
         |      ELSE ((v - mn_q) * 255) // (mx_q - mn_q) END) AS codes
         |  FROM s)
         |SELECT vec_id, mn_q, mx_q,
-        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
-        |  CAST(list_sum(list_transform(codes,
-        |    (x, i) -> x * CAST(i AS BIGINT))) AS BIGINT) AS code_wsum,
-        |  CAST(list_sum(list_transform(qv, (v, i) ->
-        |    abs(v - (mn_q + (codes[i] * (mx_q - mn_q)) // 255)))) AS BIGINT)
+        |  CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS code_sum,
+        |  CAST(COALESCE(list_sum(list_transform(codes,
+        |    (x, i) -> x * CAST(i AS BIGINT))), 0) AS BIGINT) AS code_wsum,
+        |  CAST(COALESCE(list_sum(list_transform(qv, (v, i) ->
+        |    abs(v - (mn_q + (codes[i] * (mx_q - mn_q)) // 255)))), 0) AS BIGINT)
         |    AS abs_err_q
         |FROM c""".stripMargin,
     "similarity_lsh_mp" ->
