@@ -142,6 +142,18 @@ class PlanSpec extends SparkSpec {
       s"pivot should partially aggregate map-side:\n$p")
   }
 
+  test("as-of joins ride exactly one exchange, all three directions") {
+    for (q <- Seq("asof_join", "asof_join_fwd", "asof_join_nearest")) {
+      val p = plan(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") === 1,
+        s"$q must be one union-sort window pass, not a join cascade:\n$p")
+      // nearest computes BOTH direction frames inside the same Window
+      // operator over the one sort — no second pass
+      assert(countOccurrences(p, "Window") === 1,
+        s"$q should plan a single Window operator:\n$p")
+    }
+  }
+
   test("tpch_q1 pushes the date filter into the parquet scan and partially aggregates") {
     val p = plan("tpch_q1")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
