@@ -242,6 +242,43 @@ object Analytics {
         (num / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))).as("corr")): _*)
   }
 
+  /** Per-group ordinary-least-squares fit y = slope·x + intercept,
+    * from the same exact decimal moments as [[corrExact]] — and for the
+    * same reason: Spark's `regr_slope`/`regr_intercept` sum doubles in
+    * partition order, so their last ulp is layout-dependent and can't
+    * be hash-verified. The finish is a FIXED sequence of
+    * correctly-rounded double ops over exact decimal moments:
+    *   slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r²        = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * so both engines compute bit-identical doubles from bit-identical
+    * integers. One map-side-combining shuffle carrying six exact
+    * decimals per group — the distributed cost is identical to a plain
+    * count(*), whatever the group cardinality.
+    */
+  def olsExact(rows: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val (n, sx, sy, sxy, sxx, syy) = (col("n"),
+      col("_sx").cast("double"), col("_sy").cast("double"),
+      col("_sxy").cast("double"), col("_sxx").cast("double"),
+      col("_syy").cast("double"))
+    val num = sxy * n - sx * sy
+    val denx = sxx * n - sx * sx
+    val slope = num / denx
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
+      .select(groupCols.map(col) ++ Seq(
+        n,
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        (num * num / (denx * (syy * n - sy * sy))).as("r2")): _*)
+  }
+
   def anomalyZscore(rows: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valCol: String,
       lookback: Int, minN: Int, k: Int): DataFrame = {

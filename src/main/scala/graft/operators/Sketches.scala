@@ -236,6 +236,58 @@ object Sketches {
     result
   }
 
+  /** Count-min sketch frequency estimation per group: a depth×width
+    * grid of counters; item i hashes to one bucket per depth row and
+    * its estimate is the MINIMUM of those depth cells — always ≥ the
+    * true count, over by at most 2N/width with probability 1−2⁻ᵈᵉᵖᵗʰ
+    * (Cormode & Muthukrishnan 2005).
+    *
+    * Scale contract: the sketch build is ONE hash aggregate over
+    * map-side-exploded (group, row, bucket) keys — partial aggregation
+    * collapses every task's contribution to ≤ depth·width counters per
+    * group, so the shuffle carries the GRID, not the key space (the
+    * exact GROUP-BY-item alternative ships every distinct item). The
+    * probe side joins the tiny cell table (groups·depth·width rows)
+    * broadcast. Cells and estimates are exact integers keyed off
+    * md5(salt+row:item), so the DuckDB oracle rebuilds the identical
+    * grid bit-for-bit.
+    *
+    * For the registered query the probe set is the items whose TRUE
+    * count ≥ `minTrue` (computed exactly — evaluation harness, not
+    * sketch machinery); a production probe would be any candidate list.
+    * Output: group cols, item, true_cnt, cms_est, over_by.
+    */
+  def countMinEstimates(df: DataFrame, groupCols: Seq[String],
+      itemCol: String, depth: Int, width: Int, minTrue: Long,
+      salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 1, "countMin needs depth, width >= 1")
+    def bucket(j: Column, it: Column): Column =
+      conv(substring(
+        md5(concat(lit(salt), j.cast("string"), lit(":"), it)), 1, 15),
+        16, 10).cast("long") % width
+    val rows = df.where(col(itemCol).isNotNull)
+      .select(groupCols.map(col) :+ col(itemCol).cast("string").as("_item"): _*)
+    val depths = typedLit((0 until depth).toList)
+    val cells = rows
+      .withColumn("_j", explode(depths))
+      .groupBy(groupCols.map(col) ++ Seq(
+        col("_j"), bucket(col("_j"), col("_item")).as("_bucket")): _*)
+      .agg(count(lit(1)).as("_n"))
+    val probes = rows
+      .groupBy(groupCols.map(col) :+ col("_item"): _*)
+      .agg(count(lit(1)).as("true_cnt"))
+      .where(col("true_cnt") >= minTrue)
+    probes
+      .withColumn("_j", explode(depths))
+      .withColumn("_bucket", bucket(col("_j"), col("_item")))
+      .join(broadcast(cells), groupCols ++ Seq("_j", "_bucket"))
+      .groupBy(groupCols.map(col) ++ Seq(col("_item"), col("true_cnt")): _*)
+      .agg(min(col("_n")).as("cms_est"))
+      .select(groupCols.map(col) ++ Seq(
+        col("_item").as("item"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("over_by")): _*)
+  }
+
   /** Heavy hitters per group via the Space-Saving sketch: items whose
     * estimated count is ≥ `minCount`. One hash-aggregate shuffle
     * carrying ≤ `capacity` counters per (task, group) — the exact

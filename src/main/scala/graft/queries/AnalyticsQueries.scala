@@ -222,6 +222,16 @@ object AnalyticsQueries {
       Tables.lineitem(spark, sfDir), Seq("l_returnflag"),
       "l_quantity", "l_extendedprice")
 
+  /** Exact-moment OLS of extendedprice on quantity per (returnflag,
+    * linestatus) — the "fit a trend per segment" analytics shape (see
+    * Analytics.olsExact for why builtin regr_slope can't be
+    * hash-verified).
+    */
+  def statsOls(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.olsExact(
+      Tables.lineitem(spark, sfDir), Seq("l_returnflag", "l_linestatus"),
+      "l_quantity", "l_extendedprice")
+
   /** Snapshot diff of orders against a deterministically mutated
     * next-day version: keys % 13 deleted, priorities of keys % 7
     * rewritten, keys % 11 re-inserted shifted by 10^7 — both engines
@@ -245,6 +255,7 @@ object AnalyticsQueries {
     "anomaly_zscore" -> anomalyZscore,
     "snapshot_diff" -> snapshotDiff,
     "stats_corr" -> statsCorr,
+    "stats_ols" -> statsOls,
     "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
@@ -304,6 +315,7 @@ object AnalyticsQueries {
         |             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
         |             OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
         |           THEN 'changed' END IS NOT NULL""".stripMargin,
+    // decimal→DOUBLE via VARCHAR for the same reason as stats_ols
     "stats_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -315,15 +327,51 @@ object AnalyticsQueries {
         |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+        |  FROM m)
         |SELECT l_returnflag, n,
-        |  (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * n) AS cov_pop,
-        |  (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |         * (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |    AS corr
-        |FROM m""".stripMargin,
+        |  (dxy * n - dx * dy) / (CAST(n AS DOUBLE) * n) AS cov_pop,
+        |  (dxy * n - dx * dy)
+        |    / sqrt((dxx * n - dx * dx) * (dyy * n - dy * dy)) AS corr
+        |FROM d""".stripMargin,
+    // decimals reach DOUBLE via VARCHAR: DuckDB's direct decimal cast
+    // double-rounds (int128 / 10^scale as two float ops), while Spark's
+    // BigDecimal path is correctly rounded — strtod on the decimal's
+    // exact string form matches Spark bit-for-bit.
+    "stats_ols" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |d AS (
+        |  SELECT l_returnflag, l_linestatus, n,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  (dxy * n - dx * dy) / (dxx * n - dx * dx) AS slope,
+        |  (dy - ((dxy * n - dx * dy) / (dxx * n - dx * dx)) * dx) / n
+        |    AS intercept,
+        |  ((dxy * n - dx * dy) * (dxy * n - dx * dy))
+        |    / ((dxx * n - dx * dx) * (dyy * n - dy * dy)) AS r2
+        |FROM d""".stripMargin,
     "array_funcs" ->
       """WITH dt AS (
         |  SELECT user_id, event_type FROM events GROUP BY 1, 2

@@ -47,6 +47,18 @@ object SketchQueries {
       Tables.events(spark, sfDir), Seq("event_type"), "user_id",
       HhMin, HhCapacity)
 
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val CmsMinTrue = 12L
+
+  /** Count-min sketch: estimated vs true event counts for every user
+    * with ≥ 12 events of a type (depth 4 × width 256 grid).
+    */
+  def cmsFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.countMinEstimates(
+      Tables.events(spark, sfDir), Seq("event_type"), "user_id",
+      CmsDepth, CmsWidth, CmsMinTrue)
+
   private val SetK = 128
 
   /** KMV set algebra: viewer-set vs purchaser-set overlap estimated
@@ -65,7 +77,8 @@ object SketchQueries {
     "distinct_hll" -> distinctHll,
     "quantile_hist" -> quantileHist,
     "heavy_hitters" -> heavyHitters,
-    "kmv_set_algebra" -> kmvSetAlgebra
+    "kmv_set_algebra" -> kmvSetAlgebra,
+    "cms_freq" -> cmsFreq
   )
 
   // The double constants are interpolated from the SAME Scala values the
@@ -170,6 +183,35 @@ object SketchQueries {
          |  round(ue, 3) AS union_est, round(je, 6) AS jaccard_est,
          |  round(je * ue, 3) AS inter_est
          |FROM raw""".stripMargin
+    },
+    "cms_freq" -> {
+      val js = (0 until CmsDepth).mkString(", ")
+      s"""WITH r AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS item
+         |  FROM events WHERE user_id IS NOT NULL
+         |), cells AS (
+         |  SELECT event_type, j,
+         |    CAST(concat('0x', substr(md5('cms' || CAST(j AS VARCHAR)
+         |      || ':' || item), 1, 15)) AS BIGINT) % $CmsWidth AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM r, (SELECT unnest([$js]) AS j) js
+         |  GROUP BY 1, 2, 3
+         |), probes AS (
+         |  SELECT event_type, item, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM r GROUP BY 1, 2 HAVING count(*) >= $CmsMinTrue
+         |), est AS (
+         |  SELECT p.event_type, p.item, p.true_cnt,
+         |    min(c.n) AS cms_est
+         |  FROM probes p JOIN cells c
+         |    ON c.event_type = p.event_type
+         |   AND c.bucket = CAST(concat('0x', substr(md5('cms'
+         |      || CAST(c.j AS VARCHAR) || ':' || p.item), 1, 15))
+         |      AS BIGINT) % $CmsWidth
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT event_type, item, true_cnt, cms_est,
+         |  cms_est - true_cnt AS over_by
+         |FROM est""".stripMargin
     },
     // capacity ≥ distinct users per group at this SF ⇒ the sketch never
     // truncates and its counters equal the exact GROUP BY counts.

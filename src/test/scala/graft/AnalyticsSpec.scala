@@ -218,6 +218,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exact-moment OLS recovers a planted line and is layout-invariant") {
+    val rnd = new scala.util.Random(13)
+    // y = 3x + 7 with bounded 2-decimal noise: the fit must land close
+    val df = (1 to 500).map { _ =>
+      val x = rnd.nextInt(5000) / 100.0
+      ("g", x, math.round((3 * x + 7 + rnd.nextInt(200) / 100.0) * 100) / 100.0)
+    }.toDF("g", "x", "y")
+    val (slope, intercept, r2) = Analytics.olsExact(df, Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(math.abs(slope - 3.0) < 0.05, s"slope=$slope")
+    // noise is uniform on [0,2) so the fitted intercept centers near 8
+    assert(math.abs(intercept - 8.0) < 0.6, s"intercept=$intercept")
+    assert(r2 > 0.99, s"r2=$r2")
+    val a = Analytics.olsExact(df.repartition(1), Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    val b = Analytics.olsExact(df.repartition(17), Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(a == b)
+  }
+
   test("anomaly z-score plans a single window exchange") {
     val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user_id", "ts", "value")

@@ -154,4 +154,29 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("partial_spacesaving"),
       s"expected a map-side partial sketch phase:\n$plan")
   }
+
+  test("count-min: width-1 grid collapses every estimate to the group total") {
+    val df = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val got = Sketches.countMinEstimates(
+      df.map(("g", _)).toDF("grp", "item"), Seq("grp"), "item",
+      depth = 2, width = 1, minTrue = 1L)
+      .select("item", "true_cnt", "cms_est")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // every item shares the single bucket, so est = total rows = 10
+    assert(got.toSeq === Seq(("a", 5L, 10L), ("b", 3L, 10L), ("c", 2L, 10L)))
+  }
+
+  test("count-min: estimates dominate true counts and are layout-invariant") {
+    val rows = (0 until 2000).map(i => ("g", s"u${i % 97}")).toDF("grp", "item")
+    val got = Sketches.countMinEstimates(
+      rows, Seq("grp"), "item", depth = 4, width = 64, minTrue = 1L)
+    val pairs = got.select("true_cnt", "cms_est").as[(Long, Long)].collect()
+    assert(pairs.length === 97)
+    assert(pairs.forall { case (t, e) => e >= t }, "CMS must never undercount")
+    val a = Sketches.countMinEstimates(rows.repartition(1), Seq("grp"),
+      "item", 4, 64, 1L).collect().toSeq.sortBy(_.getAs[String]("item"))
+    val b = Sketches.countMinEstimates(rows.repartition(13), Seq("grp"),
+      "item", 4, 64, 1L).collect().toSeq.sortBy(_.getAs[String]("item"))
+    assert(a === b)
+  }
 }
