@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket analysis: frequent co-occurring item PAIRS with
+  * support / confidence / lift — the association-rule primitive behind
+  * "customers who bought X also bought Y".
+  *
+  * Scale posture (the A-priori discipline):
+  *   1. Items below `minItemSupport` are pruned BEFORE any pair is
+  *      generated — an infrequent item cannot participate in a frequent
+  *      pair (the classic candidate-reduction), and at web scale this
+  *      removes the long tail that dominates the catalog.
+  *   2. Baskets collapse to sorted distinct-item arrays in ONE
+  *      map-side-combining collect_set aggregate, and the C(k,2) pairs
+  *      of each basket explode MAP-SIDE from that array (the
+  *      triangle-counting device) — so the only shuffles are the basket
+  *      aggregate and the final (item_a, item_b) count; there is no
+  *      self-join that re-shuffles the row table twice.
+  *   3. `maxBasketItems` drops degenerate baskets (a basket with 10k
+  *      frequent items would emit 5·10⁷ pairs); the bound makes every
+  *      basket's fan-out O(cap²) regardless of input skew.
+  *
+  * Counts are exact integers; confidence and lift are single double
+  * divisions over them (deterministic on any engine), rounded to 6.
+  */
+object Basket {
+
+  /** Frequent pairs from (basket, item) rows. Output: item_a < item_b,
+    * pair_support, support_a, support_b, confidence_a_b = P(b|a),
+    * lift = P(a,b) / (P(a)·P(b)) over distinct baskets.
+    */
+  def frequentPairs(rows: DataFrame, basketCol: String, itemCol: String,
+      minItemSupport: Long, minPairSupport: Long,
+      maxBasketItems: Int): DataFrame = {
+    require(minItemSupport >= 1 && minPairSupport >= 1 && maxBasketItems >= 2)
+    val bi = rows.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    // n_baskets counts ALL baskets (before item pruning): lift's P(x)
+    // is "fraction of baskets containing x" over the real population.
+    val nBaskets = bi.select(col("_b")).distinct()
+      .agg(count(lit(1)).as("_n_baskets"))
+    val itemSupport = bi.groupBy(col("_i"))
+      .agg(count(lit(1)).as("_s"))
+      .where(col("_s") >= minItemSupport)
+    // keep only frequent items; the join re-shuffles on _i, which both
+    // sides already partition by after the aggregate above
+    val frequent = bi.join(itemSupport, Seq("_i"))
+    val baskets = frequent.groupBy(col("_b"))
+      .agg(sort_array(collect_set(col("_i"))).as("_items"))
+      .where(size(col("_items")).between(2, maxBasketItems))
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(_items, (x, i) ->
+          |  transform(slice(_items, i + 2, size(_items)),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("_p"))
+      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
+      .agg(count(lit(1)).as("pair_support"))
+      .where(col("pair_support") >= minPairSupport)
+    val supA = itemSupport.select(col("_i").as("_ia"), col("_s").as("support_a"))
+    val supB = itemSupport.select(col("_i").as("_ib"), col("_s").as("support_b"))
+    pairs
+      .join(broadcast(supA), col("item_a") === col("_ia"))
+      .join(broadcast(supB), col("item_b") === col("_ib"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"), col("item_b"), col("pair_support"),
+        col("support_a"), col("support_b"),
+        round(col("pair_support").cast("double") / col("support_a"), 6)
+          .as("confidence_a_b"),
+        round((col("pair_support").cast("double") * col("_n_baskets"))
+          / (col("support_a").cast("double") * col("support_b")), 6)
+          .as("lift"))
+  }
+}

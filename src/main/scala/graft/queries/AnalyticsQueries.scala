@@ -232,6 +232,19 @@ object AnalyticsQueries {
       Tables.lineitem(spark, sfDir), Seq("l_returnflag", "l_linestatus"),
       "l_quantity", "l_extendedprice")
 
+  /** Market-basket frequent part pairs over order baskets: items
+    * pruned below support 8 BEFORE pair generation (A-priori), pairs
+    * exploded map-side from per-order sorted item sets, kept at
+    * support ≥ 2 with exact-integer confidence/lift finishes (see
+    * operators.Basket for the scale posture).
+    */
+  def marketBasket(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Basket.frequentPairs(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      "basket", "item",
+      minItemSupport = 8L, minPairSupport = 2L, maxBasketItems = 16)
+
   /** Snapshot diff of orders against a deterministically mutated
     * next-day version: keys % 13 deleted, priorities of keys % 7
     * rewritten, keys % 11 re-inserted shifted by 10^7 — both engines
@@ -256,6 +269,7 @@ object AnalyticsQueries {
     "snapshot_diff" -> snapshotDiff,
     "stats_corr" -> statsCorr,
     "stats_ols" -> statsOls,
+    "market_basket" -> marketBasket,
     "array_funcs" -> arrayFuncs,
     "gap_fill" -> gapFill,
     "window_funcs" -> windowFuncs,
@@ -315,6 +329,35 @@ object AnalyticsQueries {
         |             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
         |             OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
         |           THEN 'changed' END IS NOT NULL""".stripMargin,
+    "market_basket" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), nb AS (
+        |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi
+        |), isup AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS s FROM bi
+        |  GROUP BY i HAVING count(*) >= 8
+        |), f AS (
+        |  SELECT bi.b, bi.i FROM bi JOIN isup USING (i)
+        |), bk AS (
+        |  SELECT b FROM f GROUP BY b HAVING count(*) BETWEEN 2 AND 16
+        |), ff AS (
+        |  SELECT f.b, f.i FROM f JOIN bk USING (b)
+        |), p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pair_support
+        |  FROM ff a JOIN ff b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT item_a, item_b, pair_support,
+        |  sa.s AS support_a, sb.s AS support_b,
+        |  round(CAST(pair_support AS DOUBLE) / sa.s, 6) AS confidence_a_b,
+        |  round((CAST(pair_support AS DOUBLE) * n)
+        |    / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+        |FROM p
+        |JOIN isup sa ON sa.i = item_a
+        |JOIN isup sb ON sb.i = item_b
+        |CROSS JOIN nb""".stripMargin,
     // decimal→DOUBLE via VARCHAR for the same reason as stats_ols
     "stats_corr" ->
       """WITH m AS (

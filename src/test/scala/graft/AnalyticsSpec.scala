@@ -238,6 +238,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("market basket: supports, confidence and lift on a hand-counted corpus") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "b"), // duplicate (basket,item) must not double count
+      (4L, "b"), (4L, "c"),
+      (5L, "a")).toDF("basket", "item")
+    val got = graft.operators.Basket.frequentPairs(
+      rows, "basket", "item", minItemSupport = 2L, minPairSupport = 2L,
+      maxBasketItems = 16)
+      .select("item_a", "item_b", "pair_support", "support_a", "support_b",
+        "confidence_a_b", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    // supports: a=4, b=4, c=2; pairs: (a,b)=3, (b,c)=2, (a,c)=1 pruned
+    assert(got.toSeq === Seq(
+      ("a", "b", 3L, 4L, 4L, 0.75, 0.9375),  // lift = 3*5/(4*4)
+      ("b", "c", 2L, 4L, 2L, 0.5, 1.25)))    // lift = 2*5/(4*2)
+  }
+
+  test("market basket: oversized baskets are dropped, infrequent items pruned first") {
+    val degenerate = (1 to 20).map(i => (99L, s"x$i"))
+    val rows = (Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")) ++ degenerate)
+      .toDF("basket", "item")
+    val got = graft.operators.Basket.frequentPairs(
+      rows, "basket", "item", minItemSupport = 1L, minPairSupport = 1L,
+      maxBasketItems = 16)
+      .select("item_a", "item_b", "pair_support")
+      .as[(String, String, Long)].collect().toSeq
+    // basket 99 has 20 items > cap: contributes nothing
+    assert(got === Seq(("a", "b", 2L)))
+  }
+
   test("anomaly z-score plans a single window exchange") {
     val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
