@@ -716,4 +716,62 @@ object Dedup {
     sh.unpersist()
     out
   }
+
+  /** Exact duplicated-SPAN detection (the "exact substring dedup" of
+    * Lee et al. 2021, Deduplicating Training Data Makes Language
+    * Models Better, re-expressed relationally): find, per document,
+    * the maximal token spans whose every k-gram occurs ≥ 2 times in
+    * the corpus — including repeats WITHIN one document, which is how
+    * boilerplate self-repetition gets caught too. Where the paper
+    * builds a suffix array over the concatenated corpus, the
+    * distributed formulation is:
+    *   1. positional k-gram rows (doc, pos, md5(gram)) — a map-side
+    *      explode, no suffix structure;
+    *   2. one hash aggregate over gram hashes keeps those with total
+    *      count ≥ 2 (at 100 TB both sides of the following join
+    *      partition by the hash — no skewed key can concentrate,
+    *      because equal grams ARE the signal being counted);
+    *   3. per doc, duplicated positions merge gaps-and-islands style
+    *      under ONE (doc, pos) window: successive positions ≤ k apart
+    *      overlap or touch, so a break opens only past k — max−min+k
+    *      is then the exact merged span length in tokens.
+    * Output per document: n_tokens, n_spans, dup_tokens (Σ merged
+    * span lengths), dup_ratio — the signal a curation pipeline
+    * thresholds on (e.g. drop docs with dup_ratio > 0.5, or excise
+    * the spans themselves).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col(textCol), " ")
+    // non-distinct positional grams: 1-based pos, docs < k words emit none
+    val grams = when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => md5(concat_ws(" ", slice(words, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val shr = df.select(col(idCol).as("_doc"), posexplode(grams))
+      .select(col("_doc"), (col("pos") + 1).as("_pos"), col("col").as("_h"))
+    val dup = shr.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minCount).select("_h")
+    val w = Window.partitionBy("_doc").orderBy("_pos")
+    val spans = shr.join(dup, "_h")
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_island", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_doc"), col("_island"))
+      .agg((max(col("_pos")) - min(col("_pos")) + k).as("_span_len"))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("_n_spans"), sum(col("_span_len")).as("_dup_tokens"))
+    df.select(col(idCol), size(split(col(textCol), " ")).as("n_tokens"))
+      .join(spans, col(idCol) === col("_doc"), "left")
+      .select(col(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("_n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("_dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("_dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_ratio"))
+  }
 }

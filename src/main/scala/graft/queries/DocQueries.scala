@@ -139,6 +139,14 @@ object DocQueries {
       dedupClusters(spark, sfDir), "cluster",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** Exact duplicated-span accounting (Lee et al. exact substring
+    * dedup): per doc, maximal token spans whose every word-8-gram
+    * occurs ≥ 2 times corpus-wide (within-doc repeats included).
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicatedSpans(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text", k = 8)
+
   def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Cdc.chunkSummary(
       Tables.documents(spark, sfDir), "doc_id", "text")
@@ -170,6 +178,7 @@ object DocQueries {
     "streaming_cdc_dedup" -> streamingCdcDedup,
     "dedup_cdc_pairs" -> cdcSharedPairs,
     "dedup_ssjoin" -> dedupSsjoin,
+    "dedup_substring" -> dedupSubstring,
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
@@ -305,6 +314,47 @@ object DocQueries {
          |  CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
          |  CAST(sum(len) AS BIGINT) AS distinct_bytes
          |FROM grouped""".stripMargin,
+    "dedup_substring" -> {
+      val k = 8
+      val gram = (0 until k).map(i => s"words[pos+$i]").mkString(" || ' ' || ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), shr AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, len(words) - ${k - 1})) AS pos, words
+         |  FROM w
+         |), h AS (
+         |  SELECT doc_id, pos, md5($gram) AS h FROM shr
+         |), duph AS (
+         |  SELECT h FROM h GROUP BY h HAVING count(*) >= 2
+         |), d AS (
+         |  SELECT doc_id, pos FROM h JOIN duph USING (h)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           <= $k THEN 0 ELSE 1 END AS brk
+         |  FROM d
+         |), isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, island, max(pos) - min(pos) + $k AS span_len
+         |  FROM isl2 GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_len) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY 1
+         |)
+         |SELECT d0.doc_id,
+         |  CAST(len(string_split(d0.text, ' ')) AS BIGINT) AS n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+         |    / len(string_split(d0.text, ' ')), 6) AS dup_ratio
+         |FROM documents d0 LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     // brute-force twin of the prefix-filtered join: EVERY pair sharing
     // a shingle, thresholded by the same integer inequality — prefix
     // filtering only prunes candidates, so the sets must be identical

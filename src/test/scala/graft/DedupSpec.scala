@@ -235,6 +235,40 @@ class DedupSpec extends SparkSpec {
     for (i <- 1L to 8L) assert(pairs.contains((i, i + 100L)), s"missing planted $i")
   }
 
+  test("duplicated spans: cross-doc and within-doc repeats merge into maximal spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // shares "a b c d" with doc 2
+      (2L, "x y a b c d q r"),
+      (3L, "z z1 z2 z3"),           // nothing duplicated
+      (4L, "p q r s p q r t"),      // within-doc repeat of "p q r"
+      (5L, "w1 w2")                 // shorter than k: no grams at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      // grams "a b c","b c d" dup; positions {1,2} merge: span 2-1+3 = 4
+      (1L, 6L, 1L, 4L, 0.666667),
+      (2L, 8L, 1L, 4L, 0.5),
+      (3L, 4L, 0L, 0L, 0.0),
+      // "p q r" at pos 1 and 5: gap 4 > k so TWO spans of 3
+      (4L, 8L, 2L, 6L, 0.75),
+      (5L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicated spans: adjacent islands within k merge; beyond k split") {
+    // "m n o" duplicated at pos 1 and 4 in the same doc (gap 3 = k):
+    // intervals [1,3] and [4,6] touch -> one merged span of 6
+    val docs = Seq(
+      (1L, "m n o m n o"),
+      (2L, "m n o a1 a2 a3 a4 a5 m n o") // gap 8 > k: two spans of 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, 6L), (2L, 2L, 6L)))
+  }
+
   test("starComponents handles cliques, pairs, and empty input") {
     val clique = for (a <- 0L until 6L; b <- 0L until a) yield (a, b)
     val edges = (clique ++ Seq((50L, 60L))).toDF("a", "b")
