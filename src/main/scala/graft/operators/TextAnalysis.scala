@@ -168,6 +168,49 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Count-based bigram LM quality scoring — the CCNet-style "score
+    * every document against a corpus language model" gate, with the
+    * model being the corpus's own bigram counts and the score kept in
+    * EXACT integers (a log-prob perplexity sums floats whose order the
+    * engine controls, so it can't be hash-verified; the rare-bigram
+    * ratio ranks documents the same way for filtering purposes: noisy
+    * docs are exactly the ones made of bigrams the corpus has never
+    * seen twice).
+    *
+    * Shape: positional bigram rows explode map-side; ONE hash aggregate
+    * builds the corpus count table (the "LM"); the score join is keyed
+    * on the bigram hash (both sides partition by it) and collapses
+    * straight back into a per-doc aggregate. Emitted per doc:
+    *   n_bigrams, sum_freq (Σ corpus counts of the doc's bigrams, a
+    *   mean-logprob stand-in), n_rare (bigrams with corpus count ≤
+    *   rareMax — each seen basically nowhere else), rare_ratio.
+    * Train/score splits fall out for free: build `freq` on one corpus,
+    * join any other against it.
+    */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rareMax: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => md5(concat_ws(" ", slice(words, i, lit(2))))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(col(idCol).as("_doc"), explode(grams).as("_h"))
+    val freq = rows.groupBy("_h").agg(count(lit(1)).as("_f"))
+    val scored = rows.join(freq, "_h")
+      .groupBy("_doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("_f")).as("sum_freq"),
+        sum(when(col("_f") <= rareMax, lit(1L)).otherwise(lit(0L))).as("n_rare"))
+    df.select(col(idCol))
+      .join(scored, col(idCol) === col("_doc"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(round(col("n_rare").cast("double") / col("n_bigrams"), 6),
+          lit(0.0)).as("rare_ratio"))
+  }
+
   /** Inverted index build: one posting list per token — sorted doc ids
     * plus document frequency. The classic IR construction as one
     * partial-aggregating hash aggregate: explode is map-side, the

@@ -171,7 +171,13 @@ object TextQueries {
     graft.operators.Bpe.tokenCounts(
       Tables.distributed(spark, sfDir, "documents"), "doc_id", "text", BpeRounds)
 
+  /** Count-based bigram LM score per doc (rare-bigram quality gate). */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextAnalysis.bigramLmScore(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> textLmScore,
     "bpe_train" -> bpeTrain,
     "bpe_token_count" -> bpeTokenCount,
     "tfidf_topk" -> tfidfTopk,
@@ -308,6 +314,29 @@ object TextQueries {
        |GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, md5(words[pos] || ' ' || words[pos+1]) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(1, len(words) - 1)) AS pos, words
+        |        FROM w)
+        |), f AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS f FROM g GROUP BY h
+        |), s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(f) AS BIGINT) AS sum_freq,
+        |    CAST(sum(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM g JOIN f USING (h) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sum_freq, 0) AS sum_freq,
+        |  coalesce(n_rare, 0) AS n_rare,
+        |  coalesce(round(CAST(n_rare AS DOUBLE) / n_bigrams, 6), 0.0)
+        |    AS rare_ratio
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     "bpe_train" -> bpeTrainOracle,
     "bpe_token_count" -> bpeTokenCountOracle,
     "vocab_coverage" ->

@@ -43,6 +43,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie === "es")
   }
 
+  test("bigram LM score: rare vs common bigrams on a hand-counted corpus") {
+    import spark.implicits._
+    // "a b" occurs 3x corpus-wide (docs 1,2,3); every other bigram once
+    val docs = Seq(
+      (1L, "a b c"),       // bigrams: "a b"(3), "b c"(1)
+      (2L, "a b d"),       // "a b"(3), "b d"(1)
+      (3L, "x a b"),       // "x a"(1), "a b"(3)
+      (4L, "solo")         // < 2 words: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text", rareMax = 2L)
+      .select("doc_id", "n_bigrams", "sum_freq", "n_rare", "rare_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 4L, 1L, 0.5),   // sum_freq = 3 + 1
+      (2L, 2L, 4L, 1L, 0.5),
+      (3L, 2L, 4L, 1L, 0.5),
+      (4L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("kana presence separates ja from zh even with shared ideographs") {
     // Japanese prose mixes kanji with kana; the kana count dominates
     val ja = Seq("日本語のテキストはひらがなとカタカナを含みます").toDF("text")
