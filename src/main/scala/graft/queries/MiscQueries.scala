@@ -248,7 +248,39 @@ object MiscQueries {
       graft.operators.Partitioning.zValue2(col("a"), col("b")))
   }
 
+  /** URL canonicalization over deterministically synthesized crawl
+    * URLs (case-shuffled hosts, default vs nonstandard ports, utm
+    * params, shuffled order, fragments, trailing slashes — all derived
+    * from events columns so both engines build the identical inputs).
+    * Groups by canonical form: the URL-level dedup a crawl frontier
+    * runs. See operators.Urls for the rules.
+    */
+  def urlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val u = coalesce(col("user_id"), lit(0L))
+    val url = concat(
+      when(col("event_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(u % 4 === 0, lit("Example.COM:443"))
+        .when(u % 4 === 1, lit("example.com"))
+        .when(u % 4 === 2, lit("EXAMPLE.com:8443"))
+        .otherwise(lit("www.Example.com")),
+      lit("/"), col("event_type"), lit("/item"),
+      (col("event_id") % 50).cast("string"),
+      when(col("event_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&z="), (u % 5).cast("string"),
+      lit("&a="), (col("event_id") % 7).cast("string"),
+      when(u % 2 === 0, lit("&utm_campaign=q")).otherwise(lit("")),
+      when(col("event_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    e.select(url.as("url"))
+      .groupBy(graft.operators.Urls.canonicalUrl(col("url")).as("canonical_url"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("url")).as("sample_url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_normalize" -> urlNormalize,
     "zorder_value" -> zorderValue,
     "sample_split" -> sampleSplit,
     "weighted_sample" -> weightedSample,
@@ -276,6 +308,62 @@ object MiscQueries {
   private val t25 = graft.operators.Sampling.fractionThreshold(0.25)
 
   val oracle: Map[String, String] = Map(
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT
+        |    (CASE WHEN event_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE coalesce(user_id, 0) % 4
+        |          WHEN 0 THEN 'Example.COM:443'
+        |          WHEN 1 THEN 'example.com'
+        |          WHEN 2 THEN 'EXAMPLE.com:8443'
+        |          ELSE 'www.Example.com' END)
+        |    || '/' || event_type || '/item' || CAST(event_id % 50 AS VARCHAR)
+        |    || (CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&z=' || CAST(coalesce(user_id, 0) % 5 AS VARCHAR)
+        |    || '&a=' || CAST(event_id % 7 AS VARCHAR)
+        |    || (CASE WHEN coalesce(user_id, 0) % 2 = 0
+        |        THEN '&utm_campaign=q' ELSE '' END)
+        |    || (CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM events
+        |), s1 AS (
+        |  SELECT url, split_part(url, '#', 1) AS nofrag FROM u
+        |), s2 AS (
+        |  SELECT url, lower(split_part(nofrag, '://', 1)) AS scheme,
+        |    split_part(nofrag, '://', 2) AS rest FROM s1
+        |), s3 AS (
+        |  SELECT url, scheme, split_part(rest, '/', 1) AS hostport,
+        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT url, scheme,
+        |    lower(split_part(hostport, ':', 1)) AS host,
+        |    split_part(hostport, ':', 2) AS port,
+        |    split_part(pathq, '?', 1) AS path,
+        |    split_part(pathq, '?', 2) AS rawq
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT url, scheme, host, port,
+        |    regexp_replace(path, '/+$', '') AS cleanpath,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS params
+        |  FROM s4
+        |), canon AS (
+        |  SELECT url,
+        |    scheme || '://' || host
+        |    || (CASE WHEN port <> ''
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |              AND NOT (scheme = 'http' AND port = '80')
+        |         THEN ':' || port ELSE '' END)
+        |    || cleanpath
+        |    || (CASE WHEN params <> '' THEN '?' || params ELSE '' END)
+        |      AS canonical_url
+        |  FROM s5
+        |)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  min(url) AS sample_url
+        |FROM canon GROUP BY 1""".stripMargin,
     // the streaming twin must converge to the batch sketch exactly
     "streaming_distinct_kmv" -> SketchQueries.oracle("distinct_kmv"),
     "streaming_heavy_hitters" -> SketchQueries.oracle("heavy_hitters"),

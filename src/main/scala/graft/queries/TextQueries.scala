@@ -171,6 +171,33 @@ object TextQueries {
     graft.operators.Bpe.tokenCounts(
       Tables.distributed(spark, sfDir, "documents"), "doc_id", "text", BpeRounds)
 
+  /** Exact-phrase search via positional grams: find every occurrence
+    * of the corpus's most frequent word bigram (total order: count
+    * desc, gram asc — fully deterministic, so the query is
+    * self-contained). The positional-index shape is the one a real
+    * phrase search runs: token positions explode map-side, the phrase
+    * probe is a broadcast single-row join, hits collapse per doc.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", slice(words, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = Tables.distributed(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+    val top = rows.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc).limit(1)
+      .select("gram")
+    rows.join(broadcast(top), "gram")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .select(col("doc_id"), col("gram").as("phrase"),
+        col("n_hits"), col("first_pos"))
+  }
+
   /** Count-based bigram LM score per doc (rare-bigram quality gate). */
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.TextAnalysis.bigramLmScore(
@@ -178,6 +205,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> textLmScore,
+    "phrase_search" -> phraseSearch,
     "bpe_train" -> bpeTrain,
     "bpe_token_count" -> bpeTokenCount,
     "tfidf_topk" -> tfidfTopk,
@@ -314,6 +342,24 @@ object TextQueries {
        |GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "phrase_search" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, pos, words[pos] || ' ' || words[pos+1] AS gram
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(1, len(words) - 1)) AS pos, words
+        |        FROM w)
+        |), top1 AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(*) AS c FROM g GROUP BY 1
+        |    ORDER BY c DESC, gram ASC LIMIT 1)
+        |)
+        |SELECT doc_id, g.gram AS phrase,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM g JOIN top1 USING (gram)
+        |GROUP BY 1, 2""".stripMargin,
     "text_lm_score" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
