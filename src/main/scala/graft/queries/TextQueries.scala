@@ -203,9 +203,29 @@ object TextQueries {
     graft.operators.TextAnalysis.bigramLmScore(
       Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
 
+  /** The end-to-end tokenize→pack path of a training-data pipeline in
+    * ONE oracle-gated query: documents are tokenized under the
+    * corpus-trained BPE vocabulary (Bpe.tokenCounts) and the resulting
+    * per-doc token weights feed the 512-token concat-and-chunk pack
+    * assignment (Packing.packAssignments, two-phase global prefix sum).
+    * Each stage is verified standalone (`bpe_token_count`, `seq_pack`);
+    * this gates their COMPOSITION — the handoff a real sequence writer
+    * runs.
+    */
+  def tokenizePack(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Packing.packAssignments(
+      graft.operators.Bpe.tokenCounts(
+        Tables.distributed(spark, sfDir, "documents"), "doc_id", "text",
+        BpeRounds)
+        .select(col("doc_id"), col("n_tokens")),
+      idCol = "doc_id", weightCol = "n_tokens", budget = 512)
+      .select("doc_id", "n_tokens", "start_offset",
+        "start_pack", "end_pack", "n_packs")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> textLmScore,
     "phrase_search" -> phraseSearch,
+    "tokenize_pack" -> tokenizePack,
     "bpe_train" -> bpeTrain,
     "bpe_token_count" -> bpeTokenCount,
     "tfidf_topk" -> tfidfTopk,
@@ -341,7 +361,28 @@ object TextQueries {
        |WHERE word <> ''
        |GROUP BY doc_id""".stripMargin
 
+  private def tokenizePackOracle: String =
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |pw AS (SELECT word,
+       |  CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS ntok
+       |  FROM r$BpeRounds),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |tc AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN pw USING (word) WHERE word <> '' GROUP BY doc_id),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |    - n_tokens AS BIGINT) AS start_offset
+       |  FROM tc)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  CAST(start_offset // 512 AS BIGINT) AS start_pack,
+       |  CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_pack,
+       |  CAST((start_offset + n_tokens - 1) // 512
+       |    - start_offset // 512 + 1 AS BIGINT) AS n_packs
+       |FROM c""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "tokenize_pack" -> tokenizePackOracle,
     "phrase_search" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
