@@ -181,6 +181,7 @@ class PlanSpec extends SparkSpec {
       "kmeans_assign2" -> "broadcast k-centroid fan-out (two Lloyd rounds)",
       "kmeans_sse" -> "broadcast k-centroid fan-out in both SSE rounds",
       "kmeans_update" -> "broadcast k-centroid fan-out feeding the update",
+      "market_basket" -> "crossJoin of the single broadcast n_baskets row",
       // kmv_set_algebra's 1-row crossJoin no longer appears here: its
       // result is localCheckpointed (cache-release fix), so the gate
       // sees only the materialized RDD scan.
