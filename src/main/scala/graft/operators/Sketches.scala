@@ -257,22 +257,40 @@ object Sketches {
     * sketch machinery); a production probe would be any candidate list.
     * Output: group cols, item, true_cnt, cms_est, over_by.
     */
+  private def cmsBucket(salt: String, width: Int)(
+      j: Column, it: Column): Column =
+    conv(substring(
+      md5(concat(lit(salt), j.cast("string"), lit(":"), it)), 1, 15),
+      16, 10).cast("long") % width
+
+  /** The CMS grid itself — (group, depth row `_j`, `_bucket`) → count.
+    * ONE map-side-combining hash aggregate over exploded keys (the
+    * shuffle carries ≤ depth·width counters per task per group, never
+    * the key space), and the count aggregate is mergeable state: the
+    * same plan runs as a Complete-mode streaming query, each trigger
+    * folding new rows into the stored grid.
+    */
+  def countMinCells(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      depth: Int, width: Int, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 1, "countMin needs depth, width >= 1")
+    val bucket = cmsBucket(salt, width) _
+    df.where(col(itemCol).isNotNull)
+      .select(groupCols.map(col) :+ col(itemCol).cast("string").as("_item"): _*)
+      .withColumn("_j", explode(typedLit((0 until depth).toList)))
+      .groupBy(groupCols.map(col) ++ Seq(
+        col("_j"), bucket(col("_j"), col("_item")).as("_bucket")): _*)
+      .agg(count(lit(1)).as("_n"))
+  }
+
   def countMinEstimates(df: DataFrame, groupCols: Seq[String],
       itemCol: String, depth: Int, width: Int, minTrue: Long,
       salt: String = "cms"): DataFrame = {
     require(depth >= 1 && width >= 1, "countMin needs depth, width >= 1")
-    def bucket(j: Column, it: Column): Column =
-      conv(substring(
-        md5(concat(lit(salt), j.cast("string"), lit(":"), it)), 1, 15),
-        16, 10).cast("long") % width
+    val bucket = cmsBucket(salt, width) _
     val rows = df.where(col(itemCol).isNotNull)
       .select(groupCols.map(col) :+ col(itemCol).cast("string").as("_item"): _*)
     val depths = typedLit((0 until depth).toList)
-    val cells = rows
-      .withColumn("_j", explode(depths))
-      .groupBy(groupCols.map(col) ++ Seq(
-        col("_j"), bucket(col("_j"), col("_item")).as("_bucket")): _*)
-      .agg(count(lit(1)).as("_n"))
+    val cells = countMinCells(df, groupCols, itemCol, depth, width, salt)
     val probes = rows
       .groupBy(groupCols.map(col) :+ col("_item"): _*)
       .agg(count(lit(1)).as("true_cnt"))

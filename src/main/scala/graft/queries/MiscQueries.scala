@@ -248,6 +248,24 @@ object MiscQueries {
       graft.operators.Partitioning.zValue2(col("a"), col("b")))
   }
 
+  /** Streaming twin of the count-min grid build
+    * ([[graft.operators.Sketches.countMinCells]]): the (group, row,
+    * bucket) count aggregate is mergeable state, so the grid runs as a
+    * Complete-mode stateful query — each trigger folds new rows into
+    * the stored sketch, which is exactly how a production pipeline
+    * maintains a CMS it probes elsewhere. The batch oracle rebuilds
+    * the identical grid.
+    */
+  def streamingCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = StreamingPipeline.readEvents(spark, sfDir)
+    StreamingPipeline.runToMemory(
+      graft.operators.Sketches.countMinCells(
+        events, Seq("event_type"), "user_id", depth = 4, width = 256)
+        .select(col("event_type"), col("_j").as("depth_row"),
+          col("_bucket").as("bucket"), col("_n").as("n")),
+      "graft_stream_cms")
+  }
+
   /** URL canonicalization over deterministically synthesized crawl
     * URLs (case-shuffled hosts, default vs nonstandard ports, utm
     * params, shuffled order, fragments, trailing slashes — all derived
@@ -300,7 +318,8 @@ object MiscQueries {
     "streaming_dedup" -> streamingDedup,
     "streaming_event_pairs" -> streamingEventPairs,
     "streaming_incremental_dedup" -> streamingIncrementalDedup,
-    "streaming_geo_cache" -> streamingGeoCache
+    "streaming_geo_cache" -> streamingGeoCache,
+    "streaming_cms" -> streamingCms
   )
 
   private val t80 = graft.operators.Sampling.fractionThreshold(0.8)
@@ -366,6 +385,17 @@ object MiscQueries {
         |FROM canon GROUP BY 1""".stripMargin,
     // the streaming twin must converge to the batch sketch exactly
     "streaming_distinct_kmv" -> SketchQueries.oracle("distinct_kmv"),
+    "streaming_cms" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS item
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT event_type, CAST(j AS INT) AS depth_row,
+        |  CAST(concat('0x', substr(md5('cms' || CAST(j AS VARCHAR)
+        |    || ':' || item), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r, (SELECT unnest([0, 1, 2, 3]) AS j) js
+        |GROUP BY 1, 2, 3""".stripMargin,
     "streaming_heavy_hitters" -> SketchQueries.oracle("heavy_hitters"),
     "zorder_value" ->
       """WITH q AS (
