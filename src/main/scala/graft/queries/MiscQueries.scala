@@ -297,7 +297,30 @@ object MiscQueries {
         min(col("url")).as("sample_url"))
   }
 
+  /** Deequ-style one-pass data-quality gate over `events` plus one
+    * referential-integrity row (orders→customer). Six scan checks =
+    * ONE wide aggregate (single scan, one-row shuffle); the RI row is
+    * a broadcast left-anti count unioned on. `range_value` is
+    * deliberately tighter than the data (max ≈ 490) so a nonzero
+    * violation count flows through the report.
+    */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    val e = Tables.events(spark, sfDir)
+    val scanReport = report(e, Seq(
+      complete("event_id"), complete("user_id"),
+      unique("event_id"),
+      inRange("value", 0.0, 400.0),
+      inSet("event_type", Seq("click", "error", "purchase", "signup", "view")),
+      matches("props", "^\\{.*\\}$")))
+    val ri = refIntegrity("ri_orders_custkey",
+      Tables.orders(spark, sfDir), "o_custkey",
+      Tables.customer(spark, sfDir), "c_custkey")
+    scanReport.unionByName(ri)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> dqChecks,
     "url_normalize" -> urlNormalize,
     "zorder_value" -> zorderValue,
     "sample_split" -> sampleSplit,
@@ -327,6 +350,32 @@ object MiscQueries {
   private val t25 = graft.operators.Sampling.fractionThreshold(0.25)
 
   val oracle: Map[String, String] = Map(
+    "dq_checks" ->
+      """WITH scan AS (
+        |  SELECT
+        |    count(*) FILTER (event_id IS NULL) AS complete_event_id,
+        |    count(*) FILTER (user_id IS NULL) AS complete_user_id,
+        |    count(event_id) - count(DISTINCT event_id) AS unique_event_id,
+        |    count(*) FILTER (value < 0.0 OR value > 400.0) AS range_value,
+        |    count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+        |      ('click', 'error', 'purchase', 'signup', 'view')) AS set_event_type,
+        |    count(*) FILTER (props IS NOT NULL AND NOT regexp_matches(props, '^\{.*\}$'))
+        |      AS pattern_props
+        |  FROM events
+        |), long AS (
+        |  SELECT 'complete_event_id' AS check_name, complete_event_id AS violations FROM scan
+        |  UNION ALL SELECT 'complete_user_id', complete_user_id FROM scan
+        |  UNION ALL SELECT 'unique_event_id', unique_event_id FROM scan
+        |  UNION ALL SELECT 'range_value', range_value FROM scan
+        |  UNION ALL SELECT 'set_event_type', set_event_type FROM scan
+        |  UNION ALL SELECT 'pattern_props', pattern_props FROM scan
+        |  UNION ALL SELECT 'ri_orders_custkey',
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM long""".stripMargin,
     "url_normalize" ->
       """WITH u AS (
         |  SELECT
