@@ -100,6 +100,35 @@ object AnalyticsQueries {
       .select(col("o_custkey"), col("o_orderstatus").as("status"),
         col("valid_from"), col("valid_to"), col("is_current"))
 
+  /** SCD2 point-in-time lookup: each event is joined to the dimension
+    * VERSION that was valid at its own date — the leak-free fact-to-
+    * slowly-changing-dimension join every warehouse needs. Rather than
+    * an interval join (per-row range probe, O(facts × versions) at
+    * worst), the interval structure of SCD2 makes this an as-of join:
+    * the containing version is exactly the LAST version with
+    * valid_from ≤ fact date (run-order tie-break eats the empty
+    * [d, d) intervals a same-date status flip produces). One
+    * shuffle+sort over facts+versions via [[graft.operators.AsOfJoin]];
+    * events whose user has no dimension history yet keep null status
+    * (left semantics).
+    */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val versions = Analytics.scd2(
+        Tables.orders(spark, sfDir)
+          .select(col("o_custkey").as("user_id"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey")),
+        keyCol = "user_id", attrCol = "o_orderstatus",
+        orderCols = Seq("o_orderdate", "o_orderkey"))
+      .select(col("user_id"), col("o_orderstatus").as("status"),
+        col("valid_from"), col("o_orderkey"))
+    val facts = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    graft.operators.AsOfJoin.asOf(facts, versions,
+      key = "user_id", leftTime = "d", rightTime = "valid_from",
+      rightTieBreak = col("o_orderkey"),
+      rightValueCols = Seq("status", "valid_from"))
+  }
+
   /** Peak concurrent sessions per day — the sweep-line algorithm,
     * distributed: sessions become (+1 at start, −1 at end) boundary
     * rows, clipped to each day they touch (a midnight-spanning session
@@ -279,7 +308,8 @@ object AnalyticsQueries {
     "pivot_wide" -> pivotWide,
     "funnel_steps" -> funnelSteps,
     "cohort_retention" -> cohortRetention,
-    "scd2_history" -> scd2History
+    "scd2_history" -> scd2History,
+    "scd2_lookup" -> scd2Lookup
   )
 
   val oracle: Map[String, String] = Map(
@@ -560,6 +590,29 @@ object AnalyticsQueries {
         |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "scd2_lookup" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), runs AS (
+        |  SELECT * FROM chg
+        |  WHERE rn = 1 OR prev_status IS DISTINCT FROM o_orderstatus
+        |), iv AS (
+        |  SELECT o_custkey, o_orderstatus AS status,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w2 AS valid_to
+        |  FROM runs
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), f AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events
+        |)
+        |SELECT f.event_id, f.user_id, f.d, iv.status, iv.valid_from
+        |FROM f LEFT JOIN iv
+        |  ON iv.o_custkey = f.user_id AND iv.valid_from <= f.d
+        |  AND (iv.valid_to IS NULL OR f.d < iv.valid_to)""".stripMargin,
     "scd2_history" ->
       """WITH chg AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -271,6 +271,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("a", "b", 2L)))
   }
 
+  test("scd2 lookup: facts hit the containing version; same-date flips and pre-history facts") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // key 1: status A from 01-05; SAME-DAY double flip on 01-10 (B then C
+    // with ascending orderkey — B's interval is empty [10,10)); C holds on
+    val dim = Seq(
+      (1L, "A", d("2026-01-05"), 100L),
+      (1L, "B", d("2026-01-10"), 200L),
+      (1L, "C", d("2026-01-10"), 300L),
+      (1L, "C", d("2026-01-15"), 400L)
+    ).toDF("user_id", "st", "od", "ok")
+    val versions = Analytics.scd2(dim, "user_id", "st", Seq("od", "ok"))
+      .select($"user_id", $"st".as("status"), $"valid_from", $"ok")
+    val facts = Seq(
+      (10L, 1L, d("2026-01-03")),  // before any history -> null
+      (11L, 1L, d("2026-01-05")),  // inclusive valid_from boundary -> A
+      (12L, 1L, d("2026-01-10")),  // flip day: C wins, not empty B
+      (13L, 1L, d("2026-01-31")),  // open current version -> C
+      (14L, 9L, d("2026-01-10"))   // key with no history at all -> null
+    ).toDF("event_id", "user_id", "d")
+    val got = graft.operators.AsOfJoin.asOf(facts, versions,
+        "user_id", "d", "valid_from", col("ok"), Seq("status"))
+      .select($"event_id", $"status").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(10L -> None, 11L -> Some("A"), 12L -> Some("C"),
+      13L -> Some("C"), 14L -> None))
+  }
+
   test("anomaly z-score plans a single window exchange") {
     val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
