@@ -208,6 +208,38 @@ object Analytics {
       .select(keyCols.map(k => col(s"_k.$k").as(k)) :+ col("change_type"): _*)
   }
 
+  /** MERGE-style changeset application — the write side of CDC (the
+    * read side is [[snapshotDiff]]): fold a stream of keyed
+    * insert/update/delete operations into a base snapshot and emit the
+    * new snapshot. Per key only the LATEST op (by `seqCol`, ties by
+    * `opCol` descending so 'U' beats 'I' at equal seq) matters — a
+    * window row_number keeps it; the fold itself is ONE full-outer
+    * hash join on the key (both sides partition identically, so at
+    * 100 TB bucketing base and changelog on the key makes it
+    * exchange-free — the Delta/Iceberg MERGE shape). Upserts replace
+    * the whole payload struct, deletes drop the row (a delete for an
+    * absent key is a no-op), untouched base rows pass through.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangeset needs key columns")
+    val attrs = base.columns.filterNot(keyCols.contains).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+    val b = base.select(
+      struct(keyCols.map(col): _*).as("_k"), struct(attrs.map(col): _*).as("_vb"))
+    val c = latest.select(
+      struct(keyCols.map(col): _*).as("_k"), col(opCol).as("_op"),
+      struct(attrs.map(col): _*).as("_vc"))
+    b.join(c, Seq("_k"), "full_outer")
+      .where(col("_op").isNull || col("_op") =!= "D")
+      .withColumn("_v", when(col("_op").isNotNull, col("_vc")).otherwise(col("_vb")))
+      .select(keyCols.map(k => col(s"_k.$k").as(k)) ++
+        attrs.map(a => col(s"_v.$a").as(a)): _*)
+  }
+
   /** Per-group covariance and Pearson correlation WITHOUT
     * order-dependent floating point: Spark's `covar_pop`/`corr` sum
     * doubles in partition order (different layout → different last

@@ -293,9 +293,36 @@ object AnalyticsQueries {
       old, mutated.unionByName(inserted), Seq("o_orderkey"))
   }
 
+  /** CDC MERGE: a synthesized changelog (updates on keys %7, deletes
+    * on %13 at a LATER sequence — so %91 keys see U then D and end
+    * deleted — inserts on fresh %17-derived keys) folded into the
+    * order snapshot. The output is the full post-merge table, so the
+    * oracle re-derives every routing decision: update wins over base,
+    * delete wins over update, insert lands, untouched rows survive
+    * byte-identically (o_totalprice passes through as untouched
+    * DECIMAL — no arithmetic, no precision drift).
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val upd = base.where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("X-UPD"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val del = base.where(col("o_orderkey") % 13 === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    val ins = base.where(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderpriority", lit("X-NEW"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    Analytics.applyChangeset(base, upd.unionByName(del).unionByName(ins),
+      Seq("o_orderkey"), "seq", "op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_zscore" -> anomalyZscore,
     "snapshot_diff" -> snapshotDiff,
+    "cdc_apply" -> cdcApply,
     "stats_corr" -> statsCorr,
     "stats_ols" -> statsOls,
     "market_basket" -> marketBasket,
@@ -590,6 +617,37 @@ object AnalyticsQueries {
         |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |  FROM orders
+        |), chg AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq,
+        |    'X-UPD' AS o_orderpriority, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, o_orderpriority, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 1,
+        |    'X-NEW', o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 17 = 0
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        |    FROM chg)
+        |  WHERE rn = 1
+        |)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority
+        |       ELSE b.o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+        |       ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice
+        |FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
     "scd2_lookup" ->
       """WITH chg AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -299,6 +299,22 @@ class AnalyticsSpec extends SparkSpec {
       13L -> Some("C"), 14L -> None))
   }
 
+  test("changeset apply: upsert/delete routing, latest-op-wins, absent-key delete no-op") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, 1L, "U", "a2"),   // update existing
+      (2L, 1L, "U", "b2"),   // update...
+      (2L, 2L, "D", "b2"),   // ...then delete at a later seq -> gone
+      (3L, 2L, "U", "c3"),   // two updates: seq 2 wins
+      (3L, 1L, "U", "cX"),
+      (4L, 1L, "I", "d"),    // insert new key
+      (9L, 1L, "D", "zz")    // delete for a key base never had -> no-op
+    ).toDF("k", "seq", "op", "v")
+    val got = Analytics.applyChangeset(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a2", 3L -> "c3", 4L -> "d"))
+  }
+
   test("anomaly z-score plans a single window exchange") {
     val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
