@@ -135,4 +135,45 @@ object Graph {
     e.unpersist(); deg.unpersist(); oriented.unpersist()
     out
   }
+
+  /** Multi-source BFS: exact minimum hop distance from any seed, up to
+    * `maxHops`. Frontier-at-a-time (the textbook distributed BFS): each
+    * level expands the CURRENT frontier through the edge list, then an
+    * anti-join against the visited set prunes re-discovered nodes — so
+    * a node is emitted exactly once, at its first (= minimum) level,
+    * and cycles never loop. Work per level is one src-keyed join plus
+    * one node-keyed distinct/anti-join — all bounded by |frontier
+    * adjacency|, never the transitive closure; the visited set is
+    * `localCheckpoint`ed each level so the loop's lineage stays O(1)
+    * like [[pagerank]] / Dedup.connectedComponents. Levels run until
+    * `maxHops`; an exhausted frontier short-circuits via the cheap
+    * `isEmpty` probe on the (already materialized) next level.
+    *
+    * @param edges directed (src, dst) — pass both directions for an
+    *              undirected walk; any equality-comparable node type.
+    * @param seeds one `node` column; distance 0 rows, deduplicated.
+    * @return (node, dist) — one row per reached node.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src"), col("dst")).persist()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var h = 0
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    e.unpersist()
+    visited
+  }
 }

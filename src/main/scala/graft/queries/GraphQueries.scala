@@ -152,13 +152,53 @@ object GraphQueries {
       |  CAST(COALESCE(tcnt.tri_count, 0) AS BIGINT) AS tri_count
       |FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node""".stripMargin
 
+  /** Multi-source BFS over the customer↔supplier trade graph: minimum
+    * hop distance from the `c_custkey % 100 = 1` seed customers, 4
+    * levels. Same compact struct(tinyint, long) node keys through the
+    * loop as [[pagerank]] (strings only at the output boundary); seeds
+    * with no trade edges still appear at distance 0.
+    */
+  def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") % 100 === 1)
+      .select(struct(lit(0).as("t"), col("c_custkey").as("k")).as("node"))
+    Graph.bfs(edges(spark, sfDir), seeds, maxHops = 4)
+      .select(
+        concat(when(col("node.t") === 0, lit("c")).otherwise(lit("s")),
+          col("node.k").cast("string")).as("node"),
+        col("dist"))
+  }
+
+  /** The same 4-level reachability as a recursive CTE: UNION-dedup on
+    * (node, dist) bounds the worklist at |V|·levels even on cycles;
+    * min(dist) collapses late discoveries to the BFS level.
+    */
+  private val BfsOracle =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM e0
+      |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |walk(node, dist) AS (
+      |  SELECT 'c' || CAST(c_custkey AS VARCHAR), 0
+      |  FROM customer WHERE c_custkey % 100 = 1
+      |  UNION
+      |  SELECT e.dst, w.dist + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.dist < 4)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
-    "triangle_count" -> (triangleCount _)
+    "triangle_count" -> (triangleCount _),
+    "graph_bfs" -> (bfsHops _)
   )
 
   val oracle: Map[String, String] = Map(
     "pagerank" -> oracleSqlFor(Iterations),
-    "triangle_count" -> TriangleOracle
+    "triangle_count" -> TriangleOracle,
+    "graph_bfs" -> BfsOracle
   )
 }

@@ -79,4 +79,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
   }
+
+  test("bfs: min hop distance on a chain with a shortcut; cycle terminates; cap respected") {
+    // 1→2→3→4→5→6 chain, plus shortcut 1→4, plus back-edge 4→1 (cycle),
+    // plus isolated node 9 unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (4L, 1L), (9L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfs(edges, seeds, maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    // shortcut makes 4 a 1-hop, so 5=2, 6=3; the 4→1 cycle adds nothing
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // hop cap truncates the wave
+    val capped = Graph.bfs(edges, seeds, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfs: multi-source waves merge at the minimum; edgeless seed stays at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 7L, 42L).toDF("node")  // 42 has no edges at all
+    val got = Graph.bfs(edges, seeds, maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    // 3 is 2 hops from seed 1 but 1 hop from seed 7 -> 1
+    assert(got === Map(1L -> 0L, 7L -> 0L, 42L -> 0L,
+      2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
 }
