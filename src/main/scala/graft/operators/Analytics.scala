@@ -311,6 +311,30 @@ object Analytics {
         (num * num / (denx * (syy * n - sy * sy))).as("r2")): _*)
   }
 
+  /** Rolling EXACT median over a row frame — the robust-statistics
+    * sibling of [[anomalyZscore]]'s mean/stddev. Median is holistic
+    * (no algebraic partial state), which is precisely why it's worth
+    * shipping as an operator: Spark's `percentile` evaluates it
+    * per-frame inside ONE key-partitioned window exchange, O(frame)
+    * memory per row — not a global sort, not a per-key collect. Values
+    * ride the exact integer-cents domain, so the interpolated midpoint
+    * (k or k+0.5 cents) is an exactly-representable double and the
+    * result hash-verifies against any engine's continuous-quantile
+    * median (DuckDB: `median(BIGINT) OVER w`).
+    */
+  def rollingMedian(rows: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, lookback: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, Window.currentRow)
+    val x = (col(valCol).cast("decimal(12,2)") * 100).cast("long")
+    rows
+      .withColumn("_x", x)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med_cents", percentile(col("_x"), lit(0.5)).over(w))
+      .select(col(tieCol), col(keyCol), col(tsCol), col("n"), col("med_cents"))
+  }
+
   def anomalyZscore(rows: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valCol: String,
       lookback: Int, minN: Int, k: Int): DataFrame = {

@@ -319,7 +319,16 @@ object AnalyticsQueries {
       Seq("o_orderkey"), "seq", "op")
   }
 
+  /** Rolling exact median of event value (21-row frame per user) —
+    * see [[Analytics.rollingMedian]] for why the holistic aggregate
+    * still rides one window exchange.
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.rollingMedian(Tables.events(spark, sfDir),
+      "user_id", "ts", "event_id", "value", lookback = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_median" -> rollingMedian,
     "anomaly_zscore" -> anomalyZscore,
     "snapshot_diff" -> snapshotDiff,
     "cdc_apply" -> cdcApply,
@@ -617,6 +626,18 @@ object AnalyticsQueries {
         |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "rolling_median" ->
+      """WITH cents AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n,
+        |  median(x) OVER w AS med_cents
+        |FROM cents
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
     "cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice

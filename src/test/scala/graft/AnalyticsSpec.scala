@@ -315,6 +315,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(1L -> "a2", 3L -> "c3", 4L -> "d"))
   }
 
+  test("rolling median: hand-computed frames incl. even-count interpolation; one exchange") {
+    def ts(s: Int) = Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+    // values in dollars -> cents: 10, 31, 22, 5, 40
+    val rows = Seq(
+      (1L, 7L, ts(1), 0.10), (2L, 7L, ts(2), 0.31), (3L, 7L, ts(3), 0.22),
+      (4L, 7L, ts(4), 0.05), (5L, 7L, ts(5), 0.40)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.rollingMedian(rows, "user_id", "ts", "event_id", "value", 2)
+    val got = out.select($"event_id", $"n", $"med_cents")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, med) => id -> ((n, med)) }.toMap
+    // frames: [10] [10,31] [10,31,22] [31,22,5] [22,5,40]
+    assert(got === Map(1L -> ((1L, 10.0)), 2L -> ((2L, 20.5)),
+      3L -> ((3L, 22.0)), 4L -> ((3L, 22.0)), 5L -> ((3L, 22.0))))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1, s"expected one exchange:\n$plan")
+  }
+
   test("anomaly z-score plans a single window exchange") {
     val df = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
