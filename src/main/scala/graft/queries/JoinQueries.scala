@@ -212,7 +212,47 @@ object JoinQueries {
       .select("q_partkey", "p_partkey", "q_name", "p_name", "dist")
   }
 
+  /** Entity resolution end-to-end: the record-linkage pipeline
+    * (blocking → pairwise scoring → transitive closure → golden
+    * record) that dedupes a master-data table. Candidate pairs come
+    * from the same equi-block + length-prune + levenshtein discipline
+    * as [[fuzzyMatch]] (never all-pairs: the block key bounds the
+    * quadratic term at block size); matched pairs become edges of an
+    * undirected graph and `Dedup.connectedComponents` (log-round
+    * star contraction) gives each entity a stable cluster id = its
+    * minimum member key, singletons included via coalesce. The golden
+    * record per entity is the min-key member (`min_by` — unique key
+    * makes it deterministic), with the full sorted member list
+    * carried as a CSV so the oracle verifies MEMBERSHIP, not just
+    * counts.
+    */
+  def entityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), 1).as("w1"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+    val a = p.select(col("p_partkey").as("ka"), col("w1").as("wa"),
+      col("noun").as("na"))
+    val b = p.select(col("p_partkey").as("kb"), col("w1").as("wb"),
+      col("noun").as("nb"))
+    val pairs = a.join(b, col("wa") === col("wb") && col("ka") < col("kb"))
+      .where(abs(length(col("na")) - length(col("nb"))) <= 1 &&
+        levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ka"), col("kb"))
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "ka", "kb")
+    p.join(cc, p("p_partkey") === cc("node"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("cluster"), col("p_partkey")).as("entity"))
+      .groupBy(col("entity"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min_by(col("p_name"), col("p_partkey")).as("canonical_name"),
+        concat_ws(",", transform(array_sort(collect_list(col("p_partkey"))),
+          _.cast("string"))).as("members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "entity_resolution" -> entityResolution,
     "fuzzy_match" -> fuzzyMatch,
     "bloom_prefilter_join" -> bloomPrefilterJoinQ,
     "bucketed_join" -> bucketedJoin,
@@ -230,6 +270,36 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name,
+        |    split_part(p_name, ' ', 1) AS w1,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part
+        |), pairs AS (
+        |  SELECT a.p_partkey AS s, b.p_partkey AS d
+        |  FROM p a JOIN p b ON a.w1 = b.w1 AND a.p_partkey < b.p_partkey
+        |  WHERE abs(length(a.noun) - length(b.noun)) <= 1
+        |    AND levenshtein(a.noun, b.noun) <= 1
+        |), edges AS (
+        |  SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+        |), reach AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |), cl AS (
+        |  SELECT s AS node, least(s, min(d)) AS cluster
+        |  FROM reach GROUP BY s
+        |), ent AS (
+        |  SELECT p.p_partkey, p.p_name,
+        |    coalesce(cl.cluster, p.p_partkey) AS entity
+        |  FROM p LEFT JOIN cl ON p.p_partkey = cl.node
+        |)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_members,
+        |  arg_min(p_name, p_partkey) AS canonical_name,
+        |  string_agg(CAST(p_partkey AS VARCHAR), ','
+        |    ORDER BY p_partkey) AS members
+        |FROM ent GROUP BY entity""".stripMargin,
     "fuzzy_match" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name,

@@ -20,6 +20,22 @@ class EdgeCaseSpec extends SparkSpec {
   private lazy val someVecs = Seq(
     (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
 
+  test("entity resolution partitions the record set and picks the min-key golden record") {
+    val ents = graft.queries.JoinQueries.entityResolution(spark, "/root/testdata/sf0.001")
+      .select($"entity", $"n_members", $"members").collect()
+    val allMembers = ents.flatMap(_.getString(2).split(",").map(_.toLong))
+    val total = Tables.part(spark, "/root/testdata/sf0.001").count()
+    // every part key appears in exactly one entity's member list
+    assert(allMembers.length.toLong === total)
+    assert(allMembers.distinct.length === allMembers.length)
+    // entity id = min member key, and n_members matches the list
+    ents.foreach { r =>
+      val members = r.getString(2).split(",").map(_.toLong)
+      assert(r.getLong(0) === members.min, s"entity ${r.getLong(0)}")
+      assert(r.getLong(1) === members.length.toLong)
+    }
+  }
+
   test("dedup operators are empty-safe") {
     assert(Dedup.exact(noDocs, "text", "doc_id").count() === 0)
     assert(Dedup.minhashCandidates(noDocs, "text", "doc_id").count() === 0)
