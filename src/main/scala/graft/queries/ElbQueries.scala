@@ -72,11 +72,49 @@ object ElbQueries {
       "total_processing_time", "path_depth", "path_main_segment")
   }
 
+  /** CIDR-style IP-range enrichment — the scale path for geo lookup:
+    * instead of the reference's per-IP HTTP call (elb_logs.py:413-419),
+    * a RANGE TABLE of ip intervals (variable-width sub-/16 blocks here,
+    * derived deterministically so the oracle can rebuild them) is
+    * matched against every parsed client IP. `RangeJoin.intervalJoin`
+    * bins the number line, so the match is an equi-join on the bin —
+    * the 600-row exploded range side broadcasts and the fact side
+    * never shuffles; the only exchange is the final 7-row region
+    * rollup. IPv4 → int is pure column arithmetic on the dotted quads
+    * (no UDF).
+    */
+  def ipRangeLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    def oct(i: Int) = element_at(split(col("client_ip"), "\\."), i).cast("long")
+    val pts = parsed(spark, sfDir)
+      .select(col("client_ip"),
+        (oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
+          .as("ip_num"))
+    val base = lit(10L * 16777216L) + col("x") * 65536L
+    val b1 = base + (col("x") * 37 % 120 + 1) * 256L
+    val b2 = base + (col("x") * 11 % 120 + 128) * 256L
+    val ranges = spark.range(0, 200).select(col("id").as("x"))
+      .select(col("x"), explode(array(
+        struct(lit(0L).as("ridx"), base.as("r_start"), b1.as("r_bound")),
+        struct(lit(1L).as("ridx"), b1.as("r_start"), b2.as("r_bound")),
+        struct(lit(2L).as("ridx"), b2.as("r_start"),
+          (base + 65536L).as("r_bound")))).as("r"))
+      .select(
+        concat(lit("R"), ((col("x") + col("r.ridx")) % 7).cast("string"))
+          .as("region"),
+        col("r.r_start"), (col("r.r_bound") - 1L).as("r_end"))
+    graft.operators.RangeJoin
+      .intervalJoin(pts, "ip_num", ranges, "r_start", "r_end", binWidth = 16384L)
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_requests"),
+        countDistinct(col("client_ip")).as("n_ips"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "elb_parse" -> elbParse,
     "elb_dsv2_parse" -> elbDsv2Parse,
     "elb_classify" -> elbClassify,
-    "elb_features" -> elbFeatures
+    "elb_features" -> elbFeatures,
+    "ip_range_lookup" -> ipRangeLookup
   )
 
   // -- oracle SQL (DuckDB dialect) ------------------------------------
@@ -132,6 +170,38 @@ object ElbQueries {
   val oracle: Map[String, String] = Map(
     "elb_parse" -> parseOracle(withFile = true),
     "elb_dsv2_parse" -> parseOracle(withFile = false),
+    "ip_range_lookup" ->
+      s"""WITH f AS (
+         |  SELECT
+         |    '10.' || (user_id % 200) || '.' || (event_id % 250) || '.'
+         |      || ((event_id*7) % 250) AS client_ip,
+         |    (10 * 16777216 + (user_id % 200) * 65536
+         |      + (event_id % 250) * 256 + ((event_id*7) % 250)) AS ip_num
+         |  FROM events WHERE ${ElbSynth.survivorsWhere}
+         |), xs AS (
+         |  SELECT unnest(generate_series(0, 199)) AS x
+         |), r AS (
+         |  SELECT x, 0 AS ridx,
+         |    (10*16777216 + x*65536) AS r_start,
+         |    (10*16777216 + x*65536) + (x*37 % 120 + 1)*256 AS r_bound
+         |  FROM xs
+         |  UNION ALL
+         |  SELECT x, 1,
+         |    (10*16777216 + x*65536) + (x*37 % 120 + 1)*256,
+         |    (10*16777216 + x*65536) + (x*11 % 120 + 128)*256
+         |  FROM xs
+         |  UNION ALL
+         |  SELECT x, 2,
+         |    (10*16777216 + x*65536) + (x*11 % 120 + 128)*256,
+         |    (10*16777216 + x*65536) + 65536
+         |  FROM xs
+         |), j AS (
+         |  SELECT f.client_ip, 'R' || ((r.x + r.ridx) % 7) AS region
+         |  FROM f JOIN r ON f.ip_num >= r.r_start AND f.ip_num < r.r_bound
+         |)
+         |SELECT region, CAST(count(*) AS BIGINT) AS n_requests,
+         |  CAST(count(DISTINCT client_ip) AS BIGINT) AS n_ips
+         |FROM j GROUP BY region""".stripMargin,
     "elb_classify" ->
       s"""SELECT $key AS elb, $uaCase AS user_agent,
          |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'

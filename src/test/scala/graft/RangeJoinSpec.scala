@@ -48,4 +48,17 @@ class RangeJoinSpec extends SparkSpec {
       s"interval join fell back to a nested loop:\n$plan")
     assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
   }
+
+  test("ip range lookup covers every surviving request exactly once") {
+    val out = graft.queries.ElbQueries.ipRangeLookup(spark, "/root/testdata/sf0.001")
+    // the range table tiles each /16 completely, so the region rollup
+    // must account for every parsed row exactly once
+    val survivors = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") % 101 =!= 0 && col("event_id") % 97 =!= 0).count()
+    val totals = out.agg(sum(col("n_requests"))).as[Long].head()
+    assert(totals === survivors)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"range side should broadcast:\n$plan")
+  }
 }
