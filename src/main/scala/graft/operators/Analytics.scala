@@ -311,6 +311,34 @@ object Analytics {
         (num * num / (denx * (syy * n - sy * sy))).as("r2")): _*)
   }
 
+  /** Burst compaction: collapse each run of events spaced ≤ `gapMicros`
+    * apart (per key) to its FIRST event, annotated with the run length
+    * — impression dedup / retry collapse for event pipelines. The
+    * burst boundary is the same strict-gap rule as sessionization, so
+    * the lag, the boundary prefix-sum, and the final per-burst
+    * collapse all ride ONE (key → ts, tie) sort; the burst head is the
+    * burst's unique boundary row, recovered by min-over-case (no
+    * argmin — the oracle spells the identical aggregate). The
+    * compaction is auditable: sum(burst_len) = input rows.
+    */
+  def burstCompact(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val flagged = rows
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_keep", col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapMicros)
+      .withColumn("_burst", sum(when(col("_keep"), 1L).otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(keyCols.map(col) :+ col("_burst"): _*)
+      .agg(min(when(col("_keep"), col(tieCol))).as(tieCol),
+        min(col(tsCol)).as(tsCol), count(lit(1)).as("burst_len"))
+      .select(col(tieCol) +: keyCols.map(col) :+ col(tsCol) :+
+        col("burst_len"): _*)
+  }
+
   /** Rolling EXACT median over a row frame — the robust-statistics
     * sibling of [[anomalyZscore]]'s mean/stddev. Median is holistic
     * (no algebraic partial state), which is precisely why it's worth

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -112,7 +113,20 @@ object EventQueries {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Burst compaction: keep only the FIRST event of each burst per
+    * (user, type), where a burst is a run of events each within 300 s
+    * of its predecessor — the impression-dedup / retry-collapse pass a
+    * training-data event pipeline runs before counting anything. Same
+    * gap-boundary rule as sessionization, so it is one lag over one
+    * (user, type)-keyed sort; emitted rows carry the burst's length so
+    * the compaction is auditable (sum(burst_len) = input rows).
+    */
+  def dedupBurst(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Analytics.burstCompact(Tables.events(spark, sfDir),
+      Seq("user_id", "event_type"), "ts", "event_id", gapMicros = 300000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_burst" -> dedupBurst,
     "hopping_agg" -> hoppingAgg,
     "hourly_agg" -> hourlyAgg,
     "sessionize" -> sessionizeQ,
@@ -122,6 +136,28 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_burst" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), k AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM x
+        |), b AS (
+        |  SELECT *, sum(keep) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS burst
+        |  FROM k
+        |)
+        |SELECT CAST(min(CASE WHEN keep = 1 THEN event_id END) AS BIGINT)
+        |    AS event_id,
+        |  user_id, event_type, min(ts) AS ts,
+        |  CAST(count(*) AS BIGINT) AS burst_len
+        |FROM b GROUP BY user_id, event_type, burst""".stripMargin,
     "hopping_agg" ->
       """WITH hops AS (
         |  SELECT event_type, value,

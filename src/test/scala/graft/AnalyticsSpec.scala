@@ -315,6 +315,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(1L -> "a2", 3L -> "c3", 4L -> "d"))
   }
 
+  test("burst compaction: chained gaps extend a burst; heads and lengths are exact") {
+    def ts(s: Int) = Timestamp.valueOf(f"2026-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    // user 1 type a: events at 0s, 200s, 390s (chain: each gap <= 300 ->
+    // ONE burst of 3, even though 390s > 300s from the head), then 800s
+    // (new burst). user 1 type b: independent stream, never merged.
+    val rows = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "a", ts(200)), (3L, 1L, "a", ts(390)),
+      (4L, 1L, "a", ts(800)),
+      (5L, 1L, "b", ts(10))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Analytics.burstCompact(rows, Seq("user_id", "event_type"),
+        "ts", "event_id", gapMicros = 300000000L)
+      .select($"event_id", $"burst_len").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+    val plan = Analytics.burstCompact(rows, Seq("user_id", "event_type"),
+      "ts", "event_id", 300000000L).queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1, s"expected the windows and collapse to share one exchange:\n$plan")
+  }
+
   test("rolling median: hand-computed frames incl. even-count interpolation; one exchange") {
     def ts(s: Int) = Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
     // values in dollars -> cents: 10, 31, 22, 5, 40
