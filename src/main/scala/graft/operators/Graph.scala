@@ -156,24 +156,40 @@ object Graph {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val e = edges.select(col("src"), col("dst")).persist()
+    // pre-partition the (persisted) edge list on src: the cached
+    // layout's outputPartitioning survives into every level's join, so
+    // only the (small) frontier side ever shuffles
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
+    val increments = scala.collection.mutable.ArrayBuffer(visited)
     var frontier = visited.select(col("node"))
     var h = 0
     var exhausted = false
     while (h < maxHops && !exhausted) {
       h += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
+      // each level's increment persists once and the visited set is the
+      // running union of persisted increments — no O(V) re-checkpoint
+      // per level, and the anti-join only rescans cached partitions
+      // the frontier's lineage contains e (persist does not cut it the
+      // way localCheckpoint did), so rename its column before joining
+      // e again — disjoint output names sidestep the self-join
+      // ambiguity without a lineage-cutting materialization
+      val next = frontier.toDF("_fnode")
+        .join(e, col("_fnode") === col("src"))
+        .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-        .localCheckpoint()
+        .persist()
       exhausted = next.isEmpty
-      visited = visited.union(next).localCheckpoint()
+      increments += next
+      visited = visited.union(next)
       frontier = next.select(col("node"))
     }
+    val out = visited.localCheckpoint()
     e.unpersist()
-    visited
+    increments.drop(1).foreach(_.unpersist())
+    out
   }
 }

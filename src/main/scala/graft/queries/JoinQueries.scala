@@ -231,18 +231,33 @@ object JoinQueries {
       .select(col("p_partkey"), col("p_name"),
         element_at(split(col("p_name"), " "), 1).as("w1"),
         element_at(split(col("p_name"), " "), 2).as("noun"))
-    val a = p.select(col("p_partkey").as("ka"), col("w1").as("wa"),
+    // Exact-key collapse BEFORE the quadratic steps: records sharing
+    // (block, noun) are pairwise lev-0 matches, so the pair graph's
+    // components equal the components of the GROUP quotient graph —
+    // whose size is bounded by the attribute vocabulary (|w1|·|noun|
+    // groups, here ≤ 92², INDEPENDENT of record count). Scoring and
+    // transitive closure then run on the quotient: ~10⁵ levenshtein
+    // evals and a toy CC input at ANY scale, where the naive
+    // record-pair formulation was O(block²) comparisons and a
+    // million-edge closure at sf0.1 (measured 21.5 s → ~1 s). Group id
+    // = min member key, so cluster labels — min key reachable — are
+    // byte-identical to the record-level formulation and the oracle
+    // needs no knowledge of the rewrite.
+    val groups = p.groupBy(col("w1"), col("noun"))
+      .agg(min(col("p_partkey")).as("gid"))
+    val a = groups.select(col("gid").as("ka"), col("w1").as("wa"),
       col("noun").as("na"))
-    val b = p.select(col("p_partkey").as("kb"), col("w1").as("wb"),
+    val b = groups.select(col("gid").as("kb"), col("w1").as("wb"),
       col("noun").as("nb"))
-    val pairs = a.join(b, col("wa") === col("wb") && col("ka") < col("kb"))
+    val bridges = a.join(b, col("wa") === col("wb") && col("ka") < col("kb"))
       .where(abs(length(col("na")) - length(col("nb"))) <= 1 &&
         levenshtein(col("na"), col("nb")) <= 1)
       .select(col("ka"), col("kb"))
-    val cc = graft.operators.Dedup.connectedComponents(pairs, "ka", "kb")
-    p.join(cc, p("p_partkey") === cc("node"), "left")
+    val cc = graft.operators.Dedup.connectedComponents(bridges, "ka", "kb")
+    p.join(groups, Seq("w1", "noun"))
+      .join(cc, col("gid") === cc("node"), "left")
       .select(col("p_partkey"), col("p_name"),
-        coalesce(col("cluster"), col("p_partkey")).as("entity"))
+        coalesce(col("cluster"), col("gid")).as("entity"))
       .groupBy(col("entity"))
       .agg(
         count(lit(1)).as("n_members"),
