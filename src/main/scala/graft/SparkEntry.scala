@@ -27,14 +27,16 @@ object SparkEntry {
     PipelineQueries.queries, DocQueries.queries, VecQueries.queries,
     TextQueries.queries, MiscQueries.queries, CurationQueries.queries,
     ClusterQueries.queries, AnalyticsQueries.queries, SketchQueries.queries,
-    TpchQueries.queries, GraphQueries.queries, JourneyQueries.queries)
+    TpchQueries.queries, GraphQueries.queries, JourneyQueries.queries,
+    RobustQueries.queries)
 
   val oracleModules: Seq[Map[String, String]] = Seq(
     EventQueries.oracle, ElbQueries.oracle, JoinQueries.oracle,
     PipelineQueries.oracle, DocQueries.oracle, VecQueries.oracle,
     TextQueries.oracle, MiscQueries.oracle, CurationQueries.oracle,
     ClusterQueries.oracle, AnalyticsQueries.oracle, SketchQueries.oracle,
-    TpchQueries.oracle, GraphQueries.oracle, JourneyQueries.oracle)
+    TpchQueries.oracle, GraphQueries.oracle, JourneyQueries.oracle,
+    RobustQueries.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

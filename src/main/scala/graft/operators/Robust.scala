@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust (order-statistic) aggregates: exact weighted median and
+  * winsorized/trimmed moments. Like the exact rolling median
+  * (Rolling.scala), these are holistic aggregates the built-in
+  * hash-aggregate path can't express — each one is laid out so the
+  * heavy order-dependent work rides ONE hash exchange on the group
+  * key, with the per-group collapse reusing that partitioning
+  * (`HashPartitioning(key)` satisfies the follow-up groupBy(key)).
+  *
+  * All arithmetic is exact-integer (cents/weights as longs); the only
+  * floating-point steps are single correctly-rounded divisions at the
+  * very end, so results are bit-identical across engines and across
+  * partitionings.
+  */
+object Robust {
+
+  /** Exact weighted (lower) median per key: the smallest value whose
+    * cumulative weight reaches half the group's total weight —
+    * `min{ v : 2·cumw(v) >= W }`. Ties in `valueCol` are broken by
+    * `tieCols` so the cumulative sum is deterministic.
+    *
+    * One window exchange on `keyCol`; the running and total weight
+    * sums stack as two Window operators over the same partition, and
+    * the final min/max collapse reuses the partitioning.
+    *
+    * Output: (key, med — long, total_w — long).
+    */
+  def weightedMedian(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, tieCols: Seq[String]): DataFrame = {
+    val ord: Seq[Column] = col(valueCol) +: tieCols.map(col)
+    val run = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(keyCol)
+    df
+      .withColumn("_cw", sum(col(weightCol)).over(run))
+      .withColumn("_tw", sum(col(weightCol)).over(all))
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(lit(2L) * col("_cw") >= col("_tw"), col(valueCol)))
+          .as("med"),
+        max(col("_tw")).as("total_w"))
+  }
+
+  /** Winsorized and trimmed mean per key over an exact integer (cents)
+    * column. With n group rows and k = n DIV `tailDenom` (5% tails at
+    * the default 20), the k smallest values are clamped up to the
+    * (k+1)-th and the k largest down to the (n−k)-th — but instead of
+    * materializing clamped rows, the group aggregate folds the clamp
+    * algebraically: winsorized sum = k·(lo + hi) + Σ middle. The
+    * trimmed mean drops the tails outright (null when nothing
+    * remains). Ranks are deterministic via the (value, id) sort.
+    *
+    * One window exchange on `keyCol` (row_number + count stack on the
+    * same partition), group collapse on the same key.
+    *
+    * Output: (key, n, k, lo_cents, hi_cents, wins_mean, trim_mean) —
+    * means in currency units (cents / 100), each a single division of
+    * exact longs.
+    */
+  def winsorizedStats(df: DataFrame, keyCol: String, centsCol: String,
+      idCol: String, tailDenom: Int = 20): DataFrame = {
+    require(tailDenom >= 2, s"tailDenom must be >= 2, got $tailDenom")
+    val ordw = Window.partitionBy(keyCol).orderBy(col(centsCol), col(idCol))
+    val all = Window.partitionBy(keyCol)
+    df
+      .withColumn("_rn", row_number().over(ordw).cast("long"))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_k", expr(s"_n DIV $tailDenom"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("_n")).as("n"),
+        max(col("_k")).as("k"),
+        max(when(col("_rn") === col("_k") + 1L, col(centsCol))).as("lo_cents"),
+        max(when(col("_rn") === col("_n") - col("_k"), col(centsCol))).as("hi_cents"),
+        sum(when(col("_rn").between(col("_k") + 1L, col("_n") - col("_k")),
+          col(centsCol))).as("_mid"))
+      .select(col(keyCol), col("n"), col("k"), col("lo_cents"), col("hi_cents"),
+        ((col("k") * (col("lo_cents") + col("hi_cents")) + col("_mid"))
+          .cast("double") / (lit(100L) * col("n"))).as("wins_mean"),
+        when(col("n") > lit(2L) * col("k"),
+          col("_mid").cast("double") / (lit(100L) * (col("n") - lit(2L) * col("k"))))
+          .as("trim_mean"))
+  }
+}

@@ -186,6 +186,7 @@ class PlanSpec extends SparkSpec {
       // result is localCheckpointed (cache-release fix), so the gate
       // sees only the materialized RDD scan.
       "mixture_sample" -> "crossJoin of the single global-totals row",
+      "skyline_pareto" -> "broadcast candidate dominance anti-join over tiny local skylines",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",
       "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Robust, Skyline}
+
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weighted median picks the smallest value reaching half the weight") {
+    val df = Seq(
+      ("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L), ("a", 3L, 30L, 1L),
+      ("b", 1L, 10L, 1L), ("b", 2L, 20L, 1L)
+    ).toDF("k", "id", "v", "w")
+    val r = Robust.weightedMedian(df, "k", "v", "w", Seq("id"))
+      .collect().map(x => x.getAs[String]("k") ->
+        (x.getAs[Long]("med"), x.getAs[Long]("total_w"))).toMap
+    // a: W=4; cum 10->1, 20->3 (2*3>=4) -> 20
+    assert(r("a") === ((20L, 4L)))
+    // b: W=2; cum 10->1, 2*1>=2 -> lower median 10
+    assert(r("b") === ((10L, 2L)))
+  }
+
+  test("weighted median is invariant to input partitioning") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001").select(
+      col("l_returnflag").as("flag"), col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("bigint").as("cents"),
+      round(col("l_quantity")).cast("bigint").as("w"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Robust.weightedMedian(d, "flag", "cents", "w",
+        Seq("l_orderkey", "l_linenumber"))
+        .collect().map(_.toSeq).toSet
+    assert(run(df) === run(df.repartition(7)))
+  }
+
+  test("winsorized stats clamp the 5% tails algebraically") {
+    // 20 rows, cents 100..2000: k=1, lo=rank2=200, hi=rank19=1900
+    val df = (1 to 20).map(i => ("g", i.toLong, i * 100L))
+      .toDF("grp", "id", "x")
+    val r = Robust.winsorizedStats(df, "grp", "x", "id").collect().head
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("k") === 1L)
+    assert(r.getAs[Long]("lo_cents") === 200L)
+    assert(r.getAs[Long]("hi_cents") === 1900L)
+    // wins sum = 1*(200+1900) + sum(200..1900 step 100) = 2100 + 18900
+    assert(r.getAs[Double]("wins_mean") === 21000.0 / (100 * 20))
+    assert(r.getAs[Double]("trim_mean") === 18900.0 / (100 * 18))
+  }
+
+  test("winsorized trim mean is null when the tails cover the group") {
+    // n=1 with tailDenom=2 -> k=0 -> trim over all rows still defined;
+    // force empty middle with n=2, tailDenom=2 -> k=1, middle empty
+    val df = Seq(("g", 1L, 100L), ("g", 2L, 300L)).toDF("grp", "id", "x")
+    val r = Robust.winsorizedStats(df, "grp", "x", "id", tailDenom = 2)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("trim_mean")))
+  }
+
+  test("skyline keeps exactly the non-dominated rows, ties included") {
+    val df = Seq(
+      (1L, 5L, 5L), // dominated by 3
+      (2L, 9L, 1L), // skyline
+      (3L, 6L, 6L), // skyline
+      (4L, 6L, 6L), // exact tie of 3 -> both survive
+      (5L, 1L, 9L), // skyline
+      (6L, 1L, 1L)  // dominated by everyone
+    ).toDF("id", "d1", "d2")
+    val kept = Skyline.pareto(df, Seq("d1", "d2"))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L, 5L))
+  }
+
+  test("skyline is invariant to input partitioning") {
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")).as("spend"), count(lit(1)).as("n_orders"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Skyline.pareto(d, Seq("spend", "n_orders"))
+        .select("o_custkey").as[Long].collect().toSet
+    val base = run(df)
+    assert(base.nonEmpty)
+    assert(base === run(df.repartition(13)))
+  }
+}
