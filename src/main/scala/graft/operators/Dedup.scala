@@ -774,4 +774,82 @@ object Dedup {
         round(coalesce(col("_dup_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("dup_ratio"))
   }
+
+  /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023):
+    * k-means buckets the corpus, then near-identical embeddings are
+    * resolved WITHIN each cluster only — the pairwise work drops from
+    * O(n²) to O(Σ|cluster|²), and the cluster count is the scale dial
+    * (k ≈ √n keeps per-cluster work flat as the corpus grows).
+    *
+    * Deterministic keep rule: a vector is dropped iff some LOWER-id
+    * vector in the same cluster has cosine > `tau` with it — the same
+    * greedy "first seen wins" order both engines can replay exactly.
+    * Cosine runs on quantized integer vectors ([[quantize]]), so the
+    * threshold never flickers at the last ulp.
+    *
+    * Plan shape: one broadcast-centroid assignment pass
+    * ([[Clustering.assign]]), the assigned table persisted (it feeds
+    * both sides of the pair join and the final re-attach), a
+    * cluster-keyed shuffle hash self-join for the pairs, and a
+    * map-side-partial max per higher id.
+    *
+    * Output: (cluster, id, max_cos_lo — highest cosine to any lower-id
+    * cluster-mate (null if none), kept — 0/1).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+      k: Int, tau: Double, salt: String = "kmeans"): DataFrame = {
+    val cents = Clustering.seedCentroids(df, idCol, embCol, k, salt)
+    val m = Clustering.assign(df, idCol, embCol, cents)
+      .withColumn("_n2", squaredNorm(col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = m.select(col(idCol).as("_lo_id"), col("cluster").as("_lo_c"),
+      col("q").as("_lo_q"), col("_n2").as("_lo_n2"))
+    val hi = m.select(col(idCol).as("_hi_id"), col("cluster").as("_hi_c"),
+      col("q").as("_hi_q"), col("_n2").as("_hi_n2"))
+    val maxLo = lo.join(hi,
+      col("_lo_c") === col("_hi_c") && col("_lo_id") < col("_hi_id"))
+      .groupBy(col("_hi_id"))
+      .agg(max(quantizedCosine(col("_lo_q"), col("_hi_q"),
+        col("_lo_n2"), col("_hi_n2"))).as("max_cos_lo"))
+    m.join(maxLo, col(idCol) === col("_hi_id"), "left")
+      .select(col("cluster").cast("long").as("cluster"), col(idCol),
+        col("max_cos_lo"),
+        when(col("max_cos_lo") > tau, 0L).otherwise(1L).as("kept"))
+  }
+
+  /** Asymmetric shingle-containment near-dup pairs: (a, b) with
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `tau` — the measure
+    * that catches a document CONTAINED in a larger one (quotes,
+    * partial mirrors, truncated re-crawls), which symmetric Jaccard
+    * misses because the size imbalance dilutes the union.
+    *
+    * Relational shape: one inverted-index self-join on the distinct
+    * shingle (the exploded shingle table is persisted — it feeds both
+    * join sides and the per-doc size aggregate), map-side-partial
+    * count per ordered pair, then the size re-attach. The shared-
+    * shingle join is exact, so containment values are exact integer
+    * ratios. At extreme corpus scale the candidate join would add a
+    * shingle-frequency prefix filter (see [[prefixFilterJoin]]); the
+    * exact join keeps this operator lossless.
+    *
+    * Output: (doc_a — contained, doc_b — container, n_shared, size_a,
+    * containment), both orientations when mutual.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, tau: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("_doc"),
+        explode(shingles(col(textCol), shingleK)).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("_doc")).agg(count(lit(1)).as("size_a"))
+    val inter = sh.select(col("_doc").as("doc_a"), col("_sh"))
+      .join(sh.select(col("_doc").as("doc_b"), col("_sh")), "_sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter.join(sizes, col("doc_a") === col("_doc"))
+      .filter(col("n_shared").cast("double") / col("size_a") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"),
+        (col("n_shared").cast("double") / col("size_a")).as("containment"))
+  }
 }

@@ -80,7 +80,7 @@ object ClusterQueries {
   /** Quantize → seed draw → exact integer distances → argmin; ends with
     * CTEs `q` (quantized vectors) and `a(vec_id, cluster, dist2)`.
     */
-  private val assignCte: String =
+  private[queries] val assignCte: String =
     s"""WITH q AS (SELECT vec_id,
        |        list_transform(embedding,
        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

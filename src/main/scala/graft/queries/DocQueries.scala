@@ -172,7 +172,33 @@ object DocQueries {
       "graft_stream_cdc_dedup",
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** SemDeDup over the embedding corpus: k-means buckets (the same
+    * seeded assignment as `kmeans_assign`), then lower-id-wins cosine
+    * dedup within each cluster at τ=0.4.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", k = 8, tau = 0.4)
+
+  /** Containment near-dups over a corpus that provably has them: each
+    * document plus its half-length truncation (id + 100000) — the
+    * truncation's shingles are a subset of the original's, so the
+    * operator must flag every (trunc, orig) pair at containment 1.0ish
+    * alongside the corpus's natural partial mirrors.
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val truncated = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')").as("text"))
+    Dedup.containmentPairs(docs.unionByName(truncated),
+      "doc_id", "text", shingleK = 3, tau = 0.9)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> dedupSemantic,
+    "dedup_containment" -> dedupContainment,
     "cdc_chunks" -> cdcChunks,
     "cdc_dedup_stats" -> cdcDedupStats,
     "streaming_cdc_dedup" -> streamingCdcDedup,
@@ -515,6 +541,38 @@ object DocQueries {
         |FROM n a, n b
         |WHERE a.vec_id < b.vec_id
         |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
-        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin
+        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin,
+    "dedup_semantic" ->
+      s"""${ClusterQueries.assignCte},
+         |m AS (SELECT a.vec_id, a.cluster, n.qv, n.n2
+         |      FROM a JOIN n USING (vec_id)),
+         |pair AS (
+         |  SELECT b.vec_id,
+         |    max(CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE)) AS max_cos_lo
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  GROUP BY 1)
+         |SELECT CAST(m.cluster AS BIGINT) AS cluster, m.vec_id, p.max_cos_lo,
+         |  CAST(CASE WHEN p.max_cos_lo > 0.4 THEN 0 ELSE 1 END AS BIGINT) AS kept
+         |FROM m LEFT JOIN pair p ON m.vec_id = p.vec_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(words[1 : CAST(ceil(len(words) / 2.0) AS INT)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(words) - 2),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM d)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shc GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM shc a JOIN shc b USING (sh) WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, sz.sz AS size_a,
+        |  CAST(n_shared AS DOUBLE) / sz.sz AS containment
+        |FROM inter JOIN sz ON sz.doc_id = doc_a
+        |WHERE CAST(n_shared AS DOUBLE) / sz.sz >= 0.9""".stripMargin
   )
 }

@@ -277,4 +277,51 @@ class DedupSpec extends SparkSpec {
     assert(cc(50L) === 50L && cc(60L) === 50L)
     assert(Dedup.starComponents(Seq.empty[(Long, Long)].toDF("a", "b"), 5).count() === 0)
   }
+
+  test("semanticDedup drops the higher id of an identical pair, keeps the rest") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),  // exact dup of 1 -> same cluster, dropped
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(df, "vec_id", "embedding", k = 2, tau = 0.9)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("kept")).toMap
+    assert(r === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("semanticDedup is invariant to input partitioning") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(d, "vec_id", "embedding", k = 4, tau = 0.4)
+        .collect().map(x =>
+          (x.getAs[Long]("vec_id"), x.getAs[Long]("kept"))).toSet
+    assert(run(df) === run(df.repartition(9)))
+  }
+
+  test("containmentPairs flags the contained side only") {
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq(
+      (1L, words.mkString(" ")),            // 8 shingles
+      (2L, words.take(5).mkString(" ")),    // 3 shingles, all in doc 1
+      (3L, "x1 x2 x3 x4 x5 x6")             // unrelated
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(df, "doc_id", "text", shingleK = 3, tau = 0.9)
+      .collect()
+    assert(r.length === 1)
+    val p = r.head
+    assert(p.getAs[Long]("doc_a") === 2L && p.getAs[Long]("doc_b") === 1L)
+    assert(p.getAs[Long]("n_shared") === 3L && p.getAs[Long]("size_a") === 3L)
+    assert(p.getAs[Double]("containment") === 1.0)
+  }
+
+  test("containmentPairs emits both orientations for exact duplicates") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(df, "doc_id", "text", shingleK = 3, tau = 0.9)
+      .collect().map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet
+    assert(r === Set((1L, 2L), (2L, 1L)))
+  }
 }
