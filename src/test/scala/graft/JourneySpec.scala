@@ -84,4 +84,63 @@ class JourneySpec extends SparkSpec {
     // total transitions = 11 events - 3 users = 8
     assert(m.agg(sum("n")).as[Long].head === 8L)
   }
+
+  test("abTest reproduces the hand-computed Welch statistic") {
+    // user i makes i purchases; variants derive from the same md5 coin
+    val n = 20
+    val evs = (1 to n).flatMap { u =>
+      (1 to u).map(j => ((u * 100 + j).toLong, ts(j), u.toLong, "purchase", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Journey.abTest(evs, "user_id", "event_type", "purchase")
+      .collect().head
+
+    def hexA(u: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) < 8
+    }
+    val (a, b) = (1 to n).partition(hexA)
+    def moments(xs: Seq[Int]) = {
+      val nn = xs.size.toLong
+      val s = xs.map(_.toLong).sum
+      val q = xs.map(x => x.toLong * x).sum
+      (nn, s, q)
+    }
+    val (na, sa, qa) = moments(a)
+    val (nb, sb, qb) = moments(b)
+    assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+    assert(r.getAs[Double]("mean_a") === sa.toDouble / na)
+    val va = (na * qa - sa * sa).toDouble / (na.toDouble * na * (na - 1))
+    val vb = (nb * qb - sb * sb).toDouble / (nb.toDouble * nb * (nb - 1))
+    assert(r.getAs[Double]("t_welch") ===
+      (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(va + vb))
+  }
+
+  test("dauWau counts 7-day rolling actives over observed days only") {
+    val day = 86400L
+    val evs = Seq(
+      (1L, ts(0), 1L, "view", 0.0),           // u1 day0
+      (2L, ts(2 * day), 1L, "view", 0.0),     // u1 day2
+      (3L, ts(day), 2L, "view", 0.0)          // u2 day1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Journey.dauWau(evs, "user_id", "ts")
+      .collect().map(x => x.getAs[java.sql.Date]("day").toString ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("wau"),
+          x.getAs[Double]("stickiness"))).toMap
+    assert(r("1970-01-01") === ((1L, 1L, 1.0)))
+    assert(r("1970-01-02") === ((1L, 2L, 0.5)))
+    assert(r("1970-01-03") === ((1L, 2L, 0.5)))
+  }
+
+  test("topPaths ranks deterministic prefixes, short histories included") {
+    val evs = Seq(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "click", 0.0),
+      (3L, ts(1), 2L, "view", 0.0), (4L, ts(2), 2L, "click", 0.0),
+      (5L, ts(1), 3L, "signup", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Journey.topPaths(evs, "user_id", "ts", "event_id", "event_type",
+      pathLen = 5, topK = 2)
+      .collect().map(x => (x.getAs[String]("path"), x.getAs[Long]("n_users")))
+    assert(r.toSeq === Seq(("view>click", 2L), ("signup", 1L)))
+  }
 }
