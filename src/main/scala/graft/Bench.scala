@@ -49,10 +49,27 @@ object Bench {
     // repeats must not report a ~0.1 s "speedup").
     val samples = (1 to repeats).flatMap { _ =>
       queries.flatMap { case (name, fn) =>
+        // Cache hygiene: operators that persist() intermediates
+        // (skyline candidates, shingle tables, k-means assignments,
+        // pagerank edges, BFS frontiers, localCheckpoints) leave their
+        // blocks behind after the noop sink completes. Across
+        // |queries|×repeats runs in ONE JVM those blocks accumulate,
+        // squeeze execution memory, and uniformly slow later queries
+        // (observed: +80% on untouched queries at 166-query scale).
+        // Each query therefore releases exactly the RDDs it pinned —
+        // the delta against the pre-run snapshot — which keeps
+        // deliberately warmed shared state (the ElbSynth line cache)
+        // alive. Unpersist runs OUTSIDE the timed window: releasing
+        // blocks is bookkeeping, not query cost.
+        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+          }
+          Some(name -> t)
         } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

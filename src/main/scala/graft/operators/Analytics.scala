@@ -381,4 +381,38 @@ object Analytics {
       .where(col("n") >= minN && dev * dev > lit(k.toLong * k) * varN2)
       .select(col(tieCol), col(keyCol), col(tsCol), col(valCol), col("n"))
   }
+
+  /** CUSUM change-point screening per key: the classic cumulative-sum
+    * excursion against the key's own mean, kept EXACT by clearing the
+    * mean's denominator — at step k the deviation is
+    * `n·P_k − k·S` (P_k = prefix sum, S = total, n = count, all
+    * integer cents), which is n× the usual `P_k − k·(S/n)` and never
+    * touches floating point until the single normalizing division on
+    * the per-key row. A level shift mid-series makes the deviation
+    * ramp; stationary series oscillate near zero. Keys whose
+    * normalized peak-to-trough excursion exceeds `threshold` (currency
+    * units) are flagged.
+    *
+    * One key exchange: prefix/rank/total windows stack on the same
+    * partition, and the per-key collapse reuses it.
+    */
+  def cusumExcursions(rows: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, centsCol: String, threshold: Double): DataFrame = {
+    val ordw = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val runw = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(keyCol)
+    rows
+      .withColumn("_p", sum(col(centsCol)).over(runw))
+      .withColumn("_k", row_number().over(ordw).cast("long"))
+      .withColumn("_s", sum(col(centsCol)).over(all))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_dev", col("_n") * col("_p") - col("_k") * col("_s"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n"),
+        max(col("_dev")).as("max_dev"), min(col("_dev")).as("min_dev"))
+      .withColumn("excursion",
+        (col("max_dev") - col("min_dev")).cast("double")
+          / (lit(100L) * col("n")))
+      .filter(col("excursion") > threshold)
+  }
 }

@@ -65,4 +65,32 @@ object Quantize {
                |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
           .as("abs_err_q")): _*)
   }
+
+  /** Per-dimension z-score standardization — the feature-scaling pass
+    * that precedes distance-based training. Each dimension's moments
+    * accumulate as exact fixed-point integers (n, Σx, Σx²), and the
+    * z-score is the denominator-cleared identity
+    * `(n·x − Σx) / sqrt(n·Σx² − (Σx)²)` — two exact BIGINTs into one
+    * correctly-rounded division, so values are bit-identical across
+    * engines and layouts (the naive `(x−μ)/σ` rounds at four
+    * data-dependent places).
+    *
+    * Shape: posexplode → one (dim)-keyed map-side-combining aggregate
+    * (output width = dims, not rows), then the moment table joins back
+    * by dim — a broadcast at any realistic dimensionality.
+    * Output: (id, dim — 1-based, z), population-σ convention.
+    */
+  def zscore(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol),
+      posexplode(Dedup.quantize(col(vecCol))).as(Seq("_d0", "_x")))
+      .select(col(idCol), (col("_d0") + 1).cast("long").as("dim"), col("_x"))
+    val m = e.groupBy(col("dim")).agg(
+      count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+      sum(col("_x") * col("_x")).as("_q"))
+    e.join(broadcast(m), "dim")
+      .select(col(idCol), col("dim"),
+        ((col("_n") * col("_x") - col("_s")).cast("double")
+          / sqrt((col("_n") * col("_q") - col("_s") * col("_s")).cast("double")))
+          .as("z"))
+  }
 }

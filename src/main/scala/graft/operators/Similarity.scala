@@ -314,4 +314,36 @@ object Similarity {
     rankRows(grouped, Seq("query_id"))
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.):
+    * fused score = Σ 1/(c + rank) over the lists that returned the
+    * (query, neighbor) pair, then a fresh top-`k` per query by
+    * (score desc, neighbor_id). The two contributions combine in ONE
+    * fixed two-term float addition (IEEE addition is commutative, so
+    * a full-outer join + coalesce is bit-deterministic where an N-way
+    * union-and-sum would be reduction-order-dependent) — the same
+    * score an oracle computes from the same ranks.
+    *
+    * Inputs are (query_id, neighbor_id, rank) frames — any mix of
+    * retrieval methods. One (query, neighbor) shuffle join over the
+    * already-tiny rankings, then a per-query window on ≤ 2k rows.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    val lhs = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("_ra"))
+    val rhs = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("_rb"))
+    val fused = lhs.join(rhs, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0d) / (lit(c.toLong) + col("_ra")), lit(0.0d))
+          + coalesce(lit(1.0d) / (lit(c.toLong) + col("_rb")), lit(0.0d)))
+    fused
+      .withColumn("fused_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rrf"),
+        col("fused_rank"))
+  }
 }
