@@ -242,6 +242,20 @@ object AnalyticsQueries {
       Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value",
       lookback = 20, minN = 8, k = 2)
 
+  /** CUSUM change-point screen over per-user event values: users whose
+    * normalized cumulative-sum excursion exceeds $550 (threshold picked
+    * at the ~p90 of the sf0.01 distribution, so the flag is selective
+    * but non-empty at every sf). Deviations stay exact integer cents
+    * until the single per-user normalizing division — see
+    * [[Analytics.cusumExcursions]].
+    */
+  def cusumExcursions(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.cusumExcursions(
+      Tables.events(spark, sfDir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents")),
+      "user_id", "ts", "event_id", "cents", threshold = 550.0)
+
   /** Exact-moment covariance/correlation of quantity vs price per
     * return flag (see Analytics.corrExact for why builtin corr can't
     * be hash-verified).
@@ -330,6 +344,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_median" -> rollingMedian,
     "anomaly_zscore" -> anomalyZscore,
+    "cusum_changepoint" -> cusumExcursions,
     "snapshot_diff" -> snapshotDiff,
     "cdc_apply" -> cdcApply,
     "stats_corr" -> statsCorr,
@@ -349,6 +364,29 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "cusum_changepoint" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS p,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+        |    sum(cents) OVER (PARTITION BY user_id) AS s,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM c
+        |), g AS (
+        |  SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(n*p - k*s) AS BIGINT) AS max_dev,
+        |    CAST(min(n*p - k*s) AS BIGINT) AS min_dev
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT user_id, n, max_dev, min_dev,
+        |  CAST(max_dev - min_dev AS DOUBLE) / (100 * n) AS excursion
+        |FROM g
+        |WHERE CAST(max_dev - min_dev AS DOUBLE) / (100 * n) > 550.0""".stripMargin,
     "anomaly_zscore" ->
       """WITH cents AS (
         |  SELECT event_id, user_id, ts, value,

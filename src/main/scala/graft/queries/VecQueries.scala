@@ -82,6 +82,15 @@ object VecQueries {
       .unionByName(recall(topkIvfMp8(spark, sfDir), "ivf_mp8"))
   }
 
+  /** Reciprocal-rank fusion of the two multi-probe ANN rankings
+    * (LSH-MP and IVF-MP) — the standard hybrid-retrieval finisher.
+    * Both input rankings are the already-verified registered queries;
+    * the fusion itself is one tiny full-outer join + per-query window
+    * (see [[Similarity.rrfFuse]] for the bit-determinism argument).
+    */
+  def topkRrf(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.rrfFuse(topkLshMp(spark, sfDir), topkIvfMp(spark, sfDir), k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
@@ -89,8 +98,11 @@ object VecQueries {
     "similarity_ivf" -> topkIvf,
     "similarity_ivf_mp" -> topkIvfMp,
     "similarity_recall" -> similarityRecall,
+    "similarity_rrf" -> topkRrf,
     "embedding_quantize" -> ((s: SparkSession, dir: String) =>
-      Quantize.int8(Tables.embeddings(s, dir), "embedding", Seq("vec_id")))
+      Quantize.int8(Tables.embeddings(s, dir), "embedding", Seq("vec_id"))),
+    "embedding_zscore" -> ((s: SparkSession, dir: String) =>
+      Quantize.zscore(Tables.embeddings(s, dir), "vec_id", "embedding"))
   )
 
   // -- oracle SQL ------------------------------------------------------
