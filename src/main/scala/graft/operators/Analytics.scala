@@ -406,10 +406,20 @@ object Analytics {
       .withColumn("_k", row_number().over(ordw).cast("long"))
       .withColumn("_s", sum(col(centsCol)).over(all))
       .withColumn("_n", count(lit(1)).over(all))
-      .withColumn("_dev", col("_n") * col("_p") - col("_k") * col("_s"))
+      // n·P − k·S multiplies two prefix-sum-scale longs, so it wraps
+      // int64 once n²·|cents| clears 2⁶³ (~3×10⁷ rows/key at $100
+      // values) — and a wrapped dev silently corrupts the max/min
+      // extremes. Widen to decimal(38,0) BEFORE multiplying (the same
+      // convention as corrExact), matching the oracle's HUGEINT
+      // promotion; only the final extremes narrow back to BIGINT, where
+      // overflow is loud (null here, error in DuckDB), never silent.
+      .withColumn("_dev",
+        col("_n").cast("decimal(38,0)") * col("_p")
+          - col("_k").cast("decimal(38,0)") * col("_s"))
       .groupBy(col(keyCol))
       .agg(max(col("_n")).as("n"),
-        max(col("_dev")).as("max_dev"), min(col("_dev")).as("min_dev"))
+        max(col("_dev")).cast("long").as("max_dev"),
+        min(col("_dev")).cast("long").as("min_dev"))
       .withColumn("excursion",
         (col("max_dev") - col("min_dev")).cast("double")
           / (lit(100L) * col("n")))

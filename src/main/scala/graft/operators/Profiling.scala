@@ -4,17 +4,34 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.KMinValues.k_min_values
+
 /** One-pass table profiling — the data-quality sweep a pipeline runs
-  * before trusting a new drop: per column, row/null/exact-distinct
-  * counts and min/max rendered to strings.
+  * before trusting a new drop: per column, row/null/distinct counts
+  * and min/max rendered to strings.
   *
-  * Plan shape: ONE wide aggregate over the scan. Multiple exact
-  * `count(DISTINCT c)` in one aggregate plan through Spark's Expand
-  * (each input row fans out once per profiled column), so the pass
-  * costs ~n_cols × scan — still one job, no joins, and the shuffle
-  * carries a single row. At 100 TB swap `countDistinct` for the KMV
-  * sketch ([[Sketches.kmvDistinct]]) column-by-column if the Expand
-  * multiplication matters; the output contract is unchanged.
+  * Plan shape: ONE wide aggregate over the scan, NO Expand. Multiple
+  * exact `count(DISTINCT c)` in one aggregate would plan through
+  * Spark's Expand — every input row fans out once per profiled column
+  * and the exchange then carries every distinct value of every column,
+  * the one shape in this engine that audibly breaks at 100 TB (a
+  * unique key column alone would push its whole cardinality through
+  * the shuffle). Instead each column's distinct count comes from the
+  * engine's own KMV bottom-k sketch ([[graft.functions.KMinValues]]):
+  * map-side partial sketches, ≤ k longs per (task, column) on the
+  * wire, duplicates collapsed in the buffer.
+  *
+  * Exactness contract: a sketch that never fills (distinct ≤ k,
+  * k = 32768 here) reports the EXACT distinct-hash count. Unlike the
+  * oracle-verified sketch queries (which hash via md5 so DuckDB can
+  * recompute the sketch itself), the profile only needs the COUNT to
+  * match the oracle's exact `count(DISTINCT c)` — any deterministic
+  * collision-free hash does, so it uses codegen'd `xxhash64` on the
+  * native value (no string casts, ~none of md5's cost; collision
+  * p ≈ k²/2⁶⁴ < 10⁻¹⁰ at fill). Past the fill the column reports the
+  * (k−1)·2⁶³/kth bottom-k estimate over the sign-cleared hash (≈0.6 %
+  * rel. error), rounded to a BIGINT — the documented exact→approx
+  * switch.
   *
   * min/max cross the oracle boundary as strings: fractional numerics
   * render via DECIMAL(28,6) (both engines pad to scale — double
@@ -22,6 +39,8 @@ import org.apache.spark.sql.types._
   * string casts.
   */
 object Profiling {
+
+  val kmvK: Int = 1 << 15
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -34,13 +53,28 @@ object Profiling {
     val aggs = cols.flatMap { name =>
       val c = col(name)
       val dt = schema(name).dataType
+      // xxhash64(null-literal-free) returns the SEED for null inputs, so
+      // gate nulls explicitly — count(DISTINCT c) skips them, the sketch
+      // must too. shiftrightunsigned clears the sign so the bottom-k
+      // estimator's uniform-[0, 2⁶³) assumption holds.
+      val h = when(c.isNull, lit(null).cast("long"))
+        .otherwise(shiftrightunsigned(xxhash64(c), 1))
       Seq(
         count(c).as(s"_nn_$name"),
-        countDistinct(c).as(s"_nd_$name"),
+        k_min_values(h, kmvK).as(s"_kmv_$name"),
         render(c, dt, x => min(x)).as(s"_min_$name"),
         render(c, dt, x => max(x)).as(s"_max_$name"))
     } :+ count(lit(1)).as("_rows")
+    // (k−1)·2⁶³ is a small int times a power of two — exact as a double
+    val numer = (kmvK - 1).toDouble * math.pow(2, 63)
     val one = df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_rows") +: cols.flatMap { name =>
+        Seq(col(s"_nn_$name"), col(s"_min_$name"), col(s"_max_$name"),
+          when(col(s"_kmv_$name.n_kept") < kmvK, col(s"_kmv_$name.n_kept"))
+            .otherwise(round(lit(numer) / col(s"_kmv_$name.kth_hash").cast("double"), 0)
+              .cast("long"))
+            .as(s"_nd_$name"))
+      }: _*)
     val stackExpr = cols.map { c =>
       s"'$c', `_nn_$c`, `_nd_$c`, `_min_$c`, `_max_$c`"
     }.mkString(s"stack(${cols.size}, ", ", ", ")")

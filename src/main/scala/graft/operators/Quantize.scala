@@ -87,10 +87,20 @@ object Quantize {
     val m = e.groupBy(col("dim")).agg(
       count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
       sum(col("_x") * col("_x")).as("_q"))
+    // n·Σx² and (Σx)² wrap int64 beyond ~3×10⁵ vectors at the ×10⁴
+    // quantization scale — widen the moments to decimal(38,0) before
+    // multiplying (the corrExact convention; DuckDB's HUGEINT promotion
+    // does the same on the oracle side). A constant dimension has
+    // variance 0 → emit NULL rather than the NaN/Infinity a raw
+    // division would produce.
+    val varQ = (col("_n").cast("decimal(38,0)") * col("_q")
+      - col("_s").cast("decimal(38,0)") * col("_s"))
     e.join(broadcast(m), "dim")
       .select(col(idCol), col("dim"),
-        ((col("_n") * col("_x") - col("_s")).cast("double")
-          / sqrt((col("_n") * col("_q") - col("_s") * col("_s")).cast("double")))
+        when(varQ <= 0, lit(null).cast("double"))
+          .otherwise(
+            (col("_n").cast("decimal(38,0)") * col("_x") - col("_s")).cast("double")
+              / sqrt(varQ.cast("double")))
           .as("z"))
   }
 }

@@ -137,7 +137,74 @@ object VecQueries {
       |        m -> xor(CAST(bucket AS BIGINT), CAST(m AS BIGINT))))) AS pbucket
       |  FROM bk WHERE vec_id < 10)""".stripMargin
 
+  /** The ivf_mp CTE chain (cents → asg → qasg), shared by the ivf_mp,
+    * recall, and rrf oracles.
+    */
+  private val ivfMpCtes: String =
+    """cents AS (SELECT vec_id AS cent_id, qv AS qcent, n2 AS n2cent FROM n
+      |          ORDER BY md5('centroid:' || CAST(vec_id AS VARCHAR)), vec_id
+      |          LIMIT 16),
+      |asg AS (SELECT vec_id, qv, n2, cell FROM (
+      |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY v.n2 + c.n2cent
+      |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+      |        c.cent_id) AS rn
+      |  FROM n v CROSS JOIN cents c) WHERE rn = 1),
+      |qasg AS (SELECT vec_id, qv, n2, cell FROM (
+      |  SELECT v.vec_id, v.qv, v.n2, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY v.n2 + c.n2cent
+      |        - 2 * CAST(list_dot_product(v.qv, c.qcent) AS BIGINT),
+      |        c.cent_id) AS rn
+      |  FROM n v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 4)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "similarity_rrf" ->
+      s"""WITH $qCte,
+         |bk AS (SELECT vec_id, qv, n2,
+         |         CAST(${bucketExpr("qv")} AS BIGINT) AS bucket FROM n),
+         |$mpCte,
+         |lshmp AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM mp a JOIN bk b ON b.bucket = a.pbucket AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |$ivfMpCtes,
+         |ivfmp AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM qasg a JOIN asg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |f AS (SELECT query_id, neighbor_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM lshmp a FULL OUTER JOIN ivfmp b USING (query_id, neighbor_id))
+         |SELECT query_id, neighbor_id, rrf, fused_rank FROM (
+         |  SELECT query_id, neighbor_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS fused_rank
+         |  FROM f)
+         |WHERE fused_rank <= 5""".stripMargin,
+    "embedding_zscore" ->
+      s"""WITH $qCte,
+         |e AS (SELECT vec_id,
+         |        CAST(unnest(generate_series(1, len(qv))) AS BIGINT) AS dim,
+         |        unnest(qv) AS x
+         |      FROM q),
+         |m AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(sum(x) AS HUGEINT) AS s,
+         |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+         |      FROM e GROUP BY dim)
+         |SELECT e.vec_id, e.dim,
+         |  CASE WHEN (n * q2 - s * s) <= 0 THEN NULL
+         |       ELSE CAST(n * e.x - s AS DOUBLE) / sqrt(CAST(n * q2 - s * s AS DOUBLE))
+         |  END AS z
+         |FROM e JOIN m USING (dim)""".stripMargin,
     "embedding_quantize" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,

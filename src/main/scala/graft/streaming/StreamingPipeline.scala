@@ -16,24 +16,27 @@ import org.apache.spark.sql.types._
   */
 object StreamingPipeline {
 
-  /** Raw nanosecond schema of the events parquet (ts read as long via
-    * the nanosAsLong conf, then truncated to µs like Tables.events).
-    */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-source stream over the events table: the source path must be
     * a DIRECTORY for a file stream, so point at the sf dir and glob the
     * table's file(s).
+    *
+    * A file stream needs an explicit schema, but hard-coding one is how
+    * round 7 got four silently-wrong answers: the fixtures switched from
+    * INT64-nanos to timestamp[us], the pinned `ts: LongType` schema read
+    * the µs values "successfully", and the ns→µs DIV collapsed every
+    * timestamp 1000× toward 1970. So take the schema from a batch footer
+    * read of the SAME file (one cheap driver-side metadata read) and
+    * normalize `ts` with the shared [[graft.Tables.normalizeTs]] branch —
+    * drift now either adapts or fails analysis loudly, never lies.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema)
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizeTs(fileSchema("ts").dataType))
   }
 
   /** 30-min-gap sessions via the native session_window: one state store

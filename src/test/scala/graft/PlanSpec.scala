@@ -191,6 +191,7 @@ class PlanSpec extends SparkSpec {
       "similarity_ivf" -> "broadcast centroid table for cell routing",
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",
       "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",
+      "similarity_rrf" -> "inherited from its ivf_mp input (broadcast centroid routing)",
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank")
     val hits = scala.collection.mutable.Map.empty[String, List[String]]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

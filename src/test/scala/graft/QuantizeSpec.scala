@@ -30,6 +30,20 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("zscore: hand-computed per-dim z, zero-variance dim yields NULL") {
+    // dim 1: x = {10000, 30000} -> n=2 s=40000 q=1e9, var = 2e9-1.6e9 = 4e8,
+    //   sqrt = 20000 -> z = (2x-40000)/20000 = -1 / +1
+    // dim 2: constant 20000 -> variance 0 -> NULL (not NaN/Infinity)
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Quantize.zscore(df, "vec_id", "embedding")
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (id, dim, z) => (id, dim) -> z }.toMap
+    assert(r((1L, 1L)).contains(-1.0) && r((2L, 1L)).contains(1.0))
+    assert(r((1L, 2L)).isEmpty && r((2L, 2L)).isEmpty,
+      s"constant dim must be NULL, got ${r((1L, 2L))} / ${r((2L, 2L))}")
+  }
+
   test("int8: codes stay in [0, 255] and extremes map to the range ends") {
     // spot-check through the signature columns: a 2-element vector
     // [mn, mx] has codes [0, 255] exactly -> sum 255, wsum 2*255

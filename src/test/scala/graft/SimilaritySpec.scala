@@ -44,4 +44,24 @@ class SimilaritySpec extends SparkSpec {
       .join(mp, Seq("query_id", "neighbor_id"), "left_anti")
     assert(missing.count() === 0)
   }
+
+  test("rrf: hand-computed fusion of two rankings, ties broken by neighbor_id") {
+    import spark.implicits._
+    // a: n1@1, n2@2 · b: n2@1, n3@2 (c = 60)
+    //   n2 = 1/62 + 1/61, n1 = 1/61, n3 = 1/62 → order n2, n1, n3
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k = 5)
+      .select("neighbor_id", "rrf", "fused_rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(out.map(r => (r._1, r._3)).toSeq === Seq((20L, 1L), (10L, 2L), (30L, 3L)))
+    assert(out(0)._2 === 1.0 / 62 + 1.0 / 61)
+    assert(out(1)._2 === 1.0 / 61 && out(2)._2 === 1.0 / 62)
+    // an exact rrf tie (same ranks swapped) resolves by neighbor_id asc
+    val t1 = Seq((1L, 7L, 1), (1L, 5L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val t2 = Seq((1L, 5L, 1), (1L, 7L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val tied = Similarity.rrfFuse(t1, t2, k = 5)
+      .select("neighbor_id", "fused_rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(tied.toSeq === Seq((5L, 1L), (7L, 2L)))
+  }
 }
