@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Analytics
+import graft.operators.{Analytics, Evaluation}
 
 /** Product-analytics surface over `events`/`orders`: cube, pivot,
   * ordered-step funnel, cohort retention, and SCD2 history. The
@@ -341,7 +341,28 @@ object AnalyticsQueries {
     Analytics.rollingMedian(Tables.events(spark, sfDir),
       "user_id", "ts", "event_id", "value", lookback = 20)
 
+  /** Classifier-calibration readouts over the event log, with `value`
+    * as the score and purchase as the positive class — the exact
+    * metrics a corpus-quality classifier is validated with before it
+    * gates 100 TB of training data (see [[Evaluation]] for the
+    * distinct-score reformulation that avoids a global row sort).
+    */
+  def aucExact(spark: SparkSession, sfDir: String): DataFrame =
+    Evaluation.aucExact(Tables.events(spark, sfDir), "value",
+      col("event_type") === "purchase")
+
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame =
+    Evaluation.calibrationBins(Tables.events(spark, sfDir), "value",
+      col("event_type") === "purchase", bins = 10, lo = 0.0, hi = 500.0)
+
+  def ksStatistic(spark: SparkSession, sfDir: String): DataFrame =
+    Evaluation.ksStatistic(Tables.events(spark, sfDir), "value",
+      col("event_type") === "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "auc_exact" -> aucExact,
+    "calibration_bins" -> calibrationBins,
+    "ks_statistic" -> ksStatistic,
     "rolling_median" -> rollingMedian,
     "anomaly_zscore" -> anomalyZscore,
     "cusum_changepoint" -> cusumExcursions,
@@ -364,6 +385,65 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "auc_exact" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), g AS (
+        |  SELECT s, CAST(sum(y) AS HUGEINT) AS p,
+        |    CAST(sum(1 - y) AS HUGEINT) AS n
+        |  FROM c GROUP BY s
+        |), w AS (
+        |  SELECT p, n,
+        |    COALESCE(sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS HUGEINT)) AS cumneg
+        |  FROM g
+        |), a AS (
+        |  SELECT sum(p) AS n_pos, sum(n) AS n_neg,
+        |    sum(p * cumneg) AS pw, sum(p * n) AS t
+        |  FROM w
+        |)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(pw AS BIGINT) AS pairs_won, CAST(t AS BIGINT) AS ties,
+        |  CAST(2 * pw + t AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        |FROM a""".stripMargin,
+    "calibration_bins" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), b AS (
+        |  SELECT least(9, greatest(0, (s - 0) // 5000)) AS bin, s, y FROM c
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(s) AS BIGINT) AS sum_cents,
+        |  CAST(sum(s) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS mean_score,
+        |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+        |FROM b GROUP BY bin""".stripMargin,
+    "ks_statistic" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        |  FROM events
+        |), g AS (
+        |  SELECT s, CAST(sum(a) AS HUGEINT) AS na,
+        |    CAST(sum(1 - a) AS HUGEINT) AS nb
+        |  FROM c GROUP BY s
+        |), w AS (
+        |  SELECT
+        |    sum(na) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(nb) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+        |  FROM g
+        |)
+        |SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(cuma * tb - cumb * ta)) AS BIGINT) AS max_cross,
+        |  CAST(max(abs(cuma * tb - cumb * ta)) AS DOUBLE)
+        |    / CAST(max(ta) * max(tb) AS DOUBLE) AS ks_d
+        |FROM w""".stripMargin,
     "cusum_changepoint" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id,
