@@ -48,13 +48,16 @@ object Graph {
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degrees are a pure function of the edge table: join them in ONCE
+    // and persist the result, so each iteration runs a single
+    // edges×ranks join instead of re-joining degrees every round
+    val eDeg = e.join(deg, "src").persist()
     val teleport = scale / 20 * 3 // exact 0.15 * scale
 
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .groupBy("dst")
         .agg(sum(expr("rank DIV deg")).as("contrib"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -68,7 +71,7 @@ object Graph {
     // long-lived session invoking pagerank repeatedly must not pin
     // three dead DataFrames in executor storage per call
     val out = ranks.localCheckpoint()
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    e.unpersist(); nodes.unpersist(); eDeg.unpersist()
     out
   }
 

@@ -259,6 +259,99 @@ object Multimodal {
     * flatMap, partition-wise, no shuffle — the patch walk indexes the
     * decoded raster directly, no per-patch copies.
     */
+  /** 8×8 average-hash (aHash) of a decoded image — the classic
+    * perceptual fingerprint for image near-dup detection: each pixel
+    * maps to grid cell ((y·8) DIV h, (x·8) DIV w), a cell's bit is 1
+    * iff its byte mean exceeds the image's global byte mean, compared
+    * CROSS-MULTIPLIED so the decision is exact integer arithmetic
+    * (cells are unequal-sized under non-multiple-of-8 dimensions — no
+    * float means, no rounding divergence). The 64 bits ship as two
+    * 32-bit halves in BIGINTs (`hash_hi` bits 32-63, `hash_lo` 0-31)
+    * so neither engine touches the int64 sign bit and XOR/popcount
+    * stay portable.
+    */
+  case class ImageHash(media_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long)
+
+  def imageAHash(ds: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodecs.decode(r.payload).toOption.toSeq.flatMap {
+          case img: DecodedImage =>
+            val w = img.width; val h = img.height
+            val cellSum = new Array[Long](64)
+            val cellBytes = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val cell = cy * 8 + x * 8 / w
+                val base = 3 * (y * w + x)
+                cellSum(cell) += (img.pixels(base) & 0xff) +
+                  (img.pixels(base + 1) & 0xff) + (img.pixels(base + 2) & 0xff)
+                cellBytes(cell) += 3
+                x += 1
+              }
+              y += 1
+            }
+            val total = cellSum.sum
+            var hi = 0L; var lo = 0L
+            var c = 0
+            while (c < 64) {
+              // cell mean > global mean ⇔ cellSum·3wh > total·cellBytes
+              if (cellSum(c) * 3 * w * h > total * cellBytes(c)) {
+                if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+              }
+              c += 1
+            }
+            Seq(ImageHash(r.media_id, w, h, hi, lo))
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs by banded Hamming join over the aHash: the
+    * 64-bit hash splits into four 16-bit bands, candidates must share
+    * at least one band EXACTLY (an equi-join on (band_idx, band_value)
+    * — never all-pairs), and survivors verify the true Hamming
+    * distance via XOR + popcount. By pigeonhole the banding is
+    * LOSSLESS for `maxHamming` < 4: fewer than 4 differing bits cannot
+    * touch all 4 bands, so some band matches exactly — the same
+    * guarantee-by-construction story as the prefix-filter ssjoin.
+    * Band values live in a 2¹⁶-bounded domain, so a pathologically
+    * uniform corpus (every image hashing alike) concentrates buckets —
+    * at that point route the banded table through the same skew cap as
+    * the LSH dedup family; the shape here stays the honest default.
+    */
+  def ahashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole guarantees recall only for hamming < 4, got $maxHamming")
+    val bandCols = Seq(
+      (0, col("hash_lo").bitwiseAND(lit(0xFFFFL))),
+      (1, shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(0xFFFFL))),
+      (2, col("hash_hi").bitwiseAND(lit(0xFFFFL))),
+      (3, shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+    val banded = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        explode(array(bandCols.map { case (i, v) =>
+          struct(lit(i).as("bi"), v.as("bv")) }: _*)).as("_b"))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        col("_b.bi").as("bi"), col("_b.bv").as("bv"))
+    val lhs = banded.select(col("media_id").as("id_a"),
+      col("hash_hi").as("_ha"), col("hash_lo").as("_la"), col("bi"), col("bv"))
+    val rhs = banded.select(col("media_id").as("id_b"),
+      col("hash_hi").as("_hb"), col("hash_lo").as("_lb"), col("bi"), col("bv"))
+    lhs.join(rhs, Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("_la").bitwiseXOR(col("_lb"))) +
+          bit_count(col("_ha").bitwiseXOR(col("_hb")))).cast("long").as("hamming"))
+      .distinct() // a close pair shares several bands; hamming is a pure function of the pair
+      .where(col("hamming") <= maxHamming)
+  }
+
   def patchImages(ds: Dataset[MediaRecord], patch: Int = 8): Dataset[ImagePatch] = {
     implicit val enc = Encoders.product[ImagePatch]
     require(patch >= 1, s"patch must be >= 1, got $patch")

@@ -55,6 +55,21 @@ object MiscQueries {
     Multimodal.patchImages(media, patch = 8).toDF()
   }
 
+  /** Perceptual 8×8 average-hash per decoded image (exact integer
+    * threshold, two 32-bit halves — see [[Multimodal.imageAHash]]).
+    */
+  def multimodalAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    Multimodal.imageAHash(media).toDF()
+  }
+
+  /** Image near-dup pairs: banded (lossless ≤ 3-bit) Hamming join over
+    * the aHash table.
+    */
+  def dedupImageAhash(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.ahashNearDupPairs(multimodalAhash(spark, sfDir), maxHamming = 3)
+
   /** 256-sample analysis frames over each decoded WAV — exact integer
     * energy (Σv, Σv²) per frame.
     */
@@ -329,6 +344,8 @@ object MiscQueries {
     "cap_per_group" -> capPerGroup,
     "mixture_sample" -> mixtureSample,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_ahash" -> multimodalAhash,
+    "dedup_image_ahash" -> dedupImageAhash,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_patches" -> multimodalPatches,
@@ -348,6 +365,39 @@ object MiscQueries {
   private val t80 = graft.operators.Sampling.fractionThreshold(0.8)
   private val t90 = graft.operators.Sampling.fractionThreshold(0.9)
   private val t25 = graft.operators.Sampling.fractionThreshold(0.25)
+
+  /** Closed-form aHash of the synthesized PPM images (pixel byte
+    * i = (i + id) % 256 — Multimodal.synthesizePayload), shared by the
+    * hash and near-dup-pair oracles: per pixel its 8×8 grid cell, per
+    * cell the exact byte sum, bit = cross-multiplied mean comparison,
+    * 64 bits packed into two 32-bit halves.
+    */
+  private val ahashCtes: String =
+    """img AS (SELECT doc_id, CAST(16 + (doc_id % 8) * 4 AS BIGINT) AS w,
+      |    CAST(12 + (doc_id % 5) * 4 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+      |pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+      |cells AS (
+      |  SELECT doc_id, w, h,
+      |    (y * 8) // h * 8 + (x * 8) // w AS cell,
+      |    (3*(y*w + x) + 0 + doc_id) % 256 + (3*(y*w + x) + 1 + doc_id) % 256
+      |      + (3*(y*w + x) + 2 + doc_id) % 256 AS psum
+      |  FROM pxy),
+      |cs AS (SELECT doc_id, w, h, cell, CAST(sum(psum) AS BIGINT) AS cellsum,
+      |    CAST(count(*) * 3 AS BIGINT) AS nbytes
+      |  FROM cells GROUP BY doc_id, w, h, cell),
+      |tot AS (SELECT doc_id, CAST(sum(cellsum) AS BIGINT) AS total
+      |  FROM cs GROUP BY doc_id),
+      |bits AS (SELECT cs.doc_id, w, h, cell,
+      |    CASE WHEN cellsum * 3 * w * h > total * nbytes THEN 1 ELSE 0 END AS bit
+      |  FROM cs JOIN tot ON cs.doc_id = tot.doc_id),
+      |hs AS (SELECT doc_id, w, h,
+      |    CAST(sum(CASE WHEN cell >= 32
+      |      THEN bit * (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN cell < 32
+      |      THEN bit * (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY doc_id, w, h)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dq_checks" ->
@@ -576,6 +626,19 @@ object MiscQueries {
     // pixel byte i of image id is (i + id) % 256 with i = 3*(y*iw+x)+c
     // (Multimodal.synthesizePayload); the oracle materializes each
     // patch's 192 byte values from that formula and aggregates them.
+    "multimodal_ahash" ->
+      s"""WITH $ahashCtes
+         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, hash_hi, hash_lo
+         |FROM hs""".stripMargin,
+    "dedup_image_ahash" ->
+      s"""WITH $ahashCtes
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.hash_lo::BIT, b.hash_lo::BIT))
+         |      + bit_count(xor(a.hash_hi::BIT, b.hash_hi::BIT)) AS BIGINT) AS hamming
+         |  FROM hs a JOIN hs b ON b.doc_id > a.doc_id)
+         |WHERE hamming <= 3""".stripMargin,
     "multimodal_patches" ->
       """WITH p AS (SELECT doc_id, CAST(16 + (doc_id % 8) * 4 AS BIGINT) AS iw,
         |    CAST(12 + (doc_id % 5) * 4 AS BIGINT) AS ih
