@@ -59,4 +59,19 @@ class AhashSpec extends SparkSpec {
       Multimodal.ahashNearDupPairs(hs, maxHamming = 4)
     }
   }
+
+  test("ahash is invariant under non-wrapping brightness shift") {
+    // bit = cellSum·3wh > total·cellBytes; a uniform +c on every byte
+    // adds c·cellBytes·3wh to both sides (Σ cellBytes = 3wh), so the
+    // comparison — and the hash — cannot move unless a byte wraps 256.
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(20 * 16 * 3)(_ => (rnd.nextInt(100)).toByte)
+    val shifted = base.map(b => (b + 50).toByte)
+    def rec(id: Long, px: Array[Byte]) =
+      MediaRecord(id, Ppm.encode(DecodedImage(20, 16, px)),
+        MediaMeta("image", 20, 16, 0, 0))
+    val h = hashes(rec(1L, base), rec(2L, shifted)).collect()
+      .map(r => r.media_id -> ((r.hash_hi, r.hash_lo))).toMap
+    assert(h(1L) === h(2L), s"brightness shift changed the hash: $h")
+  }
 }
