@@ -102,6 +102,22 @@ object DocQueries {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Duplicate-aware sampling weights: every doc carries
+    * 1/|its near-dup cluster| — the standard alternative to hard
+    * dedup when the trainer wants to DOWN-WEIGHT dup families instead
+    * of dropping them (expected sampled mass per family becomes 1
+    * regardless of how often it was crawled). Cluster sizes come from
+    * a partial-aggregating count + one key join — no per-cluster
+    * window; the single division is the only float.
+    */
+  def dedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = dedupClusters(spark, sfDir)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (lit(1.0d) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   /** The curation decision the cluster map exists FOR: keep exactly one
     * document per near-dup cluster, chosen by quality score (tie → the
     * smaller doc id). One aggregate over (cluster, quality) — the
@@ -207,6 +223,7 @@ object DocQueries {
     "dedup_substring" -> dedupSubstring,
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
+    "dedup_weights" -> dedupWeights,
     "dedup_canonical" -> dedupCanonical,
     "dedup_incremental" -> dedupIncremental,
     "decontaminate" -> decontaminate,
@@ -449,6 +466,16 @@ object DocQueries {
       s"""WITH RECURSIVE $clusterChain
          |SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster
          |FROM documents LEFT JOIN cl ON doc_id = cl.node""".stripMargin,
+    "dedup_weights" ->
+      s"""WITH RECURSIVE $clusterChain,
+         |clustered AS (
+         |  SELECT doc_id, coalesce(cl.cluster, doc_id) AS cluster
+         |  FROM documents LEFT JOIN cl ON doc_id = cl.node),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM clustered GROUP BY cluster)
+         |SELECT doc_id, cluster, cluster_size,
+         |  CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS weight
+         |FROM clustered JOIN sz USING (cluster)""".stripMargin,
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $clusterChain,
          |clustered AS (

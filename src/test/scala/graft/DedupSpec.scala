@@ -324,4 +324,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet
     assert(r === Set((1L, 2L), (2L, 1L)))
   }
+
+  test("dedup_weights: every cluster's weights sum to exactly 1 sampled unit") {
+    // the invariant the down-weighting exists for: a dup family's
+    // expected sampled mass is 1 no matter how many copies were crawled
+    val out = graft.queries.DocQueries.dedupWeights(spark, "/root/testdata/sf0.001")
+    val perCluster = out.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.sum("weight").as("w"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { r =>
+      // n * (1.0/n) sums of identical doubles: exact for n ≤ 2^52
+      assert(math.abs(r.getAs[Double]("w") - 1.0) < 1e-12,
+        s"cluster ${r.get(0)}: weight sum ${r.getAs[Double]("w")} over ${r.getAs[Long]("n")} docs")
+    }
+    assert(out.count() === 500) // every sf0.001 doc weighted exactly once
+  }
 }
