@@ -102,6 +102,27 @@ object DocQueries {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Near-exact dedup after text normalization (the RefinedWeb/CCNet
+    * step between exact-hash and MinHash): lowercase, strip
+    * non-alphanumerics, collapse whitespace, THEN hash-group — catches
+    * the re-crawl variants (case flips, punctuation, spacing) that
+    * break byte-exact dedup while costing exactly one hash aggregate.
+    * Planted variants (upper-cased + trailing punctuation, shifted
+    * ids) guarantee every doc has a normalized dup to find.
+    */
+  def dedupNormExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(upper(col("text")), lit("  !!")).as("text"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.unionByName(variants)
+      .select(col("doc_id"), md5(norm).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+  }
+
   /** Duplicate-aware sampling weights: every doc carries
     * 1/|its near-dup cluster| — the standard alternative to hard
     * dedup when the trainer wants to DOWN-WEIGHT dup families instead
@@ -224,6 +245,7 @@ object DocQueries {
     "split_leakage_safe" -> splitLeakageSafe,
     "dedup_clusters" -> dedupClusters,
     "dedup_weights" -> dedupWeights,
+    "dedup_norm_exact" -> dedupNormExact,
     "dedup_canonical" -> dedupCanonical,
     "dedup_incremental" -> dedupIncremental,
     "decontaminate" -> decontaminate,
@@ -530,6 +552,16 @@ object DocQueries {
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM d GROUP BY 1""".stripMargin,
+    "dedup_norm_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, upper(text) || '  !!' FROM documents),
+        |n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM d)
+        |SELECT norm_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM n GROUP BY 1""".stripMargin,
     "dedup_minhash" ->
       s"""WITH shr AS ($shingleRows),
          |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),

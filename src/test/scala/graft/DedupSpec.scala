@@ -325,6 +325,19 @@ class DedupSpec extends SparkSpec {
     assert(r === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("normalized near-exact dedup collapses case/punct/space variants only") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO  WORLD !!"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val groups = df.select(col("doc_id"), md5(norm).as("h"))
+      .groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n")).toMap
+    assert(groups === Map(1L -> 3L, 4L -> 1L))
+  }
+
   test("dedup_weights: every cluster's weights sum to exactly 1 sampled unit") {
     // the invariant the down-weighting exists for: a dup family's
     // expected sampled mass is 1 no matter how many copies were crawled

@@ -108,6 +108,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("profile_columns sketches distinct counts — no Expand, two-phase object agg") {
+    val p = plan("profile_columns")
+    // multi-column exact count(DISTINCT) plans through Expand (rows ×
+    // profiled columns through the exchange, carrying every distinct
+    // value); the KMV rewrite must keep that shape out for good
+    assert(!p.contains("Expand"),
+      s"profile_columns must not fan rows out per column via Expand:\n$p")
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+      s"per-column KMV sketches should aggregate partial+final:\n$p")
+  }
+
   test("funnel and ranking windows ride one user-keyed exchange each") {
     val f = plan("funnel_steps")
     assert(countOccurrences(f, "Exchange hashpartitioning") === 1,
