@@ -73,6 +73,8 @@ object Evaluation {
       bins: Int, lo: Double, hi: Double): DataFrame = {
     val widthCents = math.round((hi - lo) / bins * 100)
     val loCents = math.round(lo * 100)
+    require(widthCents > 0,
+      s"bin width must be ≥ 1 cent: [$lo, $hi) over $bins bins gives $widthCents")
     // integer DIV (not Column./, which is double division) keeps the
     // bin id exact on both engines
     val bin = least(lit(bins - 1L),
