@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 import MediaCodecs._
@@ -326,19 +326,32 @@ object Multimodal {
     * at that point route the banded table through the same skew cap as
     * the LSH dedup family; the shape here stays the honest default.
     */
-  def ahashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"4-band pigeonhole guarantees recall only for hamming < 4, got $maxHamming")
+  /** Explode a hash table into its four 16-bit band keys —
+    * (media_id, hash_hi, hash_lo, bi, bv), 4 rows per image. The
+    * candidate-generation side of [[ahashNearDupPairs]], exposed so the
+    * streaming twin can band a live side against a static base table.
+    */
+  def ahashBands(hashes: DataFrame): DataFrame = {
     val bandCols = Seq(
       (0, col("hash_lo").bitwiseAND(lit(0xFFFFL))),
       (1, shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(0xFFFFL))),
       (2, col("hash_hi").bitwiseAND(lit(0xFFFFL))),
       (3, shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
-    val banded = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+    hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
         explode(array(bandCols.map { case (i, v) =>
           struct(lit(i).as("bi"), v.as("bv")) }: _*)).as("_b"))
       .select(col("media_id"), col("hash_hi"), col("hash_lo"),
         col("_b.bi").as("bi"), col("_b.bv").as("bv"))
+  }
+
+  /** Exact Hamming distance between two split hashes. */
+  def hammingDist(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
+    (bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))).cast("long")
+
+  def ahashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole guarantees recall only for hamming < 4, got $maxHamming")
+    val banded = ahashBands(hashes)
     val lhs = banded.select(col("media_id").as("id_a"),
       col("hash_hi").as("_ha"), col("hash_lo").as("_la"), col("bi"), col("bv"))
     val rhs = banded.select(col("media_id").as("id_b"),
@@ -346,8 +359,7 @@ object Multimodal {
     lhs.join(rhs, Seq("bi", "bv"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (bit_count(col("_la").bitwiseXOR(col("_lb"))) +
-          bit_count(col("_ha").bitwiseXOR(col("_hb")))).cast("long").as("hamming"))
+        hammingDist(col("_ha"), col("_la"), col("_hb"), col("_lb")).as("hamming"))
       .distinct() // a close pair shares several bands; hamming is a pure function of the pair
       .where(col("hamming") <= maxHamming)
   }

@@ -143,6 +143,28 @@ object MiscQueries {
       "graft_stream_inc_dedup")
   }
 
+  /** Streaming multimodal dedup: odd-doc_id images stream in against
+    * the static aHash band table of the even-doc_id base corpus (the
+    * deterministic split guarantees at least one cross-split near-dup
+    * pair exists in the fixtures); each matched fresh image reports its
+    * smallest base near-duplicate.
+    */
+  def streamingImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.distributed(spark, sfDir, "documents")
+      .where(col("doc_id") % 2 === 0)
+    val baseBands = Multimodal.ahashBands(
+        Multimodal.imageAHash(Multimodal.synthesizeMedia(base, "doc_id")).toDF())
+      .select(col("bi"), col("bv"), col("media_id").as("_base_id"),
+        col("hash_hi").as("_bh"), col("hash_lo").as("_bl"))
+    val fresh = StreamingPipeline.readDocuments(spark, sfDir)
+      .where(col("doc_id") % 2 === 1)
+    val freshHashes = Multimodal.imageAHash(
+      Multimodal.synthesizeMedia(fresh, "doc_id")).toDF()
+    StreamingPipeline.runToMemory(
+      StreamingPipeline.imageDupStream(freshHashes, baseBands),
+      "graft_stream_img_dedup")
+  }
+
   /** The reference's cron-driven cache refresh through the streaming
     * engine: events-derived client IPs stream into foreachBatch, each
     * batch runs detect-fetch-upsert-swap against a real parquet cache
@@ -346,6 +368,7 @@ object MiscQueries {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_ahash" -> multimodalAhash,
     "dedup_image_ahash" -> dedupImageAhash,
+    "streaming_image_dedup" -> streamingImageDedup,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_patches" -> multimodalPatches,
@@ -639,6 +662,14 @@ object MiscQueries {
          |      + bit_count(xor(a.hash_hi::BIT, b.hash_hi::BIT)) AS BIGINT) AS hamming
          |  FROM hs a JOIN hs b ON b.doc_id > a.doc_id)
          |WHERE hamming <= 3""".stripMargin,
+    "streaming_image_dedup" ->
+      s"""WITH $ahashCtes
+         |SELECT f.doc_id AS media_id, min(b.doc_id) AS dup_of
+         |FROM hs f JOIN hs b
+         |  ON f.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         | AND bit_count(xor(f.hash_lo::BIT, b.hash_lo::BIT))
+         |   + bit_count(xor(f.hash_hi::BIT, b.hash_hi::BIT)) <= 3
+         |GROUP BY f.doc_id""".stripMargin,
     "multimodal_patches" ->
       """WITH p AS (SELECT doc_id, CAST(16 + (doc_id % 8) * 4 AS BIGINT) AS iw,
         |    CAST(12 + (doc_id % 5) * 4 AS BIGINT) AS ih

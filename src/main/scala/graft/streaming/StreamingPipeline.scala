@@ -320,6 +320,33 @@ object StreamingPipeline {
       .agg(min(col("_base_id")).as("dup_of"))
   }
 
+  /** Streaming twin of the image near-dup join — the live-ingest shape
+    * for multimodal dedup: freshly crawled images STREAM in, are
+    * decoded and aHashed per partition (stateless narrow work, zero
+    * pre-join shuffle), band-exploded (4 rows per image), and
+    * equi-joined against the STATIC band table of the already-ingested
+    * corpus (stream-static join: stateless, no watermark needed). The
+    * pigeonhole guarantee is the batch one: any fresh image within
+    * `maxHamming` < 4 bits of a base image shares at least one exact
+    * band. The post-join min(base id) per fresh image is the query's
+    * one stateful aggregation.
+    *
+    * `baseBands` must carry (bi, bv, _base_id, _bh, _bl) built with
+    * [[graft.operators.Multimodal.ahashBands]] over the base corpus.
+    */
+  def imageDupStream(
+      freshHashes: DataFrame, baseBands: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole guarantees recall only for hamming < 4, got $maxHamming")
+    graft.operators.Multimodal.ahashBands(freshHashes)
+      .join(baseBands, Seq("bi", "bv"))
+      .where(graft.operators.Multimodal.hammingDist(
+        col("hash_hi"), col("hash_lo"), col("_bh"), col("_bl")) <= maxHamming)
+      .groupBy(col("media_id"))
+      .agg(min(col("_base_id")).as("dup_of"))
+  }
+
   /** The reference's cron job as a stream: each micro-batch of logs
     * refreshes the persistent geolocation cache (detect new IPs → fetch
     * → keep-newest upsert → atomic swap of the parquet path) via
