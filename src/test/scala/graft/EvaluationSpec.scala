@@ -30,6 +30,27 @@ class EvaluationSpec extends SparkSpec {
     assert(reversed === 0.0)
   }
 
+  test("auc: label reversal complements exactly, ties included") {
+    // pairs_won' = pairs_lost and ties are symmetric, so
+    // auc(reversed) = 1 − auc holds EXACTLY (both derive from the same
+    // integers, and the two divisions share a denominator)
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 200).map { _ =>
+      (math.rint(rnd.nextDouble() * 500) / 100.0,
+        if (rnd.nextBoolean()) "purchase" else "view")
+    }.toDF("value", "event_type")
+    val fwd = Evaluation.aucExact(df, "value", col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val rev = Evaluation.aucExact(df, "value", col("event_type") === "view")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // the integer identity is exact: won + won' + ties = n⁺·n⁻
+    assert(fwd._3 + rev._3 + fwd._4 === fwd._1 * fwd._2,
+      s"pair accounting broke: fwd=$fwd rev=$rev")
+    assert(fwd._4 === rev._4, "tie count must be label-symmetric")
+    assert(math.abs(fwd._5 + rev._5 - 1.0) < 1e-12, s"auc=${fwd._5} rev=${rev._5}")
+    assert(fwd._5 > 0.0 && fwd._5 < 1.0)
+  }
+
   test("calibration bins: width, clamp, and exact per-bin stats") {
     // width 50: 25.00 → bin 0 (pos), 75.00 → bin 1, 600.00 clamps to 9
     val df = Seq((25.0, "purchase"), (75.0, "view"), (600.0, "view"))
