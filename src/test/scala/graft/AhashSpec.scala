@@ -60,6 +60,29 @@ class AhashSpec extends SparkSpec {
     }
   }
 
+  test("banding is lossless for hamming ≤ 3: every planted neighbor is found") {
+    // 100 random 64-bit hashes, each with a planted copy flipping 0-3
+    // random bits — the pigeonhole guarantee says the 4-band equi-join
+    // must surface every planted pair, no exceptions
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 100).flatMap { i =>
+      var hi = rnd.nextInt().toLong & 0xFFFFFFFFL
+      var lo = rnd.nextInt().toLong & 0xFFFFFFFFL
+      val base = (i.toLong, hi, lo)
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(4))
+      flips.foreach { b =>
+        if (b < 32) lo ^= 1L << b else hi ^= 1L << (b - 32)
+      }
+      Seq(base, (i.toLong + 1000L, hi, lo))
+    }
+    val hs = rows.toDF("media_id", "hash_hi", "hash_lo")
+    val found = Multimodal.ahashNearDupPairs(hs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 100).map(i => (i.toLong, i.toLong + 1000L)).toSet
+    val missed = planted -- found
+    assert(missed === Set.empty, s"lossless banding missed planted pairs: $missed")
+  }
+
   test("ahash is invariant under non-wrapping brightness shift") {
     // bit = cellSum·3wh > total·cellBytes; a uniform +c on every byte
     // adds c·cellBytes·3wh to both sides (Σ cellBytes = 3wh), so the

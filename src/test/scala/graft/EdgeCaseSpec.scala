@@ -176,5 +176,12 @@ class EdgeCaseSpec extends SparkSpec {
     // every oracle points at a registered query
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans === Set.empty, s"oracles without queries: $orphans")
+    // ...and every registered query ships an oracle. This is the
+    // direction that rots coverage: round 7 registered two queries
+    // with no oracle SQL and both recorded `err: no_oracle` in the
+    // driver gate — an unverifiable query must not compile into the
+    // contract silently.
+    val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unverified === Set.empty, s"queries without oracles: $unverified")
   }
 }
