@@ -139,12 +139,9 @@ object Dedup {
     // in-memory tables with the same shape must not share a verdict)
     val key = (rows.queryExecution.analyzed.canonicalized,
       bucketCols.mkString(","), idCol, cap, sampleMod)
-    // the canonicalized-plan keys can pin LocalRelation input data;
-    // bound the cache so a long-lived session over many distinct
-    // inputs re-detects instead of leaking
-    if (skewCache.size > 64) skewCache.clear()
-    val overRows = skewCache.getOrElseUpdate(key, {
-      rows
+    val cached = skewCache.synchronized(Option(skewCache.get(key)))
+    val overRows = cached.getOrElse {
+      val detected = rows
         .where(pmod(Sketches.hash60(col(idCol), "skewdetect"),
           lit(sampleMod.toLong)) === 0)
         .groupBy(bucketCols.map(col): _*)
@@ -152,7 +149,9 @@ object Dedup {
           min(col(idCol)).as("_anchor"))
         .where(col("_bsize") > cap)
         .collect().toSeq
-    })
+      skewCache.synchronized(skewCache.put(key, detected))
+      detected
+    }
     if (overRows.isEmpty) {
       rows
         .withColumn("_bsize", lit(null).cast("long"))
@@ -179,15 +178,27 @@ object Dedup {
   /** Detection results from [[bucketSkewGuard]], keyed by canonical
     * input plan — see its doc for the caching contract.
     */
+  private type SkewKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    String, String, Int, Int)
+
+  /** Bounded LRU (access-order, evict-eldest) — the canonicalized-plan
+    * keys can pin LocalRelation input data, so cap the cache, but keep
+    * hot inputs resident in a long-lived session instead of wholesale
+    * clearing. All access under `synchronized` (LinkedHashMap mutates
+    * internally even on get in access order).
+    */
   private val skewCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        String, String, Int, Int), Seq[org.apache.spark.sql.Row]]
+    new java.util.LinkedHashMap[SkewKey, Seq[org.apache.spark.sql.Row]](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SkewKey, Seq[org.apache.spark.sql.Row]]): Boolean =
+        size() > 64
+    }
 
   /** Drop all cached skew-detection verdicts (for sessions whose
     * underlying data mutates between queries).
     */
-  def clearSkewCache(): Unit = skewCache.clear()
+  def clearSkewCache(): Unit = skewCache.synchronized(skewCache.clear())
 
   /** Cast-to-long graph ids must BE integral: see the call sites. */
   private def requireIntegralIds(

@@ -35,7 +35,11 @@ object Evaluation {
     * no fractional intermediates exist to round).
     */
   def aucExact(df: DataFrame, scoreCol: String, positive: Column): DataFrame = {
+    // null scores are excluded (not rankable) — and keeping them would
+    // diverge per engine: Spark's Window.orderBy sorts nulls first,
+    // DuckDB's ORDER BY defaults nulls last
     val perScore = df
+      .where(col(scoreCol).isNotNull)
       .select(cents(col(scoreCol)).as("_s"),
         when(positive, 1L).otherwise(0L).as("_y"))
       .groupBy(col("_s"))
@@ -71,7 +75,13 @@ object Evaluation {
     */
   def calibrationBins(df: DataFrame, scoreCol: String, positive: Column,
       bins: Int, lo: Double, hi: Double): DataFrame = {
-    val widthCents = math.round((hi - lo) / bins * 100)
+    val rangeCents = math.round((hi - lo) * 100)
+    // the width is materialized in whole cents; a non-divisible range
+    // would silently drift the upper bin edges, so fail loudly instead
+    require(rangeCents % bins == 0,
+      s"[$lo, $hi) spans $rangeCents cents, not divisible into $bins equal" +
+        " whole-cent bins — pick a representable range/bin count")
+    val widthCents = rangeCents / bins
     val loCents = math.round(lo * 100)
     require(widthCents > 0,
       s"bin width must be ≥ 1 cent: [$lo, $hi) over $bins bins gives $widthCents")
@@ -79,7 +89,8 @@ object Evaluation {
     // bin id exact on both engines
     val bin = least(lit(bins - 1L),
       greatest(lit(0L), expr(s"(_s - ${loCents}L) DIV ${widthCents}L")))
-    df.select(cents(col(scoreCol)).as("_s"),
+    df.where(col(scoreCol).isNotNull) // null scores excluded, as in aucExact
+      .select(cents(col(scoreCol)).as("_s"),
         when(positive, 1L).otherwise(0L).as("_y"))
       .select(bin.cast("bigint").as("bin"), col("_s"), col("_y"))
       .groupBy(col("bin"))
@@ -102,6 +113,7 @@ object Evaluation {
     */
   def ksStatistic(df: DataFrame, scoreCol: String, inA: Column): DataFrame = {
     val perScore = df
+      .where(col(scoreCol).isNotNull) // null scores excluded, as in aucExact
       .select(cents(col(scoreCol)).as("_s"),
         when(inA, 1L).otherwise(0L).as("_a"))
       .groupBy(col("_s"))

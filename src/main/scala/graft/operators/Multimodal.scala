@@ -297,11 +297,18 @@ object Multimodal {
               y += 1
             }
             val total = cellSum.sum
+            // cellSum·3wh ≤ 765·3·(wh)² — past ~6e7 pixels that product
+            // wraps int64, so oversized rasters take the exact BigInt
+            // comparison instead of silently corrupting the hash
+            val fitsLong = w.toLong * h <= 60000000L
             var hi = 0L; var lo = 0L
             var c = 0
             while (c < 64) {
               // cell mean > global mean ⇔ cellSum·3wh > total·cellBytes
-              if (cellSum(c) * 3 * w * h > total * cellBytes(c)) {
+              val brighter =
+                if (fitsLong) cellSum(c) * 3 * w * h > total * cellBytes(c)
+                else BigInt(cellSum(c)) * 3 * w * h > BigInt(total) * cellBytes(c)
+              if (brighter) {
                 if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
               }
               c += 1

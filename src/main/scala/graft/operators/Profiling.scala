@@ -22,7 +22,7 @@ import graft.functions.KMinValues.k_min_values
   * wire, duplicates collapsed in the buffer.
   *
   * Exactness contract: a sketch that never fills (distinct ≤ k,
-  * k = 32768 here) reports the EXACT distinct-hash count. Unlike the
+  * k = 262144 here) reports the EXACT distinct-hash count. Unlike the
   * oracle-verified sketch queries (which hash via md5 so DuckDB can
   * recompute the sketch itself), the profile only needs the COUNT to
   * match the oracle's exact `count(DISTINCT c)` — any deterministic
@@ -40,9 +40,17 @@ import graft.functions.KMinValues.k_min_values
   */
 object Profiling {
 
-  val kmvK: Int = 1 << 15
+  /** Covers every column of the oracle-verified fixtures through sf0.1
+    * (orders.o_orderkey ≈ 150 k distinct) on the exact path; 2 MiB of
+    * longs per (task, column) partial. */
+  val kmvK: Int = 1 << 18
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** @param exact when true, a column whose distinct count crosses the
+    *   sketch capacity raises a clear error instead of silently
+    *   switching to the ≈0.6 % bottom-k estimate — the mode the
+    *   oracle-verified query runs in, so a larger-sf correctness run
+    *   fails loudly rather than hash-mismatching. */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val schema = df.schema
     def render(c: Column, dt: DataType, agg: Column => Column): Column = dt match {
@@ -69,10 +77,16 @@ object Profiling {
     val numer = (kmvK - 1).toDouble * math.pow(2, 63)
     val one = df.agg(aggs.head, aggs.tail: _*)
       .select(col("_rows") +: cols.flatMap { name =>
+        val overflow: Column =
+          if (exact) raise_error(lit(s"profile(exact=true): column '$name' has" +
+            s" more than kmvK=$kmvK distinct values — the sketch filled, so the" +
+            " count would be a ~0.6% estimate and fail an exact oracle;" +
+            " rerun with exact=false or raise Profiling.kmvK"))
+          else round(lit(numer) / col(s"_kmv_$name.kth_hash").cast("double"), 0)
+            .cast("long")
         Seq(col(s"_nn_$name"), col(s"_min_$name"), col(s"_max_$name"),
           when(col(s"_kmv_$name.n_kept") < kmvK, col(s"_kmv_$name.n_kept"))
-            .otherwise(round(lit(numer) / col(s"_kmv_$name.kth_hash").cast("double"), 0)
-              .cast("long"))
+            .otherwise(overflow)
             .as(s"_nd_$name"))
       }: _*)
     val stackExpr = cols.map { c =>

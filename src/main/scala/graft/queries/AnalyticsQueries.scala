@@ -389,7 +389,7 @@ object AnalyticsQueries {
       """WITH c AS (
         |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), g AS (
         |  SELECT s, CAST(sum(y) AS HUGEINT) AS p,
         |    CAST(sum(1 - y) AS HUGEINT) AS n
@@ -413,7 +413,7 @@ object AnalyticsQueries {
       """WITH c AS (
         |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), b AS (
         |  SELECT least(9, greatest(0, (s - 0) // 5000)) AS bin, s, y FROM c
         |)
@@ -427,7 +427,7 @@ object AnalyticsQueries {
       """WITH c AS (
         |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), g AS (
         |  SELECT s, CAST(sum(a) AS HUGEINT) AS na,
         |    CAST(sum(1 - a) AS HUGEINT) AS nb

@@ -263,7 +263,9 @@ object MiscQueries {
     graft.operators.Profiling.profile(
       Tables.orders(spark, sfDir),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority"))
+        "o_orderdate", "o_orderpriority"),
+      // oracle-verified: fail loudly past sketch capacity, never estimate
+      exact = true)
 
   /** Deterministic per-group downsample: at most 20 docs per language. */
   def capPerGroup(spark: SparkSession, sfDir: String): DataFrame =

@@ -137,6 +137,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows("s") === (("s", 3L, 1L, 2L, "a", "b")))
   }
 
+  test("profile: past sketch capacity, exact=true fails loudly, default estimates") {
+    import graft.operators.Profiling
+    val n = Profiling.kmvK.toLong + 1000L
+    val big = spark.range(n).toDF("x")
+    // exact mode: a clear error naming the overflowing column, never a
+    // silently-estimated count that would hash-mismatch an exact oracle
+    val ex = intercept[Throwable] {
+      Profiling.profile(big, Seq("x"), exact = true).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exact=true") && msgs.contains("'x'"), msgs)
+    // default mode: the documented bottom-k estimate, within 5%
+    val est = Profiling.profile(big, Seq("x"))
+      .select("n_distinct").as[Long].head()
+    assert(math.abs(est - n).toDouble / n < 0.05, s"estimate $est vs $n")
+  }
+
   test("round-7 additions are empty-safe: triangles, quantization, cdc") {
     val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
     assert(graft.operators.Graph.triangles(noEdges).count() === 0)
