@@ -39,8 +39,10 @@ object Aggregates {
         countDistinct(col("client_ip")).as("unique_client_ips_count"),
         avg(col("total_processing_time")).as("average_total_processing_time"),
         median(col("total_processing_time")).as("median_total_processing_time"),
-        sum(col("sent_bytes")).as("sum_sent_bytes"),
-        sum(col("received_bytes")).as("sum_received_bytes"),
+        // pandas sum() has min_count=0: an all-NaN group sums to 0, not
+        // null (proven against the reference by tools/ref_diff.py)
+        coalesce(sum(col("sent_bytes")), lit(0L)).as("sum_sent_bytes"),
+        coalesce(sum(col("received_bytes")), lit(0L)).as("sum_received_bytes"),
         count_if(col("status_code_type") === "2xx_Success").as("count_2xx"),
         count_if(col("status_code_type") === "4xx_ClientError").as("count_4xx"),
         count_if(col("status_code_type") === "5xx_ServerError").as("count_5xx"))

@@ -116,15 +116,33 @@ object ElbParser {
     def ifValid(c: Column): Column = when(valid, c)
 
     val url = get(parts, lit(1))
+    // urlparse semantics beyond what parse_url covers (proven by the
+    // tools/ref_diff.py differential gate): a URL with no `scheme://`
+    // authority — e.g. the literal `-` ELB logs when a connection closes
+    // before the request completes — still decomposes; everything after
+    // an opaque `scheme:` prefix (or the whole string) becomes the path,
+    // with `?query`/`#fragment` split off. urlparse also lowercases the
+    // scheme; parse_url preserves its case.
+    val hasAuthority = url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val afterScheme = when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*:(.*)$", 1))
+      .otherwise(url)
+    val noFragment = substring_index(afterScheme, "#", 1)
     val decomposed = coerced
       .withColumn("http_method", ifValid(get(parts, lit(0))))
       .withColumn("full_url", ifValid(url))
       .withColumn("http_version", ifValid(get(parts, lit(2))))
-      .withColumn("protocol", ifValid(coalesce(parse_url(url, lit("PROTOCOL")), lit(""))))
+      .withColumn("protocol", ifValid(lower(when(hasAuthority,
+        coalesce(parse_url(url, lit("PROTOCOL")), lit("")))
+        .otherwise(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)))))
       .withColumn("hostname", ifValid(lower(parse_url(url, lit("HOST")))))
       .withColumn("port", ifValid(F.urlPort(url)))
-      .withColumn("path", ifValid(coalesce(parse_url(url, lit("PATH")), lit(""))))
-      .withColumn("query_params", ifValid(coalesce(parse_url(url, lit("QUERY")), lit(""))))
+      .withColumn("path", ifValid(when(hasAuthority,
+        coalesce(parse_url(url, lit("PATH")), lit("")))
+        .otherwise(substring_index(noFragment, "?", 1))))
+      .withColumn("query_params", ifValid(when(hasAuthority,
+        coalesce(parse_url(url, lit("QUERY")), lit("")))
+        .otherwise(regexp_extract(noFragment, "\\?(.*)$", 1))))
 
     decomposed
       .withColumn("ua_browser_family", Ua.browserFamily(col("user_agent")))

@@ -200,8 +200,8 @@ object PipelineQueries {
          |  count(DISTINCT client_ip) AS unique_client_ips_count,
          |  round(avg(tpt), 6) AS average_total_processing_time,
          |  round(median(tpt), 6) AS median_total_processing_time,
-         |  CAST(sum(sent_bytes) AS BIGINT) AS sum_sent_bytes,
-         |  CAST(sum(received_bytes) AS BIGINT) AS sum_received_bytes,
+         |  CAST(coalesce(sum(sent_bytes), 0) AS BIGINT) AS sum_sent_bytes,
+         |  CAST(coalesce(sum(received_bytes), 0) AS BIGINT) AS sum_received_bytes,
          |  count(*) FILTER (sct = '2xx_Success') AS count_2xx,
          |  count(*) FILTER (sct = '4xx_ClientError') AS count_4xx,
          |  count(*) FILTER (sct = '5xx_ServerError') AS count_5xx

@@ -30,9 +30,16 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** Header CSV, no index column (reference elb_logs.py:377,391). */
+  /** Header CSV, no index column (reference elb_logs.py:377,391).
+    * Timestamps keep full microseconds — Spark's default CSV pattern
+    * truncates to milliseconds, silently losing precision the
+    * reference's pandas `to_csv` preserves (tools/ref_diff.py caught
+    * the drift on the error-summary `time` column).
+    */
   def csv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
 
   /** Overwrite a parquet path that the writing plan may itself be
     * reading (the geo-cache upsert, reference elb_logs.py:225). Spark
