@@ -44,6 +44,34 @@ object Bench {
     // not attributed to any measured query.
     if (queries.exists(_._1.startsWith("elb_")))
       graft.queries.ElbSynth.lines(Tables.events(spark, sfDir)).count()
+
+    // Host-speed calibration, recorded with every run (round-9 drift
+    // forensics: sub-second overhead-bound queries showed ±50% spread
+    // across sessions with identical code/plans/fixtures — without a
+    // same-session yardstick such drift is unattributable after the
+    // fact). calib_1t = single-thread JVM arithmetic (CPU frequency /
+    // steal); calib_mt = a fixed 64M-row hash aggregate through the
+    // scheduler (task overhead + parallel throughput). Compare ratios
+    // of these across rounds before comparing per-query seconds.
+    def calib1t(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0L; var acc = 0L
+      while (i < 200000000L) { acc ^= i * 0x9E3779B97F4A7C15L + (acc >>> 7); i += 1 }
+      if (acc == 42L) println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibMt(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 64000000L, 1L, cpus.toInt)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(bit_xor(col("h"))) // xor: overflow-free under ANSI mode
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibMt() // JIT/codegen warm
+    val calib1 = (1 to 3).map(_ => calib1t()).min
+    val calibM = (1 to 3).map(_ => calibMt()).min
     // A failed run records NO sample: a fast-fail elapsed time would
     // silently deflate the median (a query failing in 0.1 s on 2 of 3
     // repeats must not report a ~0.1 s "speedup").
@@ -93,7 +121,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"calib_1t_sec":$calib1%.3f,"calib_mt_sec":$calibM%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
