@@ -142,28 +142,48 @@ object Clustering {
     */
   def lloydIterate(df: DataFrame, idCol: String, embCol: String,
       k: Int, iterations: Int, salt: String = "kmeans"): DataFrame = {
+    val data = prep(df, idCol, embCol)
+    assignPrepped(data, idCol,
+      lloydCentroidsPrepped(data, df, idCol, embCol, k, iterations, salt))
+  }
+
+  /** The trained centroid table after `iterations − 1` Lloyd updates:
+    * (cluster, cq, cn2) in the exact quantized geometry — the coarse
+    * quantizer a trained IVF index probes
+    * ([[Similarity.ivfTrainedTopK]]). Factored out of [[lloydIterate]]
+    * so index construction and assignment share one code path.
+    */
+  def lloydCentroids(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iterations: Int, salt: String = "kmeans"): DataFrame =
+    lloydCentroidsPrepped(prep(df, idCol, embCol), df, idCol, embCol,
+      k, iterations, salt)
+
+  // pre-quantized assign: same body as assign() minus the re-prep
+  private def assignPrepped(data: DataFrame, idCol: String,
+      cents: DataFrame): DataFrame = {
+    val mult = 1L << 20
+    data.crossJoin(broadcast(cents))
+      .withColumn("_packed",
+        (col("n2") + col("cn2")
+          - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq"))) * mult
+          + col("cluster"))
+      .groupBy(col(idCol))
+      .agg(min(col("_packed")).as("_best"), first(col("q")).as("q"))
+      .select(col(idCol),
+        (col("_best") % mult).cast("int").as("cluster"),
+        expr(s"_best DIV ${mult}L").as("dist2"), col("q"))
+  }
+
+  private def lloydCentroidsPrepped(data: DataFrame, df: DataFrame,
+      idCol: String, embCol: String, k: Int, iterations: Int,
+      salt: String): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(k < (1 << 20),
       s"k must fit the packed-long argmin's 20 cluster bits, got $k")
-    val data = prep(df, idCol, embCol)
-    // pre-quantized assign: same body as assign() minus the re-prep
-    def assignPrepped(cents: DataFrame): DataFrame = {
-      val mult = 1L << 20
-      data.crossJoin(broadcast(cents))
-        .withColumn("_packed",
-          (col("n2") + col("cn2")
-            - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq"))) * mult
-            + col("cluster"))
-        .groupBy(col(idCol))
-        .agg(min(col("_packed")).as("_best"), first(col("q")).as("q"))
-        .select(col(idCol),
-          (col("_best") % mult).cast("int").as("cluster"),
-          expr(s"_best DIV ${mult}L").as("dist2"), col("q"))
-    }
     var cents = seedCentroids(df, idCol, embCol, k, salt).localCheckpoint()
     var i = 0
     while (i < iterations - 1) {
-      cents = lloydUpdate(assignPrepped(cents))
+      cents = lloydUpdate(assignPrepped(data, idCol, cents))
         .groupBy("cluster")
         .agg(collect_list(struct(col("dim"), col("centroid"))).as("_dc"))
         .select(col("cluster"),
@@ -173,6 +193,6 @@ object Clustering {
         .localCheckpoint()
       i += 1
     }
-    assignPrepped(cents)
+    cents
   }
 }

@@ -49,6 +49,21 @@ object VecQueries {
       "vec_id", "embedding", k = 5, nCentroids = 16, probes = 8)
   }
 
+  /** The SHIPPABLE ANN default (round-9): trained IVF — 16-cell Lloyd
+    * coarse quantizer (2 rounds = one update), 12 probes. The measured
+    * config that clears recall@5 ≥ 0.8 on the synthetic corpus at BOTH
+    * sf0.001 (0.88) and sf0.01 (0.96) — full recall ladder in
+    * BASELINE.md. On near-uniform synthetic embeddings any cell index
+    * needs a large probe fraction; on real (clustered) embeddings the
+    * trained quantizer gets the same recall at far fewer probes.
+    */
+  def topkIvfTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.ivfTrainedTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16, probes = 12,
+      trainRounds = 2)
+  }
+
   def topkLshMp(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     Similarity.lshMultiProbeTopK(c, c.where(col("vec_id") < 10),
@@ -80,6 +95,7 @@ object VecQueries {
       .unionByName(recall(topkLshMp(spark, sfDir), "lsh_mp"))
       .unionByName(recall(topkIvfMp(spark, sfDir), "ivf_mp"))
       .unionByName(recall(topkIvfMp8(spark, sfDir), "ivf_mp8"))
+      .unionByName(recall(topkIvfTrain(spark, sfDir), "ivf_train"))
   }
 
   /** Reciprocal-rank fusion of the two multi-probe ANN rankings
@@ -97,6 +113,7 @@ object VecQueries {
     "similarity_lsh_mp" -> topkLshMp,
     "similarity_ivf" -> topkIvf,
     "similarity_ivf_mp" -> topkIvfMp,
+    "similarity_ivf_train" -> topkIvfTrain,
     "similarity_recall" -> similarityRecall,
     "similarity_rrf" -> topkRrf,
     "embedding_quantize" -> ((s: SparkSession, dir: String) =>
@@ -159,7 +176,64 @@ object VecQueries {
       |        c.cent_id) AS rn
       |  FROM n v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 4)""".stripMargin
 
+  /** Trained-IVF CTE chain: 16 Lloyd-seeded cells (salt 'kmeans', the
+    * engine's seedCentroids default), ONE update round with requantized
+    * means (the kmeans_assign2 oracle's arithmetic verbatim), corpus
+    * assigned to its nearest trained cell (`tasg`), queries probing
+    * their 12 nearest (`tqasg`).
+    */
+  private val ivfTrainCtes: String =
+    """tseeds AS (SELECT vec_id, qv, n2,
+      |            md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS mk
+      |          FROM n ORDER BY mk, vec_id LIMIT 16),
+      |tc AS (SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS BIGINT)
+      |          AS cell,
+      |        qv AS cv, n2 AS cn2 FROM tseeds),
+      |ta0 AS (SELECT vec_id, cell FROM (
+      |  SELECT v.vec_id, c.cell,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY v.n2 + c.cn2
+      |        - 2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT),
+      |        c.cell) AS rn
+      |  FROM n v CROSS JOIN tc c) WHERE rn = 1),
+      |tu AS (SELECT a.cell, q.qv,
+      |        unnest(generate_series(1, len(q.qv))) AS i
+      |      FROM ta0 a JOIN q USING (vec_id)),
+      |tcm AS (SELECT cell, i,
+      |        CAST(round(round(CAST(sum(qv[i]) AS BIGINT)::DOUBLE
+      |            / (count(*) * 10000), 6) * 10000) AS BIGINT) AS cqe
+      |      FROM tu GROUP BY cell, i),
+      |tc2 AS (SELECT cell, list(cqe ORDER BY i) AS cv FROM tcm GROUP BY cell),
+      |tc2n AS (SELECT cell, cv,
+      |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn2 FROM tc2),
+      |tasg AS (SELECT vec_id, qv, n2, cell FROM (
+      |  SELECT v.vec_id, v.qv, v.n2, c.cell,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY v.n2 + c.cn2
+      |        - 2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT),
+      |        c.cell) AS rn
+      |  FROM n v CROSS JOIN tc2n c) WHERE rn = 1),
+      |tqasg AS (SELECT vec_id, qv, n2, cell FROM (
+      |  SELECT v.vec_id, v.qv, v.n2, c.cell,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY v.n2 + c.cn2
+      |        - 2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT),
+      |        c.cell) AS rn
+      |  FROM n v CROSS JOIN tc2n c WHERE v.vec_id < 10) WHERE rn <= 12)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "similarity_ivf_train" ->
+      s"""WITH $qCte,
+         |$ivfTrainCtes
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |      / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM tqasg a JOIN tasg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |WHERE rank <= 5""".stripMargin,
     "similarity_rrf" ->
       s"""WITH $qCte,
          |bk AS (SELECT vec_id, qv, n2,
@@ -319,7 +393,17 @@ object VecQueries {
          |hp AS (SELECT query_id, count(*) AS hits FROM truth
          |       JOIN ivfmp USING (query_id, neighbor_id) GROUP BY query_id),
          |hp8 AS (SELECT query_id, count(*) AS hits FROM truth
-         |       JOIN ivfmp8 USING (query_id, neighbor_id) GROUP BY query_id)
+         |       JOIN ivfmp8 USING (query_id, neighbor_id) GROUP BY query_id),
+         |$ivfTrainCtes,
+         |tivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM tqasg a JOIN tasg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |ht AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN tivf USING (query_id, neighbor_id) GROUP BY query_id)
          |SELECT 'lsh' AS method, query_id,
          |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hl.hits, 0) AS DOUBLE) / 5 AS recall_at_5
@@ -343,7 +427,12 @@ object VecQueries {
          |SELECT 'ivf_mp8' AS method, query_id,
          |  CAST(coalesce(hp8.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hp8.hits, 0) AS DOUBLE) / 5 AS recall_at_5
-         |FROM qs LEFT JOIN hp8 USING (query_id)""".stripMargin,
+         |FROM qs LEFT JOIN hp8 USING (query_id)
+         |UNION ALL
+         |SELECT 'ivf_train' AS method, query_id,
+         |  CAST(coalesce(ht.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(ht.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN ht USING (query_id)""".stripMargin,
     "similarity_topk" ->
       s"""WITH $qCte
          |SELECT query_id, neighbor_id, rank, cosine FROM (

@@ -201,6 +201,7 @@ class PlanSpec extends SparkSpec {
       "skyline_pareto" -> "broadcast candidate dominance anti-join over tiny local skylines",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",
+      "similarity_ivf_train" -> "broadcast trained-centroid table for cell routing",
       "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",
       "similarity_rrf" -> "inherited from its ivf_mp input (broadcast centroid routing)",
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank")

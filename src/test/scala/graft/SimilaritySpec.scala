@@ -64,4 +64,37 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id", "fused_rank").as[(Long, Long)].collect().sortBy(_._2)
     assert(tied.toSeq === Seq((5L, 1L), (7L, 2L)))
   }
+
+  test("trained IVF is the shippable default: recall@5 >= 0.8, beats random centroids") {
+    val recall = graft.queries.VecQueries.similarityRecall(spark, sf)
+      .select("method", "query_id", "hits")
+      .as[(String, Long, Long)].collect()
+    def mean(m: String): Double = {
+      val hs = recall.collect { case (`m`, _, h) => h }
+      hs.sum.toDouble / (5 * hs.length)
+    }
+    val trained = mean("ivf_train")
+    assert(trained >= 0.8,
+      f"ivf_train (16 cells, 2 Lloyd rounds, 12 probes) must clear the " +
+        f"shippable-recall gate; got $trained%.2f")
+    assert(trained > mean("ivf_mp8"),
+      "the trained quantizer at 12 probes must beat random centroids at 8")
+  }
+
+  test("trained IVF neighbors are true cosine neighbors (subset of exact ranking)") {
+    val c = Tables.distributed(spark, sf, "embeddings").select("vec_id", "embedding")
+    val qs = c.where(col("vec_id") < 10)
+    val trained = Similarity.ivfTrainedTopK(c, qs, "vec_id", "embedding",
+      k = 5, nCentroids = 16, probes = 12, trainRounds = 2)
+    // every reported pair must carry the exact cosine the brute-force
+    // path computes for that pair (approximate RETRIEVAL, exact SCORING)
+    val brute = Similarity.bruteForceTopK(c, qs, "vec_id", "embedding", k = 200)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bc"))
+    val joined = trained.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.where(col("bc").isNull || col("bc") =!= col("cosine")).count() === 0)
+    // ranks within a query are dense and 1-based
+    val ranks = trained.groupBy("query_id")
+      .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(ranks.where(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+  }
 }
