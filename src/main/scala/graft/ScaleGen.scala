@@ -61,11 +61,24 @@ object ScaleGen {
       println(s"[scalegen] $name: ${spark.read.parquet(target.toString).count()} rows")
     }
 
+    // SPARK_GRAFT_HOT_FRACTION ∈ (0,1): adversarial hot-key variant —
+    // that fraction of ALL event rows (chosen by a deterministic
+    // event_id hash, so the set is layout-independent) is remapped to
+    // user_id 0. One mega-user owning 20% of a 1M-row table is the
+    // skew shape that turns every user_id-keyed window into a single
+    // straggler task at cluster scale; the BASELINE.md skew table
+    // measures exactly that against the uniform variant.
+    val hotFraction = sys.env.getOrElse("SPARK_GRAFT_HOT_FRACTION", "0").toDouble
     val ev = spark.read.parquet(s"$src/events.parquet")
     val (eidS, uidS) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
     write(copyUnion(ev) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * eidS))
+      val shifted = df.withColumn("event_id", col("event_id") + lit(i * eidS))
         .withColumn("user_id", col("user_id") + lit(i * uidS))
+      if (hotFraction <= 0) shifted
+      else shifted.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id"), lit("hotkey")), lit(10000L))
+          < (hotFraction * 10000).toLong, lit(0L))
+          .otherwise(col("user_id")))
     }, "events")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
