@@ -373,10 +373,19 @@ object StreamingPipeline {
     * (Trigger.AvailableNow + memory sink) and return the result — the
     * cron-batch contract, executed by the streaming engine.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame =
+    runToMemoryWithQuery(df, name, mode)._1
+
+  /** [[runToMemory]] that also hands back the finished query, so callers
+    * can read `recentProgress` — state-operator rows/bytes per batch —
+    * for state-store posture checks (StreamingSpec's RocksDB twin).
+    */
+  def runToMemoryWithQuery(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete())
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    (df.sparkSession.table(name), q)
   }
 }

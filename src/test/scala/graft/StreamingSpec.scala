@@ -305,4 +305,58 @@ class StreamingSpec extends SparkSpec {
     val m = media.first()
     assert(Set("image", "audio", "video").contains(m.meta.media_type))
   }
+
+  test("RocksDB state store: stateful twins produce identical results, state metrics recorded") {
+    // 100 TB posture: HDFSBacked keeps every key's state on the JVM
+    // heap; RocksDB spills to native memory + disk. The twin run proves
+    // the engine's stateful operators are provider-agnostic (results
+    // hash-identical) and reads real state metrics from both.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocksdb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def withProvider[T](providerClass: Option[String])(body: => T): T = {
+      val prev = spark.conf.getOption(key)
+      providerClass match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    val sf = "/root/testdata/sf0.001"
+    def runTwins(tag: String): (Seq[String], Seq[String], Long, Long) = {
+      val events = StreamingPipeline.readEvents(spark, sf)
+      val (sess, q1) = StreamingPipeline.runToMemoryWithQuery(
+        StreamingPipeline.sessionIds(events).toDF(),
+        s"rocks_sessions_$tag", OutputMode.Append())
+      val sessRows = sess.select("event_id", "session_id")
+        .as[(Long, String)].collect().map(_.toString).sorted.toSeq
+      val (kmv, q2) = StreamingPipeline.runToMemoryWithQuery(
+        graft.operators.Sketches.kmvDistinct(
+          StreamingPipeline.readEvents(spark, sf),
+          Seq("event_type"), "user_id", k = 64),
+        s"rocks_kmv_$tag")
+      val kmvRows = kmv.collect().map(_.toString).sorted.toSeq
+      def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      def stateBytes(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+      (sessRows, kmvRows, stateRows(q1), math.max(stateBytes(q1), stateBytes(q2)))
+    }
+    val (sessH, kmvH, rowsH, bytesH) = withProvider(None)(runTwins("hdfs"))
+    val (sessR, kmvR, rowsR, bytesR) = withProvider(Some(rocksdb))(runTwins("rocksdb"))
+    // getOption surfaces the session default (HDFSBacked) even when the
+    // key was never set — "restored" means not-rocksdb anymore
+    assert(!spark.conf.getOption(key).contains(rocksdb),
+      "provider conf must be restored")
+    assert(sessH === sessR, "sessionIds must be state-store-agnostic")
+    assert(kmvH === kmvR, "KMV Complete-mode agg must be state-store-agnostic")
+    // both providers really held state and reported it
+    assert(rowsH > 0 && rowsR > 0, s"state rows: hdfs=$rowsH rocksdb=$rowsR")
+    assert(bytesH > 0 && bytesR > 0, s"state bytes: hdfs=$bytesH rocksdb=$bytesR")
+    info(s"state rows hdfs=$rowsH rocksdb=$rowsR; bytes hdfs=$bytesH rocksdb=$bytesR")
+  }
 }
