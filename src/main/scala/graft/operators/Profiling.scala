@@ -49,8 +49,14 @@ object Profiling {
     *   sketch capacity raises a clear error instead of silently
     *   switching to the ≈0.6 % bottom-k estimate — the mode the
     *   oracle-verified query runs in, so a larger-sf correctness run
-    *   fails loudly rather than hash-mismatching. */
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    *   fails loudly rather than hash-mismatching.
+    * @param k sketch capacity. The default covers the oracle fixtures
+    *   exactly through sf0.1; ESTIMATE-mode profiling of genuinely
+    *   high-cardinality tables should pass a smaller k (32768 gives
+    *   ≈0.6 % error at 1/8th the partial-buffer weight — measured 1.9×
+    *   faster on 15 M-row orders, BASELINE.md round-9 sf10 table). */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false,
+      k: Int = kmvK): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val schema = df.schema
     def render(c: Column, dt: DataType, agg: Column => Column): Column = dt match {
@@ -69,23 +75,23 @@ object Profiling {
         .otherwise(shiftrightunsigned(xxhash64(c), 1))
       Seq(
         count(c).as(s"_nn_$name"),
-        k_min_values(h, kmvK).as(s"_kmv_$name"),
+        k_min_values(h, k).as(s"_kmv_$name"),
         render(c, dt, x => min(x)).as(s"_min_$name"),
         render(c, dt, x => max(x)).as(s"_max_$name"))
     } :+ count(lit(1)).as("_rows")
     // (k−1)·2⁶³ is a small int times a power of two — exact as a double
-    val numer = (kmvK - 1).toDouble * math.pow(2, 63)
+    val numer = (k - 1).toDouble * math.pow(2, 63)
     val one = df.agg(aggs.head, aggs.tail: _*)
       .select(col("_rows") +: cols.flatMap { name =>
         val overflow: Column =
           if (exact) raise_error(lit(s"profile(exact=true): column '$name' has" +
-            s" more than kmvK=$kmvK distinct values — the sketch filled, so the" +
+            s" more than k=$k distinct values — the sketch filled, so the" +
             " count would be a ~0.6% estimate and fail an exact oracle;" +
-            " rerun with exact=false or raise Profiling.kmvK"))
+            " rerun with exact=false or raise k"))
           else round(lit(numer) / col(s"_kmv_$name.kth_hash").cast("double"), 0)
             .cast("long")
         Seq(col(s"_nn_$name"), col(s"_min_$name"), col(s"_max_$name"),
-          when(col(s"_kmv_$name.n_kept") < kmvK, col(s"_kmv_$name.n_kept"))
+          when(col(s"_kmv_$name.n_kept") < k, col(s"_kmv_$name.n_kept"))
             .otherwise(overflow)
             .as(s"_nd_$name"))
       }: _*)

@@ -30,6 +30,38 @@ object Rolling {
   val FiveMinutes: Long = 5L * 60 * 1000000
   val OneHour: Long = 60L * 60 * 1000000
 
+  /** Trailing time-range frames with two-phase within-key TIME
+    * CHUNKING — the exact-result escape hatch for hot keys (the
+    * BASELINE.md round-9 skew table: one mega-key = one straggler task
+    * under [[trailing]], the only window-family member that degrades).
+    *
+    * Rows block by `floor(micros / blockSpan)` with `blockSpan ≥` the
+    * longest frame Δ, and every row is REPLICATED once into the next
+    * block as a frame-only carry: a frame reaching back ≤ Δ ≤ blockSpan
+    * from any row in block b can only touch blocks b and b−1, so the
+    * (key, block) partition contains every frame member and the window
+    * result is exactly [[trailing]]'s. Output keeps only the non-carry
+    * copies. Cost: 2× rows through ONE shuffle, in exchange for the
+    * hot key splitting into per-block tasks — per-task work is bounded
+    * by rows-per-(key, block), not rows-per-key, at any skew.
+    */
+  def trailingChunked(df: DataFrame, keyCol: Column, timeCol: Column,
+      blockSpan: Long)(frames: (WindowSpec => Column, String)*): DataFrame = {
+    require(blockSpan > 0, s"blockSpan must be positive, got $blockSpan")
+    val micros = unix_micros(timeCol)
+    // exact while micros < 2^53 (year ~2255); the double division is
+    // then integer-valued before floor
+    val base = df.withColumn("_blk", floor(micros / lit(blockSpan)).cast("long"))
+      .withColumn("_carry", lit(false))
+    val both = base.unionByName(
+      base.withColumn("_blk", col("_blk") + 1).withColumn("_carry", lit(true)))
+    val withFrames = frames.foldLeft(both) { case (acc, (mk, name)) =>
+      acc.withColumn(name, mk(
+        Window.partitionBy(keyCol, col("_blk")).orderBy(unix_micros(timeCol))))
+    }
+    withFrames.where(!col("_carry")).drop("_blk", "_carry")
+  }
+
   /** The reference's exact pair: 5-min trailing request count + 1-h
     * trailing mean processing time.
     */

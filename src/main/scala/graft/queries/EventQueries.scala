@@ -73,6 +73,25 @@ object EventQueries {
       .select("event_id", "user_id", "ts", "rolling_5min_count", "rolling_1h_avg_value")
   }
 
+  /** [[rollingQ]] through [[Rolling.trailingChunked]] — identical
+    * output (same oracle SQL), hot-key-robust plan: the window
+    * partitions by (user, hour-block) with carry replication instead
+    * of by user alone, so a mega-user splits across tasks.
+    */
+  def rollingChunkedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Rolling
+    val e = Tables.events(spark, sfDir)
+    def r5(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rangeBetween(-(Rolling.FiveMinutes - 1), 0)
+    def r1(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rangeBetween(-(Rolling.OneHour - 1), 0)
+    Rolling.trailingChunked(e, col("user_id"), col("ts"), Rolling.OneHour)(
+      (w => count(col("event_id")).over(r5(w)), "rolling_5min_count"),
+      (w => sum(col("value").cast("decimal(12,2)")).over(r1(w)).cast("double")
+        / count(col("value")).over(r1(w)), "rolling_1h_avg_value"))
+      .select("event_id", "user_id", "ts", "rolling_5min_count", "rolling_1h_avg_value")
+  }
+
   /** Multi-level rollup with grouping indicators — the grouping-sets
     * surface the reference lacks but any OLAP consumer of this engine
     * expects. Spark `grouping()` yields TINYINT; cast to long to match
@@ -131,6 +150,7 @@ object EventQueries {
     "hourly_agg" -> hourlyAgg,
     "sessionize" -> sessionizeQ,
     "rolling_window" -> rollingQ,
+    "rolling_window_chunked" -> rollingChunkedQ,
     "rollup_agg" -> rollupAgg,
     "sql_daily" -> sqlDaily
   )
@@ -212,6 +232,17 @@ object EventQueries {
       """SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rolling_window_chunked" ->
+      """SELECT event_id, user_id, ts,
+        |  count(event_id) OVER w5 AS rolling_5min_count,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w1 AS DOUBLE)
+        |    / count(value) OVER w1 AS rolling_1h_avg_value
+        |FROM events
+        |WINDOW
+        |  w5 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW),
+        |  w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "rolling_window" ->
       """SELECT event_id, user_id, ts,
         |  count(event_id) OVER w5 AS rolling_5min_count,

@@ -58,4 +58,42 @@ class WindowSpecSuite extends SparkSpec {
       .orderBy("id").select("rolling_1h_avg_processing").as[Option[Double]].collect()
     assert(out.toSeq === Seq(Some(2.0), Some(2.0), Some(3.0)))
   }
+
+  test("chunked trailing frames equal the single-partition window under a mega-key") {
+    import graft.operators.Rolling
+    // one hot key with 2000 events at 90 s spacing (frames straddle
+    // every hour-block boundary repeatedly) + a sprinkle of cold keys,
+    // including rows landing EXACTLY on block boundaries
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, 0L, java.sql.Timestamp.valueOf("2025-05-26 00:00:00")
+        .toInstant.plusSeconds(i * 90L), (i % 7 + 1).toDouble)
+    } ++ (0 until 50).map { i =>
+      (10000L + i, 1L + i % 3,
+        java.sql.Timestamp.valueOf("2025-05-26 00:00:00").toInstant
+          .plusSeconds(i * 3600L), 2.5) // exact hour marks
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def r5(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rangeBetween(-(Rolling.FiveMinutes - 1), 0)
+    def r1(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rangeBetween(-(Rolling.OneHour - 1), 0)
+    val plain = df
+      .withColumn("c5", count(col("event_id"))
+        .over(Rolling.trailing(col("user_id"), col("ts"), Rolling.FiveMinutes)))
+      .withColumn("a1", avg(col("value"))
+        .over(Rolling.trailing(col("user_id"), col("ts"), Rolling.OneHour)))
+      .select("event_id", "c5", "a1")
+    val chunked = Rolling.trailingChunked(
+      df, col("user_id"), col("ts"), Rolling.OneHour)(
+      (w => count(col("event_id")).over(r5(w)), "c5"),
+      (w => avg(col("value")).over(r1(w)), "a1"))
+      .select("event_id", "c5", "a1")
+    assert(chunked.count() === df.count()) // carries filtered out
+    val diff = plain.join(chunked.withColumnRenamed("c5", "c5b")
+        .withColumnRenamed("a1", "a1b"), "event_id")
+      .where(col("c5") =!= col("c5b") ||
+        abs(col("a1") - col("a1b")) > 1e-12)
+    assert(diff.count() === 0, "chunked frames must be exact")
+  }
 }
