@@ -22,6 +22,25 @@ object Ua {
 
   def browserFamily(ua: Column): Column =
     when(ua.isNull, lit("Other"))
+      // Named crawlers first — uap-core gives the big bots their own
+      // families, and Googlebot-Smartphone embeds a full Chrome UA, so
+      // these must precede every browser rule.
+      .when(ua.rlike("Googlebot"), lit("Googlebot"))
+      .when(ua.rlike("bingbot"), lit("bingbot"))
+      .when(ua.rlike("Baiduspider"), lit("Baiduspider"))
+      .when(ua.rlike("YandexBot"), lit("YandexBot"))
+      .when(ua.rlike("DuckDuckBot"), lit("DuckDuckBot"))
+      .when(ua.rlike("Applebot"), lit("Applebot"))
+      .when(ua.rlike("AhrefsBot"), lit("AhrefsBot"))
+      .when(ua.rlike("SemrushBot"), lit("SemrushBot"))
+      .when(ua.rlike("PetalBot"), lit("PetalBot"))
+      .when(ua.rlike("Twitterbot"), lit("Twitterbot"))
+      .when(ua.rlike("Slackbot"), lit("Slackbot"))
+      .when(ua.rlike("facebookexternalhit"), lit("FacebookBot"))
+      // Headless/embedded Chromium carries Chrome tokens too
+      .when(ua.rlike("HeadlessChrome/"), lit("HeadlessChrome"))
+      .when(ua.rlike("Electron/"), lit("Electron"))
+      .when(ua.rlike("Vivaldi/"), lit("Vivaldi"))
       // Chromium-derived mobile browsers embed a full Chrome UA — their
       // own token must win before any Chrome rule (ua-parser order).
       .when(ua.rlike("EdgiOS/|EdgA/"), lit("Edge Mobile"))
@@ -52,15 +71,31 @@ object Ua {
       .when(ua.rlike("^Wget/"), lit("Wget"))
       .when(ua.rlike("^python-requests/"), lit("Python Requests"))
       .when(ua.rlike("^Python-urllib/"), lit("Python-urllib"))
+      // API/SDK clients — the families uap-core names for machine
+      // traffic, common in load-balancer logs
+      .when(ua.rlike("^okhttp/"), lit("okhttp"))
+      .when(ua.rlike("^Go-http-client/"), lit("Go-http-client"))
+      .when(ua.rlike("^Java/"), lit("Java"))
+      .when(ua.rlike("Apache-HttpClient/"), lit("Apache-HttpClient"))
+      .when(ua.rlike("^aiohttp/|Python/[0-9.]+ aiohttp/"), lit("Python aiohttp"))
+      .when(ua.rlike("^axios/"), lit("axios"))
+      .when(ua.rlike("node-fetch/"), lit("node-fetch"))
       .otherwise(lit("Other"))
 
   def osFamily(ua: Column): Column =
     when(ua.isNull, lit("Other"))
-      .when(ua.rlike("Windows NT|Windows Phone"), lit("Windows"))
+      .when(ua.rlike("Windows Phone"), lit("Windows Phone"))
+      .when(ua.rlike("Windows NT"), lit("Windows"))
       .when(ua.rlike("Android"), lit("Android"))
       .when(ua.rlike("iPhone|iPad|iPod|iOS"), lit("iOS"))
       .when(ua.rlike("Mac OS X"), lit("Mac OS X"))
       .when(ua.rlike("CrOS"), lit("Chrome OS"))
+      // named distros precede the generic Linux rule, as in uap-core
+      .when(ua.rlike("Ubuntu"), lit("Ubuntu"))
+      .when(ua.rlike("Fedora"), lit("Fedora"))
+      .when(ua.rlike("FreeBSD"), lit("FreeBSD"))
+      .when(ua.rlike("Tizen"), lit("Tizen"))
+      .when(ua.rlike("KaiOS"), lit("KaiOS"))
       .when(ua.rlike("Linux|X11"), lit("Linux"))
       .otherwise(lit("Other"))
 

@@ -205,7 +205,8 @@ object ElbQueries {
     "elb_classify" ->
       s"""SELECT $key AS elb, $uaCase AS user_agent,
          |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
-         |   WHEN 2 THEN 'Firefox' WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_browser_family,
+         |   WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Googlebot'
+         |   WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_browser_family,
          |  CASE event_id % 6 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
          |   WHEN 2 THEN 'Linux' ELSE 'Other' END AS ua_os_family,
          |  event_id % 6 IN (3, 4) AS is_bot,

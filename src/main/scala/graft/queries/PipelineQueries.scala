@@ -225,7 +225,8 @@ object PipelineQueries {
          |    WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
          |    ELSE 'curl/8.0.1' END AS user_agent,
          |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
-         |    WHEN 2 THEN 'Firefox' WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_browser_family,
+         |    WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Googlebot'
+         |    WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_browser_family,
          |  CASE event_id % 6 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
          |    WHEN 2 THEN 'Linux' ELSE 'Other' END AS ua_os_family,
          |  '-' AS error_reason

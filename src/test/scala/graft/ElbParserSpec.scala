@@ -92,6 +92,28 @@ class ElbParserSpec extends SparkSpec {
     assert(r.getAs[Any]("request") === "BROKEN")
   }
 
+  test("'- - -' request (connection closed early) decomposes like urlparse") {
+    // AWS emits the literal '- - -' request when the client closes the
+    // connection before sending a request; urlparse('-') puts '-' in
+    // PATH (scheme-less input), which tools/ref_diff.py proved against
+    // the reference itself — parse_url alone would null it
+    val line = goldenLine.replace(
+      "\"GET https://members.erank.com:443/ HTTP/1.1\"", "\"- - -\"")
+    val r = parseOne(line).collect().head
+    assert(r.getAs[Any]("http_method") === "-")
+    assert(r.getAs[Any]("full_url") === "-")
+    assert(r.getAs[Any]("http_version") === "-")
+    assert(r.getAs[Any]("protocol") === "")
+    assert(r.getAs[Any]("hostname") === null)
+    assert(r.getAs[Any]("port") === null)
+    assert(r.getAs[Any]("path") === "-")
+    assert(r.getAs[Any]("query_params") === "")
+    // path features over it, as the reference computes them
+    val f = ElbParser.addPathFeatures(parseOne(line)).collect().head
+    assert(f.getAs[Any]("path_depth") === 1)
+    assert(f.getAs[Any]("path_main_segment") === "")
+  }
+
   test("filterCategorize drops health-check UAs and flags WAF") {
     val df = ElbParser.filterCategorize(parseOne(goldenLine))
     // Datadog UA is a health-check agent → dropped

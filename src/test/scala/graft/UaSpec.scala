@@ -23,6 +23,8 @@ class UaSpec extends SparkSpec {
     ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
       "Safari", "Mac OS X", false),
     ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+      "Firefox", "Ubuntu", false),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
       "Firefox", "Linux", false),
     ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
       "Chrome Mobile", "Android", false),
@@ -53,9 +55,23 @@ class UaSpec extends SparkSpec {
     ("Wget/1.21.4", "Wget", "Other", false),
     ("python-requests/2.31.0", "Python Requests", "Other", false),
     ("Python-urllib/3.11", "Python-urllib", "Other", true),  // python-urllib keyword
-    ("Googlebot/2.1 (+http://www.google.com/bot.html)", "Other", "Other", true),
+    ("Googlebot/2.1 (+http://www.google.com/bot.html)", "Googlebot", "Other", true),
+    // Googlebot-Smartphone embeds a full Chrome Mobile UA — the named
+    // crawler rule must still win (uap-core order)
+    ("Mozilla/5.0 (Linux; Android 6.0.1; Nexus 5X Build/MMB29P) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+      "Googlebot", "Android", true),
     ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
-      "Other", "Other", true),
+      "bingbot", "Other", true),
+    ("Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)",
+      "YandexBot", "Other", true),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/119.0.6045.105 Safari/537.36",
+      "HeadlessChrome", "Windows", false),
+    ("okhttp/4.12.0", "okhttp", "Other", false),
+    ("Go-http-client/2.0", "Go-http-client", "Other", false),
+    ("Java/17.0.9", "Java", "Other", false),
+    ("Apache-HttpClient/4.5.14 (Java/11.0.21)", "Apache-HttpClient", "Other", false),
+    ("Python/3.11 aiohttp/3.9.1", "Python aiohttp", "Other", false),
+    ("axios/1.6.2", "axios", "Other", false),
     ("Datadog Agent/7.54.0", "Other", "Other", true),
     ("Pingdom.com_bot_version_1.4_(http://www.pingdom.com/)", "Other", "Other", true),
     ("Nagios-Plugins 2.3.3", "Other", "Other", true),
