@@ -287,4 +287,54 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"corpus: $docs")
     }
   }
+
+  test("chunked trailing windows equal the plain window over random skewed timelines") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Rolling
+    // random (key, offset-seconds, value) rows: few keys (heavy
+    // collisions), offsets spanning many hour blocks with gaps both
+    // shorter and longer than the frames, block-boundary-exact hits
+    // via the multiple-of-3600 generator branch
+    val row: Gen[(Long, Long, Long)] = for {
+      key <- Gen.choose(0L, 2L)
+      off <- Gen.oneOf(
+        Gen.choose(0L, 5L * 3600L),
+        Gen.choose(0L, 5L).map(_ * 3600L)) // exactly on hour boundaries
+      v <- Gen.choose(1L, 9L)
+    } yield (key, off, v)
+    val timeline: Gen[List[(Long, Long, Long)]] =
+      Gen.choose(30, 120).flatMap(n => Gen.listOfN(n, row))
+    // all samples in ONE batched pass: tag rows by sample id and make
+    // the window key (sample, key) so samples can't interact
+    val all = samples(timeline, 40).zipWithIndex.flatMap { case (rows, i) =>
+      rows.zipWithIndex.map { case ((k, off, v), j) =>
+        (i.toLong, k, i.toLong * 1000000 + j,
+          new Timestamp(1748217600000L + off * 1000L), v.toDouble)
+      }
+    }
+    val df = all.toDF("sample", "key", "row_id", "ts", "value")
+      .withColumn("ckey", concat_ws(":", col("sample"), col("key")))
+    def r5(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rangeBetween(-(Rolling.FiveMinutes - 1), 0)
+    def r1(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rangeBetween(-(Rolling.OneHour - 1), 0)
+    val plain = df
+      .withColumn("c5", count(col("row_id"))
+        .over(Rolling.trailing(col("ckey"), col("ts"), Rolling.FiveMinutes)))
+      .withColumn("s1", sum(col("value").cast("decimal(12,2)"))
+        .over(Rolling.trailing(col("ckey"), col("ts"), Rolling.OneHour)))
+      .select(col("row_id"), col("c5"), col("s1").cast("string").as("s1"))
+    val chunked = Rolling.trailingChunked(df, col("ckey"), col("ts"), Rolling.OneHour)(
+      (w => count(col("row_id")).over(r5(w)), "c5"),
+      (w => sum(col("value").cast("decimal(12,2)")).over(r1(w)), "s1"))
+      .select(col("row_id"), col("c5").as("c5b"), col("s1").cast("string").as("s1b"))
+    // duplicate (key, ts) pairs exist by construction; the range frames
+    // give tied rows identical frame contents, so the per-row compare
+    // is still exact
+    val bad = plain.join(chunked, "row_id")
+      .where(col("c5") =!= col("c5b") || col("s1") =!= col("s1b"))
+    assert(bad.count() === 0)
+    assert(chunked.count() === all.size)
+  }
 }

@@ -356,6 +356,7 @@ def diff_frames(name, ref, eng, key, report, float_rtol=1e-9):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lines", type=int, default=12000)
+    ap.add_argument("--seed", type=int, default=20260814)
     ap.add_argument("--json", default=os.path.join(REPO, "REF_DIFF.json"))
     args = ap.parse_args()
 
@@ -363,7 +364,7 @@ def main():
     logs_dir = os.path.join(workdir, "logs")
     os.makedirs(logs_dir)
     print(f"[ref_diff] workdir={workdir}")
-    gen_corpus(logs_dir, args.lines)
+    gen_corpus(logs_dir, args.lines, seed=args.seed)
 
     mod = load_reference(workdir)
     ref_df = run_reference(mod, logs_dir)
