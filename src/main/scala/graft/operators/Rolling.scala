@@ -55,11 +55,13 @@ object Rolling {
       .withColumn("_carry", lit(false))
     val both = base.unionByName(
       base.withColumn("_blk", col("_blk") + 1).withColumn("_carry", lit(true)))
-    val withFrames = frames.foldLeft(both) { case (acc, (mk, name)) =>
-      acc.withColumn(name, mk(
-        Window.partitionBy(keyCol, col("_blk")).orderBy(unix_micros(timeCol))))
-    }
-    withFrames.where(!col("_carry")).drop("_blk", "_carry")
+    // all frame columns in ONE projection: sequential withColumn would
+    // leave a Project between the Window nodes, defeating CollapseWindow
+    // — one select plans a single Window node + sort for every frame
+    // sharing the (key, block) spec
+    val spec = Window.partitionBy(keyCol, col("_blk")).orderBy(unix_micros(timeCol))
+    both.select(col("*") +: frames.map { case (mk, name) => mk(spec).as(name) }: _*)
+      .where(!col("_carry")).drop("_blk", "_carry")
   }
 
   /** The reference's exact pair: 5-min trailing request count + 1-h
