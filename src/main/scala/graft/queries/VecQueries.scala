@@ -78,6 +78,10 @@ object VecQueries {
     * matches exactly, zero-hit queries included.
     */
   def similarityRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT persisted: caching the shared corpus subtree was measured
+    // SLOWER (10.3 s vs 5.6 s at sf0.1) — the 7 methods' scans are
+    // cheap columnar reads, and the InMemoryRelation write + lost
+    // scan-level optimizations cost more than the re-reads save.
     val truth = topkBrute(spark, sfDir).select("query_id", "neighbor_id")
     val qs = truth.select("query_id").distinct()
     def recall(approx: DataFrame, method: String): DataFrame = {
