@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NfcNormalize.nfc_normalize
+
+/** Corpus-hygiene transforms a pretraining pipeline runs before any
+  * dedup/quality pass: canonical text normalization and cross-corpus
+  * boilerplate (repeated-segment) removal, the C4-style "drop any line
+  * that repeats across documents" rule re-expressed for Spark.
+  *
+  * Reference scope: the reference engine normalizes/cleans per-field
+  * (e.g. quote strip + case rules in its ELB parser); these operators
+  * generalize that to whole-document hygiene at corpus scale.
+  */
+object Hygiene {
+
+  /** Canonical text form: Unicode NFC (codegen expression — see
+    * [[graft.functions.NfcNormalize]]), lowercase, whitespace runs
+    * collapsed to single spaces, trimmed. The whole chain is one
+    * narrow projection inside whole-stage codegen: no shuffle, no UDF,
+    * scales embarrassingly with input splits.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(nfc_normalize(text)), "\\s+", " "))
+
+  /** Cross-corpus repeated-segment removal.
+    *
+    * Documents are segmented into consecutive `chunkWords`-word spans
+    * (the corpus has no line structure; fixed word spans play the role
+    * of C4's lines). Any span whose text occurs in at least
+    * `minDocFreq` DISTINCT documents is boilerplate and is dropped
+    * from every document; survivors are reassembled in original order.
+    * Emits one row per input document — a fully-boilerplate document
+    * comes back with empty text, so downstream length filters can cull
+    * it explicitly rather than it vanishing.
+    *
+    * Scale shape (100 TB posture):
+    *  - segmenting is a per-row generator — no shuffle;
+    *  - the document-frequency pass groups on `md5(chunk)` (fixed
+    *    16-byte shuffle keys instead of arbitrary-length text) with
+    *    map-side partial aggregation;
+    *  - the verdict joins back on the same md5 key — two hash
+    *    shuffles total, never all-pairs;
+    *  - reassembly is one `groupBy(doc)` whose state is bounded by a
+    *    single document's chunk list.
+    * md5 collisions would need 2⁶⁴⁺ distinct chunks to matter; the
+    * exactness caveat is documented rather than paid for.
+    */
+  def dedupBoilerplate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkWords: Int = 8,
+      minDocFreq: Int = 2): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+
+    val w = split(col(textCol), " ")
+    // Chunk starts 0, k, 2k, …, ≤ size-1: the final partial span is a
+    // chunk too (dropping it would lose document tail text on
+    // reassembly). split() never yields an empty array, so the
+    // sequence bound size-1 >= 0 always holds.
+    val chunks = docs.select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(0), size(w) - 1, lit(chunkWords)),
+          s => struct(
+            s.as("start"),
+            concat_ws(" ", slice(w, s + 1, lit(chunkWords))).as("chunk"))))
+          .as("c"))
+      .select(col(idCol), col("c.start").as("start"), col("c.chunk").as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+
+    val docFreq = chunks
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("chunk_df"))
+
+    val keep = col("chunk_df") < minDocFreq
+    chunks.join(docFreq, "h")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep,
+              struct(col("start"), col("chunk"))))),
+            _.getField("chunk")),
+          " ").as("clean_text"),
+        sum(when(keep, 1L).otherwise(0L)).as("chunks_kept"),
+        sum(when(keep, 0L).otherwise(1L)).as("chunks_dropped"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.NfcNormalize
+import graft.operators.{Hygiene, Privacy}
+
+class PrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- NFC
+
+  test("NfcNormalize composes decomposed sequences and is ASCII-identity") {
+    // e + combining acute -> é; A + combining ring -> Å
+    val decomposed = "Café Ångström"
+    val composed = "Café Ångström"
+    val out = Seq(decomposed).toDF("s")
+      .select(NfcNormalize.nfc_normalize(col("s")).as("n"))
+      .head().getString(0)
+    assert(out == composed)
+
+    // ASCII fast path: the exact same UTF8String instance comes back —
+    // no decode/copy for the dominant case.
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    // Already-NFC non-ASCII: no reallocation either.
+    val nfcAlready = UTF8String.fromString(composed)
+    assert(NfcNormalize.nfc(nfcAlready) eq nfcAlready)
+
+    // Null propagates (UnaryExpression default null-intolerance).
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(NfcNormalize.nfc_normalize(col("s")).as("n"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
+  test("normalizeText collapses whitespace, lowercases, trims") {
+    val out = Seq("  Å  b\t\tC\nd ").toDF("s")
+      .select(Hygiene.normalizeText(col("s")).as("n"))
+      .head().getString(0)
+    assert(out == "å b c d")
+  }
+
+  // ---------------------------------------------- boilerplate removal
+
+  private val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // one full 8-word chunk
+
+  test("dedupBoilerplate drops cross-document chunks, keeps order and tails") {
+    val docs = Seq(
+      // boilerplate prefix + 9 unique words -> chunks: [boiler][u1..u8][u9]
+      (1L, s"$boiler a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (2L, s"$boiler c1 c2 c3 c4 c5 c6 c7 c8"),
+      (3L, boiler), // fully boilerplate -> empty text survives as a row
+      (4L, "solo words only here")
+    ).toDF("doc_id", "text")
+
+    val out = Hygiene.dedupBoilerplate(docs, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+    assert(out(1L) == (("a1 a2 a3 a4 a5 a6 a7 a8 a9", 2L, 1L)))
+    assert(out(2L) == (("c1 c2 c3 c4 c5 c6 c7 c8", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+    assert(out(4L) == (("solo words only here", 1L, 0L)))
+  }
+
+  test("dedupBoilerplate round-trips untouched docs exactly") {
+    // No cross-doc repetition: reassembly must be byte-identical, even
+    // with a trailing partial chunk.
+    val docs = Seq(
+      (1L, (1 to 19).map(i => s"w$i").mkString(" ")),
+      (2L, "x")
+    ).toDF("doc_id", "text")
+    val out = Hygiene.dedupBoilerplate(docs, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == (1 to 19).map(i => s"w$i").mkString(" "))
+    assert(out(2L) == "x")
+  }
+
+  // ------------------------------------------------------- k-anonymity
+
+  test("kAnonymity histograms class sizes; rows are conserved") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1), // class of 3
+      ("b", 1), ("b", 1),           // class of 2
+      ("c", 2)                      // class of 1
+    ).toDF("seg", "nat")
+    val out = Privacy.kAnonymity(df, Seq(col("seg"), col("nat")), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(3L) == ((1L, 3L, 1)))
+    assert(out(2L) == ((1L, 2L, 0)))
+    assert(out(1L) == ((1L, 1L, 0)))
+    assert(out.values.map(_._2).sum == df.count())
+  }
+
+  // ------------------------------------------------------ DP mechanism
+
+  test("twoSidedGeometric matches an independent md5 reference, bounded") {
+    def refDraw(salt: String, key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5)
+      val u = java.lang.Long.parseLong(hex, 16) + 1
+      math.max(20 - java.lang.Long.toBinaryString(u).length, 0).toLong
+    }
+    val keys = (0 until 500).map(i => s"k$i")
+    val got = keys.toDF("k")
+      .select(col("k"), Privacy.twoSidedGeometric(col("k"), "s").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val expected = refDraw("sA", k) - refDraw("sB", k)
+      assert(got(k) == expected, s"key $k")
+      assert(math.abs(got(k)) <= 20)
+    }
+    // Two-sided symmetry: the empirical mean over 500 keys sits near 0
+    // (each draw is ± difference of two geometric(1/2) variables,
+    // variance 4, so |mean| < 0.5 holds with overwhelming margin).
+    val mean = got.values.sum.toDouble / got.size
+    assert(math.abs(mean) < 0.5, s"mean $mean")
+  }
+
+  test("dpNoisyCount is layout-independent and clamps at zero") {
+    val df = (0 until 100).map(i => (s"t${i % 3}", i)).toDF("g", "v")
+    val a = Privacy.dpNoisyCount(df, "g", "x").collect().toSet
+    val b = Privacy.dpNoisyCount(df.repartition(7, col("v")), "g", "x")
+      .collect().toSet
+    assert(a == b)
+    a.foreach { r =>
+      assert(r.getLong(r.fieldIndex("noisy_count")) >= 0L)
+      assert(r.getLong(r.fieldIndex("noisy_count")) ==
+        math.max(r.getLong(r.fieldIndex("true_count")) +
+          r.getLong(r.fieldIndex("noise")), 0L))
+    }
+  }
+
+  // ---------------------------------------------------- pseudonymize
+
+  test("piiAnonymize suppresses exactly the sub-k classes; stable pseudonyms") {
+    val rows = (0 until 12).map(i => (i.toLong, s"name$i", 1234.5 + i, 7, "BIG")) ++
+      Seq((100L, "rare", -50.0, 9, "SMALL"))
+    val df = rows.toDF("id", "name", "bal", "nat", "seg")
+    val out = Privacy.piiAnonymize(df, "id", "name", "bal",
+        Seq("nat", "seg"), salt = "s", bandWidth = 1000, k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val big = out(0L)
+    assert(big.getInt(big.fieldIndex("nat")) == 7) // class of 12 kept
+    val rare = out(100L)
+    assert(rare.isNullAt(rare.fieldIndex("nat"))) // class of 1 suppressed
+    assert(rare.isNullAt(rare.fieldIndex("seg")))
+    assert(rare.getLong(rare.fieldIndex("bal_band")) == -1000L)
+    assert(big.getLong(big.fieldIndex("bal_band")) == 1000L)
+
+    // Pseudonym: 12 hex chars, deterministic, distinct per name.
+    val ps = out.values.map(r => r.getString(r.fieldIndex("pseudonym"))).toSeq
+    assert(ps.forall(_.matches("[0-9a-f]{12}")))
+    assert(ps.distinct.size == ps.size)
+    val again = Privacy.piiAnonymize(df, "id", "name", "bal",
+        Seq("nat", "seg"), salt = "s", bandWidth = 1000, k = 10)
+      .collect().map(r => r.getString(1)).toSet
+    assert(again == ps.toSet)
+  }
+}
