@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Analytics, Evaluation}
+import graft.operators.{Analytics, Evaluation, Incremental}
 
 /** Product-analytics surface over `events`/`orders`: cube, pivot,
   * ordered-step funnel, cohort retention, and SCD2 history. The
@@ -333,6 +333,47 @@ object AnalyticsQueries {
       Seq("o_orderkey"), "seq", "op")
   }
 
+  /** Incremental aggregate-view maintenance: the per-priority
+    * (count, spend) aggregate kept current under a before/after-image
+    * changelog WITHOUT rescanning orders — only the changelog is
+    * aggregated and merged into the stored aggregate
+    * ([[Incremental.incrementalAgg]]). The changelog is a consistent
+    * chain (updates at seq 1, deletes at seq 2, so %91 keys are
+    * updated THEN deleted and the delete's before-image is the
+    * already-updated row); the oracle is the FULL RECOMPUTE over the
+    * post-changelog table, so the gate proves incremental ≡ recompute
+    * including group migration into X-UPD and groups born from
+    * inserts.
+    */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint").as("cents"))
+    val baseAgg = base
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("bigint")
+    val upd = base.where(col("o_orderkey") % 7 === 0).select(
+      col("o_orderpriority").as("before_grp"), col("cents").as("before_val"),
+      lit("X-UPD").as("after_grp"), col("cents").as("after_val"))
+    // deletes run AFTER updates, so their before-image is the
+    // post-update row — the chain-consistency the telescoping sum needs
+    val del = base.where(col("o_orderkey") % 13 === 0).select(
+      when(col("o_orderkey") % 7 === 0, lit("X-UPD"))
+        .otherwise(col("o_orderpriority")).as("before_grp"),
+      col("cents").as("before_val"),
+      nullS.as("after_grp"), nullL.as("after_val"))
+    val ins = base.where(col("o_orderkey") % 17 === 0).select(
+      nullS.as("before_grp"), nullL.as("before_val"),
+      lit("X-NEW").as("after_grp"), col("cents").as("after_val"))
+    Incremental.incrementalAgg(
+      baseAgg, upd.unionByName(del).unionByName(ins),
+      "grp", "n_orders", "sum_cents",
+      "before_grp", "before_val", "after_grp", "after_val")
+  }
+
   /** Rolling exact median of event value (21-row frame per user) —
     * see [[Analytics.rollingMedian]] for why the holistic aggregate
     * still rides one window exchange.
@@ -368,6 +409,7 @@ object AnalyticsQueries {
     "cusum_changepoint" -> cusumExcursions,
     "snapshot_diff" -> snapshotDiff,
     "cdc_apply" -> cdcApply,
+    "agg_incremental" -> aggIncremental,
     "stats_corr" -> statsCorr,
     "stats_ols" -> statsOls,
     "market_basket" -> marketBasket,
@@ -756,6 +798,21 @@ object AnalyticsQueries {
         |FROM cents
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "agg_incremental" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |), final AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X-UPD'
+        |              ELSE o_orderpriority END AS grp, cents
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'X-NEW' AS grp, cents FROM base WHERE o_orderkey % 17 = 0
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY 1""".stripMargin,
     "cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice

@@ -67,6 +67,19 @@ object PrivacyQueries {
     Privacy.dpNoisyCount(
       Tables.events(spark, sfDir), "event_type", salt = "graft-dp-r9")
 
+  /** Streaming twin of [[dpNoisyCount]]: the count is a Complete-mode
+    * stateful aggregation, the noise a stateless post-agg projection —
+    * deterministic draws mean the live release and the batch release
+    * publish the SAME noisy counts (the whole point of keyed noise:
+    * re-emission must not spend fresh privacy budget).
+    */
+  def streamingDpCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.streaming.StreamingPipeline.readEvents(spark, sfDir)
+    graft.streaming.StreamingPipeline.runToMemory(
+      Privacy.dpNoisyCount(events, "event_type", salt = "graft-dp-r9"),
+      "graft_stream_dp")
+  }
+
   /** Customer PII release prep: salted pseudonym for the name, $1000
     * account-balance band, (nation, segment) suppressed to NULL for
     * equivalence classes smaller than 10.
@@ -83,6 +96,7 @@ object PrivacyQueries {
     "dedup_boilerplate" -> dedupBoilerplate,
     "k_anonymity" -> kAnonymity,
     "dp_noisy_count" -> dpNoisyCount,
+    "streaming_dp_count" -> streamingDpCount,
     "pii_anonymize" -> piiAnonymize
   )
 
@@ -125,7 +139,24 @@ object PrivacyQueries {
         |  CAST(sum(class_size) AS BIGINT) AS n_rows,
         |  CAST(class_size >= 5 AS INT) AS anonymous
         |FROM classes GROUP BY 1""".stripMargin,
-    "dp_noisy_count" ->
+    "dp_noisy_count" -> DpCountOracle,
+    "streaming_dp_count" -> DpCountOracle,
+    "pii_anonymize" ->
+      """WITH s AS (
+        |  SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |    AS class_size
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  substring(md5('graft-pii-r9:' || c_name), 1, 12) AS pseudonym,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS c_acctbal_band,
+        |  CAST(class_size AS BIGINT) AS class_size,
+        |  CASE WHEN class_size >= 10 THEN c_nationkey END AS c_nationkey,
+        |  CASE WHEN class_size >= 10 THEN c_mktsegment END AS c_mktsegment
+        |FROM s""".stripMargin
+  )
+
+  private lazy val DpCountOracle =
       """WITH g AS (
         |  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
         |), n AS (
@@ -141,19 +172,5 @@ object PrivacyQueries {
         |SELECT event_type, CAST(true_count AS BIGINT) AS true_count,
         |  CAST(noise AS BIGINT) AS noise,
         |  CAST(greatest(true_count + noise, 0) AS BIGINT) AS noisy_count
-        |FROM n""".stripMargin,
-    "pii_anonymize" ->
-      """WITH s AS (
-        |  SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
-        |    AS class_size
-        |  FROM customer
-        |)
-        |SELECT c_custkey,
-        |  substring(md5('graft-pii-r9:' || c_name), 1, 12) AS pseudonym,
-        |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS c_acctbal_band,
-        |  CAST(class_size AS BIGINT) AS class_size,
-        |  CASE WHEN class_size >= 10 THEN c_nationkey END AS c_nationkey,
-        |  CASE WHEN class_size >= 10 THEN c_mktsegment END AS c_mktsegment
-        |FROM s""".stripMargin
-  )
+        |FROM n""".stripMargin
 }
