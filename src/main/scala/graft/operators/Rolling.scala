@@ -78,4 +78,44 @@ object Rolling {
     df.withColumn("rolling_5min_request_count", count(col(countCol)).over(w5))
       .withColumn("rolling_1h_avg_processing", avg(col(avgCol)).over(w1))
   }
+
+  /** Exponentially-weighted moving average (α = ½) over the last
+    * `depth` rows per key, on the exact integer domain.
+    *
+    * Float EWMA is a power series — partition-order FP drift makes it
+    * unverifiable across engines, and an unbounded recursion doesn't
+    * fit a window frame anyway. Truncating at `depth` half-lives makes
+    * the weights exact powers of two: lag j contributes
+    * `cents · 2^(depth-1-j)`, the normalizer is the sum of the weights
+    * actually present (short heads and NULL values self-normalize),
+    * and the final division of two exactly-representable integers is
+    * correctly rounded — bit-identical on any engine. With α = ½ the
+    * dropped tail weighs 2^-depth ≤ 1.5e-5 of the mass: truncation IS
+    * the definition here, not an approximation of something else.
+    *
+    * Plan shape: all `2·depth` lag expressions share ONE window spec —
+    * a single partition-keyed exchange + sort, everything inside
+    * whole-stage codegen (lag is a pure offset expression; no HOF
+    * fallback, no self-join fan-out — the reference's merge-back
+    * formulation would join 16 shifted copies).
+    */
+  def ewmaLast(
+      df: DataFrame, keyCol: String, timeCol: String, tieCol: String,
+      centsCol: String, depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    def weight(j: Int): Long = 1L << (depth - 1 - j)
+    val num = (0 until depth).map { j =>
+      coalesce(lag(col(centsCol), j).over(w), lit(0L)) * weight(j)
+    }.reduce(_ + _)
+    val den = (0 until depth).map { j =>
+      when(lag(col(centsCol), j).over(w).isNotNull, lit(weight(j)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("ewma_num", num)
+      .withColumn("ewma_den", den)
+      .withColumn("ewma",
+        when(col("ewma_den") > 0,
+          col("ewma_num").cast("double") / col("ewma_den")))
+  }
 }

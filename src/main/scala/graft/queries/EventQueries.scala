@@ -144,7 +144,26 @@ object EventQueries {
     graft.operators.Analytics.burstCompact(Tables.events(spark, sfDir),
       Seq("user_id", "event_type"), "ts", "event_id", gapMicros = 300000000L)
 
+  /** EWMA (α = ½, 16 half-lives) of event value per user on the exact
+    * integer-cents domain — see [[graft.operators.Rolling.ewmaLast]]
+    * for why truncated power-of-two weights are the only EWMA that
+    * hash-verifies across engines. The oracle reconstructs each frame
+    * by a rn-banded self-join (≤16 rows per anchor), which is the
+    * formulation the window version REPLACES: the join fans every row
+    * out 16×, the window reads each row once.
+    */
+  def ewmaQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Rolling.ewmaLast(
+      Tables.events(spark, sfDir).select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents")),
+      keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+      centsCol = "cents", depth = 16)
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("ewma_num"), col("ewma_den"), col("ewma"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ewma_features" -> ewmaQ,
     "dedup_burst" -> dedupBurst,
     "hopping_agg" -> hoppingAgg,
     "hourly_agg" -> hourlyAgg,
@@ -156,6 +175,28 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ewma_features" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT a.event_id, a.user_id, a.cents,
+        |  CAST(coalesce(sum(b.cents * (CAST(1 AS BIGINT) << (15 - (a.rn - b.rn))))
+        |    FILTER (WHERE b.cents IS NOT NULL), 0) AS BIGINT) AS ewma_num,
+        |  CAST(coalesce(sum(CAST(1 AS BIGINT) << (15 - (a.rn - b.rn)))
+        |    FILTER (WHERE b.cents IS NOT NULL), 0) AS BIGINT) AS ewma_den,
+        |  CASE WHEN coalesce(sum(CAST(1 AS BIGINT) << (15 - (a.rn - b.rn)))
+        |      FILTER (WHERE b.cents IS NOT NULL), 0) > 0 THEN
+        |    CAST(coalesce(sum(b.cents * (CAST(1 AS BIGINT) << (15 - (a.rn - b.rn))))
+        |      FILTER (WHERE b.cents IS NOT NULL), 0) AS DOUBLE)
+        |    / coalesce(sum(CAST(1 AS BIGINT) << (15 - (a.rn - b.rn)))
+        |      FILTER (WHERE b.cents IS NOT NULL), 0)
+        |  END AS ewma
+        |FROM c a JOIN c b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+        |GROUP BY a.event_id, a.user_id, a.cents""".stripMargin,
     "dedup_burst" ->
       """WITH x AS (
         |  SELECT event_id, user_id, event_type, ts,

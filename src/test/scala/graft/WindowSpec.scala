@@ -96,4 +96,38 @@ class WindowSpecSuite extends SparkSpec {
         abs(col("a1") - col("a1b")) > 1e-12)
     assert(diff.count() === 0, "chunked frames must be exact")
   }
+
+  test("ewmaLast: hand-computed weights, short head, null exclusion") {
+    // depth=4 -> weights newest-first 8,4,2,1.
+    val df = Seq(
+      ("a", 1L, Some(100L)),
+      ("a", 2L, Some(200L)),
+      ("a", 3L, None),       // null value: excluded from num AND den
+      ("a", 4L, Some(400L)),
+      ("b", 1L, Some(50L))
+    ).toDF("k", "t", "cents")
+    val out = Rolling.ewmaLast(df, "k", "t", "t", "cents", depth = 4)
+      .select(col("k"), col("t"), col("ewma_num"), col("ewma_den"), col("ewma"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    // t=1: frame [100] -> num 100*8, den 8
+    assert(out(("a", 1L)) == ((800L, 8L, Some(100.0))))
+    // t=2: [100,200] -> 200*8 + 100*4 = 2000, den 12
+    assert(out(("a", 2L)) == ((2000L, 12L, Some(2000.0 / 12))))
+    // t=3: current null -> [_,200@lag1,100@lag2] = 200*4 + 100*2, den 6
+    assert(out(("a", 3L)) == ((1000L, 6L, Some(1000.0 / 6))))
+    // t=4: [400@0, null@1, 200@2, 100@3] -> 3200 + 400 + 100, den 8+2+1
+    assert(out(("a", 4L)) == ((3700L, 11L, Some(3700.0 / 11))))
+    assert(out(("b", 1L)) == ((400L, 8L, Some(50.0))))
+  }
+
+  test("ewmaLast plans one Window node on one exchange") {
+    val df = Seq(("a", 1L, 1L)).toDF("k", "t", "cents")
+    val plan = Rolling.ewmaLast(df, "k", "t", "t", "cents")
+      .queryExecution.executedPlan.toString
+    def cnt(sub: String) = plan.sliding(sub.length).count(_ == sub)
+    assert(cnt("Window") === 1, plan)
+    assert(cnt("Exchange hashpartitioning") === 1, plan)
+  }
 }
