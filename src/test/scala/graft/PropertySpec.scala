@@ -337,4 +337,49 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(chunked.count() === all.size)
   }
+
+  // -- NFC normalization --------------------------------------------
+
+  /** Unicode-dense strings: ASCII, precomposed accents, combining
+    * marks, Hangul jamo (NFC composes them), CJK, astral-plane
+    * emoji (surrogate-pair handling).
+    */
+  val unicodeChar: Gen[String] = Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.oneOf("é", "Å", "ö", "ñ", "ü"),
+    Gen.oneOf("é", "Å", "ö", "ñ", "ü"),
+    Gen.oneOf("가", "한"), // jamo -> syllables
+    Gen.oneOf("漢", "字", "🎉", "𝄞"))
+  val unicodeString: Gen[String] =
+    Gen.listOf(unicodeChar).map(_.mkString)
+
+  test("NfcNormalize agrees with java.text.Normalizer and is idempotent") {
+    import graft.functions.NfcNormalize
+    forAllSampled(unicodeString, 400) { s =>
+      val in = UTF8String.fromString(s)
+      val out = NfcNormalize.nfc(in)
+      assert(out.toString ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      // idempotent: a normalized string passes through untouched
+      assert(NfcNormalize.nfc(out) eq out)
+    }
+  }
+
+  // -- boilerplate removal ------------------------------------------
+
+  test("dedupBoilerplate round-trips any corpus with no repeated span") {
+    import spark.implicits._
+    // Words carry their (doc, position) so no two spans can collide
+    // across documents: removal must then be the identity.
+    val wordCounts = samples(Gen.choose(1, 30), 40)
+    val docs = wordCounts.zipWithIndex.map { case (n, d) =>
+      (d.toLong, (0 until n).map(i => s"d${d}w$i").mkString(" "))
+    }
+    val out = graft.operators.Hygiene
+      .dedupBoilerplate(docs.toDF("doc_id", "text"), minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    docs.foreach { case (d, text) =>
+      assert(out(d) == ((text, 0L)), s"doc $d must round-trip")
+    }
+  }
 }
