@@ -147,4 +147,92 @@ object Sampling {
       .where(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** Temporal train/test split with an embargo gap — the time-series
+    * anti-leakage rule (de Prado's purged split, simplified to one
+    * boundary): train ends at `trainPct`% of the observed time RANGE,
+    * the following `embargoPct`% of the range is DISCARDED so
+    * look-ahead features computed near the boundary can't leak label
+    * information across it, and test is everything after the gap.
+    *
+    * Boundaries are exact integer-microsecond arithmetic on the
+    * (min, max) timestamp pair, so every engine places every row
+    * identically — no percentile estimation, no sampling. Cost: one
+    * map-combining (min, max) aggregate, then a broadcast 1-row bounds
+    * attach + a pushdown-friendly labeling projection; the data is
+    * never shuffled.
+    */
+  def temporalSplit(
+      df: DataFrame, tsCol: String,
+      trainPct: Int = 80, embargoPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && embargoPct >= 0 && trainPct + embargoPct < 100,
+      s"bad split percents: train=$trainPct embargo=$embargoPct")
+    val us = unix_micros(col(tsCol))
+    val bounds = df.agg(
+      min(us).as("_mn"), max(us).as("_mx"))
+    // integer DIV keeps the boundary placement exact on every engine
+    // (float division puts a quotient within one ulp of an integer on
+    // the wrong side of floor)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_cut1",
+        col("_mn") + expr(s"(_mx - _mn) * $trainPct DIV 100"))
+      .withColumn("_cut2",
+        col("_mn") + expr(s"(_mx - _mn) * ${trainPct + embargoPct} DIV 100"))
+      .withColumn("split",
+        when(us < col("_cut1"), "train")
+          .when(us < col("_cut2"), "embargo")
+          .otherwise("test"))
+      .drop("_mn", "_mx", "_cut1", "_cut2")
+  }
+
+  /** Deterministic class-negative sampling for contrastive training:
+    * each anchor row draws `k` partners (with replacement, standard
+    * InfoNCE practice) uniformly from the pool of rows whose label
+    * DIFFERS from the anchor's — rejection-free, because the pool is
+    * materialized per excluded label and indexed densely, so the j-th
+    * draw is just `md5(anchor, j) mod |pool|`. Same md5 determinism as
+    * every sampler here: the draw is a pure function of (salt, anchor,
+    * j), independent of layout, engine, and rerun.
+    *
+    * Cost shape: the pool table is (L−1) copies of the corpus for L
+    * distinct labels — the CLASS-negative formulation, priced for
+    * small L (supervised label sets); similarity-based hard negatives
+    * at large L are the ANN side's job ([[Similarity]]). One window
+    * rank per label partition, one broadcast size attach, one
+    * (label, rank) hash join for the draws. The 60-bit-hash mod m
+    * carries a ≤ m·2⁻⁶⁰ modulo bias — negligible and deterministic.
+    */
+  def negativeSample(
+      df: DataFrame, idCol: String, labelCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val labels = df.select(col(labelCol).as("_alab")).distinct()
+    val pool = broadcast(labels)
+      .join(df.select(col(idCol).as("_nid"), col(labelCol).as("_nlab")),
+        col("_alab") =!= col("_nlab"))
+    val ranked = pool.withColumn("_r",
+      row_number().over(
+        Window.partitionBy(col("_alab")).orderBy(col("_nid"))) - 1)
+    // pool size per excluded label is just N − count(label): one tiny
+    // aggregate instead of re-materializing the (L−1)·n pool subtree
+    val counts = df.groupBy(col(labelCol).as("_alab"))
+      .agg(count(lit(1)).as("_c"))
+    val sizes = counts
+      .crossJoin(broadcast(counts.agg(sum(col("_c")).as("_n"))))
+      .select(col("_alab"), (col("_n") - col("_c")).as("_m"))
+    val draws = df.select(col(idCol).as("anchor_id"), col(labelCol).as("_alab"))
+      .join(broadcast(sizes), "_alab")
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("_idx",
+        conv(substring(md5(concat(lit(salt), lit(":"),
+            col("anchor_id").cast("string"), lit(":"),
+            col("j").cast("string"))), 1, 15), 16, 10)
+          .cast("bigint") % col("_m"))
+    draws.join(ranked, Seq("_alab"))
+      .where(col("_idx") === col("_r"))
+      .select(col("anchor_id"), col("j"),
+        col("_nid").as("neg_id"),
+        col("_alab").as("anchor_label"),
+        col("_nlab").as("neg_label"))
+  }
 }

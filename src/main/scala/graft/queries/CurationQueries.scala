@@ -144,7 +144,25 @@ object CurationQueries {
         T.wordCount(col("text")).as("n_tokens"))
   }
 
+  /** Temporal split with a 5%-of-range embargo gap over the event log
+    * — see [[graft.operators.Sampling.temporalSplit]] for the
+    * look-ahead-leakage rationale and the exact integer boundary
+    * arithmetic. The registered readout is per-split row/user counts
+    * and time extents, which pins both boundaries exactly.
+    */
+  def splitTemporal(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling
+      .temporalSplit(Tables.events(spark, sfDir), "ts",
+        trainPct = 80, embargoPct = 5)
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_temporal" -> splitTemporal,
     "seq_pack" -> seqPack,
     "pack_emit" -> packEmit,
     "doc_chunks" -> docChunks,
@@ -157,6 +175,20 @@ object CurationQueries {
   // -- oracle SQL ------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "split_temporal" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+        |), s AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) < mn + (mx - mn) * 80 // 100 THEN 'train'
+        |         WHEN epoch_us(ts) < mn + (mx - mn) * 85 // 100 THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM events, b
+        |)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us
+        |FROM s GROUP BY 1""".stripMargin,
     "seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(${TextQueries.nWords} AS BIGINT) AS n_tokens FROM documents),

@@ -111,7 +111,18 @@ object VecQueries {
   def topkRrf(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.rrfFuse(topkLshMp(spark, sfDir), topkIvfMp(spark, sfDir), k = 5)
 
+  /** Deterministic class-negative draws (k = 4 per anchor) over the
+    * labeled embedding table — the contrastive-pair builder; see
+    * [[graft.operators.Sampling.negativeSample]] for the
+    * rejection-free md5-indexing scheme and its class-count pricing.
+    */
+  def negativeSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.negativeSample(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+      idCol = "vec_id", labelCol = "label", k = 4, salt = "graft-neg-r9")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "negative_sample" -> negativeSample,
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
     "similarity_lsh_mp" -> topkLshMp,
@@ -226,6 +237,25 @@ object VecQueries {
       |  FROM n v CROSS JOIN tc2n c WHERE v.vec_id < 10) WHERE rn <= 12)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "negative_sample" ->
+      """WITH lab AS (SELECT DISTINCT label AS alab FROM embeddings),
+        |pool AS (
+        |  SELECT l.alab, e.vec_id AS nid, e.label AS nlab,
+        |    row_number() OVER (PARTITION BY l.alab ORDER BY e.vec_id) - 1 AS r
+        |  FROM lab l JOIN embeddings e ON e.label <> l.alab
+        |), m AS (SELECT alab, count(*) AS m FROM pool GROUP BY 1),
+        |d AS (
+        |  SELECT e.vec_id AS anchor_id, e.label AS alab,
+        |    CAST(t.j AS INT) AS j,
+        |    ('0x' || substring(md5('graft-neg-r9:'
+        |        || CAST(e.vec_id AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)),
+        |      1, 15))::BIGINT % m.m AS idx
+        |  FROM embeddings e JOIN m ON m.alab = e.label,
+        |    unnest(range(1, 5)) t(j)
+        |)
+        |SELECT d.anchor_id, d.j, p.nid AS neg_id,
+        |  d.alab AS anchor_label, p.nlab AS neg_label
+        |FROM d JOIN pool p ON p.alab = d.alab AND p.r = d.idx""".stripMargin,
     "similarity_ivf_train" ->
       s"""WITH $qCte,
          |$ivfTrainCtes

@@ -38,7 +38,9 @@ class PlanSweepSpec extends SparkSpec {
     "dedup_weights", "split_leakage_safe", "curate_corpus",
     "similarity_ivf", "similarity_ivf_mp", "similarity_ivf_train",
     "similarity_lsh", "similarity_lsh_mp", "similarity_rrf",
-    "decontaminate")
+    "decontaminate",
+    "split_temporal",       // 1-row broadcast(bounds) attach
+    "negative_sample")      // broadcast(L labels) ≠-join builds the pool
 
   /** Queries that legitimately plan a range partitioning (explicit
     * sorted output or range-clustered write).

@@ -109,4 +109,40 @@ class SamplingSpec extends SparkSpec {
     assert(again.exceptAll(
       Sampling.weightedSample(df, "id", "w", 2.0)).count() === 0)
   }
+
+  test("temporalSplit: exact boundaries, embargo strictly between") {
+    // 100 rows at seconds 0..99: span = 99s. cut1 = 0 + 99*80 DIV 100
+    // = 79.2s -> 79,200,000 us; cut2 = 99*85 DIV 100 = 84.15s.
+    val df = (0 until 100).map(i =>
+        (i.toLong, new java.sql.Timestamp(i * 1000L)))
+      .toDF("id", "ts")
+    val out = Sampling.temporalSplit(df, "ts", trainPct = 80, embargoPct = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split")))
+      .toMap
+    assert(out.values.toSet == Set("train", "embargo", "test"))
+    assert(out(78L) == "train" && out(79L) == "train")  // 79.0s < 79.2s
+    assert(out(80L) == "embargo")
+    assert(out(84L) == "embargo")                       // 84.0s < 84.15s
+    assert(out(85L) == "test")
+    assert((0 until 100).forall(i => out(i.toLong) ==
+      (if (i <= 79) "train" else if (i <= 84) "embargo" else "test")))
+  }
+
+  test("negativeSample: k cross-label draws per anchor, layout-independent") {
+    val df = (0 until 60).map(i => (i.toLong, i % 3)).toDF("id", "lab")
+    val out = Sampling.negativeSample(df, "id", "lab", k = 4, salt = "t")
+    val rows = out.collect()
+    assert(rows.length == 60 * 4)
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("anchor_label")) !=
+        r.getInt(r.fieldIndex("neg_label")))
+    }
+    // every anchor draws exactly j = 1..4
+    val perAnchor = rows.groupBy(_.getLong(0))
+    assert(perAnchor.forall(_._2.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4)))
+    val again = Sampling.negativeSample(
+      df.repartition(7), "id", "lab", k = 4, salt = "t")
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+  }
 }
