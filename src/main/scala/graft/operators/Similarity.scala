@@ -50,7 +50,8 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  private def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+  private def prepared(df: DataFrame, idCol: String, embCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     // every top-k path feeds ids through TopKByScore via cast("long"):
     // a non-ANSI cast of a string id would null out and the aggregate
     // would silently return ZERO neighbors for every query — fail loud
@@ -63,7 +64,8 @@ object Similarity {
       case dt => throw new IllegalArgumentException(
         s"similarity ids must be integral; '$idCol' is $dt")
     }
-    df.select(col(idCol), Dedup.quantize(col(embCol)).as("q"))
+    df.select(col(idCol) +: keep.map(col) :+
+        Dedup.quantize(col(embCol)).as("q"): _*)
       .withColumn("n2", Dedup.squaredNorm(col("q")))
   }
 
@@ -103,6 +105,45 @@ object Similarity {
         .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
     rankRows(grouped, Seq("query_id"))
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Hard-negative mining for contrastive training: each anchor's
+    * top-k most-similar CROSS-label vectors — the "looks alike, isn't"
+    * pairs InfoNCE training actually learns from (uniform class
+    * negatives are [[Sampling.negativeSample]]'s job; this is the
+    * similarity-weighted complement that stays priced at any label
+    * count).
+    *
+    * Execution discipline is [[bruteForceTopK]]'s: anchors broadcast,
+    * the label-disjointness predicate rides the scoring join (same-
+    * label pairs are never scored), ranking is the map-side
+    * bounded-heap aggregate. The negative's own label re-attaches by
+    * broadcasting the |anchors|·k result back onto the corpus label
+    * projection — the corpus streams, never shuffles.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, embCol, Seq(labelCol))
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("nlab"),
+        col("q").as("qc"), col("n2").as("n2c"))
+    val qs = prepared(queries, idCol, embCol, Seq(labelCol))
+      .select(col(idCol).as("query_id"), col(labelCol).as("anchor_label"),
+        col("q").as("qq"), col("n2").as("n2q"))
+    val grouped = c.join(broadcast(qs),
+        col("query_id") =!= col("neighbor_id") &&
+          col("anchor_label") =!= col("nlab"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .groupBy(col("query_id"), col("anchor_label"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+    val ranked = rankRows(grouped, Seq("query_id", "anchor_label"))
+      .select("query_id", "anchor_label", "neighbor_id", "rank", "cosine")
+    corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("neg_label"))
+      .join(broadcast(ranked), "neighbor_id")
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neg_label"), col("rank"), col("cosine"))
   }
 
   /** IVF (inverted-file) ANN with a deterministic coarse quantizer:

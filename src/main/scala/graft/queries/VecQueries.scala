@@ -121,8 +121,19 @@ object VecQueries {
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
       idCol = "vec_id", labelCol = "label", k = 4, salt = "graft-neg-r9")
 
+  /** Top-5 most-similar cross-label neighbors per anchor (vec_id < 10)
+    * — see [[Similarity.hardNegatives]].
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.distributed(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    Similarity.hardNegatives(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "negative_sample" -> negativeSample,
+    "hard_negatives" -> hardNegatives,
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
     "similarity_lsh_mp" -> topkLshMp,
@@ -237,6 +248,23 @@ object VecQueries {
       |  FROM n v CROSS JOIN tc2n c WHERE v.vec_id < 10) WHERE rn <= 12)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "hard_negatives" ->
+      s"""WITH $qCte
+         |SELECT query_id, anchor_label, neighbor_id, neg_label, rank, cosine
+         |FROM (
+         |  SELECT a.vec_id AS query_id, ea.label AS anchor_label,
+         |    b.vec_id AS neighbor_id, eb.label AS neg_label,
+         |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |      / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC)
+         |      AS INT) AS rank
+         |  FROM n a, n b, embeddings ea, embeddings eb
+         |  WHERE ea.vec_id = a.vec_id AND eb.vec_id = b.vec_id
+         |    AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |    AND eb.label <> ea.label)
+         |WHERE rank <= 5""".stripMargin,
     "negative_sample" ->
       """WITH lab AS (SELECT DISTINCT label AS alab FROM embeddings),
         |pool AS (

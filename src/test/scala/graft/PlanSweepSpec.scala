@@ -40,7 +40,8 @@ class PlanSweepSpec extends SparkSpec {
     "similarity_lsh", "similarity_lsh_mp", "similarity_rrf",
     "decontaminate",
     "split_temporal",       // 1-row broadcast(bounds) attach
-    "negative_sample")      // broadcast(L labels) ≠-join builds the pool
+    "negative_sample",      // broadcast(L labels) ≠-join builds the pool
+    "hard_negatives")       // broadcast(anchors) scoring θ-join
 
   /** Queries that legitimately plan a range partitioning (explicit
     * sorted output or range-clustered write).

@@ -97,4 +97,26 @@ class SimilaritySpec extends SparkSpec {
       .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
     assert(ranks.where(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
   }
+
+  test("hardNegatives: cross-label only, even when a same-label twin is nearer") {
+    // anchor 0 (label A) points along x. Its exact twin 1 shares the
+    // label, so despite cosine 1.0 it must NOT appear; the nearest
+    // label-B vectors are 2 (cos ~0.95) then 3 (orthogonal-ish).
+    val vecs = Seq(
+      (0L, Array(1f, 0f), "A"),
+      (1L, Array(1f, 0f), "A"),       // same-label twin — excluded
+      (2L, Array(0.9f, 0.3f), "B"),
+      (3L, Array(0f, 1f), "B"),
+      (4L, Array(-1f, 0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        vecs, vecs.where(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("neighbor_id"))).toSeq ==
+      Seq(2L, 3L, 4L))
+    assert(out.forall(r => r.getString(r.fieldIndex("neg_label")) != "A"))
+    assert(out.forall(r => r.getString(r.fieldIndex("anchor_label")) == "A"))
+    assert(out.map(_.getInt(out.head.fieldIndex("rank"))).toSeq == Seq(1, 2, 3))
+  }
 }
