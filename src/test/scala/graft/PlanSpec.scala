@@ -204,7 +204,10 @@ class PlanSpec extends SparkSpec {
       "similarity_ivf_train" -> "broadcast trained-centroid table for cell routing",
       "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",
       "similarity_rrf" -> "inherited from its ivf_mp input (broadcast centroid routing)",
-      "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank")
+      "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank",
+      "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
+      "negative_sample" -> "broadcast L-label !=-join builds the negative pool",
+      "hard_negatives" -> "broadcast anchor-set cross-label scoring fan-out")
     val hits = scala.collection.mutable.Map.empty[String, List[String]]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !name.startsWith("streaming_")) {
