@@ -3,6 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -27,6 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * normalized copy.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  // fail at ANALYSIS, not as a mid-job ClassCastException (the
+  // ExpectsInputTypes trait's AbstractDataType is private[sql], so the
+  // check is spelled out)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string column, got ${child.dataType}")
 
   override def dataType: DataType = StringType
 

@@ -57,7 +57,10 @@ object Hygiene {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
 
-    val w = split(col(textCol), " ")
+    // NULL text folds to "" so the document still emits its row (a
+    // NULL array would explode to zero rows and the doc would vanish,
+    // breaking the one-row-per-document contract above)
+    val w = split(coalesce(col(textCol), lit("")), " ")
     // Chunk starts 0, k, 2k, …, ≤ size-1: the final partial span is a
     // chunk too (dropping it would lose document tail text on
     // reassembly). split() never yields an empty array, so the

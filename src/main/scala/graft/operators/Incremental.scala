@@ -41,14 +41,18 @@ object Incremental {
       grpCol: String, nCol: String, sumCol: String,
       beforeGrp: String, beforeVal: String,
       afterGrp: String, afterVal: String): DataFrame = {
+    // NULL measures count as zero, explicitly (SUM-over-values
+    // convention for the maintained aggregate): without the coalesce an
+    // all-NULL-measure group would sum to NULL and silently diverge
+    // from the stored aggregate's arithmetic
     val minus = changes.where(col(beforeGrp).isNotNull).select(
       col(beforeGrp).as(grpCol),
       lit(-1L).as("dn"),
-      (-col(beforeVal)).as("dv"))
+      (-coalesce(col(beforeVal), lit(0L))).as("dv"))
     val plus = changes.where(col(afterGrp).isNotNull).select(
       col(afterGrp).as(grpCol),
       lit(1L).as("dn"),
-      col(afterVal).as("dv"))
+      coalesce(col(afterVal), lit(0L)).as("dv"))
     val delta = minus.unionByName(plus)
       .groupBy(col(grpCol))
       .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))

@@ -102,7 +102,11 @@ object Rolling {
   def ewmaLast(
       df: DataFrame, keyCol: String, timeCol: String, tieCol: String,
       centsCol: String, depth: Int = 16): DataFrame = {
-    require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
+    // The numerator term is cents · 2^(depth-1) and up to `depth` terms
+    // sum: depth ≤ 30 keeps |cents| < 2^31 rows exactly inside int64
+    // (2^31·2^29·30 < 2^63). A deeper tail would weigh ≤ 2^-30 anyway —
+    // raising this cap needs a decimal widening, not a bigger shift.
+    require(depth >= 1 && depth <= 30, s"depth out of range (1..30): $depth")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
     def weight(j: Int): Long = 1L << (depth - 1 - j)
     val num = (0 until depth).map { j =>

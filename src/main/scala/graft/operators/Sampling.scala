@@ -179,7 +179,12 @@ object Sampling {
       .withColumn("_cut2",
         col("_mn") + expr(s"(_mx - _mn) * ${trainPct + embargoPct} DIV 100"))
       .withColumn("split",
-        when(us < col("_cut1"), "train")
+        // NULL timestamps must NOT default into 'test' (an unknown-time
+        // row in the evaluation set is exactly the leak this operator
+        // exists to prevent) — label them for explicit downstream
+        // handling instead
+        when(us.isNull, "unknown")
+          .when(us < col("_cut1"), "train")
           .when(us < col("_cut2"), "embargo")
           .otherwise("test"))
       .drop("_mn", "_mx", "_cut1", "_cut2")
@@ -201,12 +206,34 @@ object Sampling {
     * rank per label partition, one broadcast size attach, one
     * (label, rank) hash join for the draws. The 60-bit-hash mod m
     * carries a ≤ m·2⁻⁶⁰ modulo bias — negligible and deterministic.
+    *
+    * Parallelism caveat (small-L pricing, stated fully): the pool rank
+    * window partitions by the EXCLUDED label, so each of the L window
+    * partitions sorts ~(L−1)/L·n rows in one task — the sort
+    * parallelism is L, not the cluster. Fine at supervised label
+    * counts; for huge corpora with tiny L, pre-assign dense per-label
+    * indices arithmetically (ids dense ⇒ pool index is id minus the
+    * count of same-label ids below it) instead of ranking.
+    *
+    * Degenerate input fails loud: an anchor whose cross-label pool is
+    * empty (single-label input) raises rather than silently emitting
+    * zero draws (`hash % 0` would null out and drop every row).
     */
   def negativeSample(
       df: DataFrame, idCol: String, labelCol: String, k: Int,
       salt: String = "neg"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val labels = df.select(col(labelCol).as("_alab")).distinct()
+    // Eager degenerate-input guard: with one distinct label every
+    // cross-label pool is empty and `hash % 0` nulls every draw — the
+    // empty result would look like success. A lazy row-level
+    // raise_error can't catch it (AQE's empty-relation propagation
+    // prunes the projection along with the empty join). limit(2)
+    // early-outs each partial distinct at two rows, so the probe costs
+    // one cheap label-column pass next to the (L−1)·n pool build.
+    require(labels.limit(2).count() >= 2,
+      "negativeSample: input needs at least 2 distinct labels " +
+        "(every cross-label pool is empty otherwise)")
     val pool = broadcast(labels)
       .join(df.select(col(idCol).as("_nid"), col(labelCol).as("_nlab")),
         col("_alab") =!= col("_nlab"))
@@ -224,10 +251,10 @@ object Sampling {
       .join(broadcast(sizes), "_alab")
       .withColumn("j", explode(sequence(lit(1), lit(k))))
       .withColumn("_idx",
-        conv(substring(md5(concat(lit(salt), lit(":"),
-            col("anchor_id").cast("string"), lit(":"),
-            col("j").cast("string"))), 1, 15), 16, 10)
-          .cast("bigint") % col("_m"))
+        Sketches.hash60(
+          concat(col("anchor_id").cast("string"), lit(":"),
+            col("j").cast("string")),
+          salt) % col("_m"))
     draws.join(ranked, Seq("_alab"))
       .where(col("_idx") === col("_r"))
       .select(col("anchor_id"), col("j"),

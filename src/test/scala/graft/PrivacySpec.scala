@@ -67,6 +67,15 @@ class PrivacySpec extends SparkSpec {
     assert(out(4L) == (("solo words only here", 1L, 0L)))
   }
 
+  test("dedupBoilerplate keeps a NULL-text document as an empty row") {
+    val docs = Seq((1L, Some("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Hygiene.dedupBoilerplate(docs, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L)) // one row per input document
+    assert(out(2L) == "")
+  }
+
   test("dedupBoilerplate round-trips untouched docs exactly") {
     // No cross-doc repetition: reassembly must be byte-identical, even
     // with a trailing partial chunk.

@@ -145,4 +145,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0)
     assert(again.exceptAll(out).count() === 0)
   }
+
+  test("temporalSplit routes NULL timestamps to 'unknown', never 'test'") {
+    val df = Seq(
+      (1L, Some(new java.sql.Timestamp(0L))),
+      (2L, Some(new java.sql.Timestamp(100000L))),
+      (3L, Option.empty[java.sql.Timestamp])
+    ).toDF("id", "ts")
+    val out = Sampling.temporalSplit(df, "ts")
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split")))
+      .toMap
+    assert(out(3L) == "unknown")
+    assert(out(1L) == "train")
+  }
+
+  test("negativeSample fails loud on a single-label input") {
+    val df = (0 until 10).map(i => (i.toLong, 1)).toDF("id", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.negativeSample(df, "id", "lab", k = 2, salt = "t")
+    }
+    assert(e.getMessage.contains("2 distinct labels"))
+  }
 }
