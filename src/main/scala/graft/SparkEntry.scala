@@ -28,7 +28,7 @@ object SparkEntry {
     TextQueries.queries, MiscQueries.queries, CurationQueries.queries,
     ClusterQueries.queries, AnalyticsQueries.queries, SketchQueries.queries,
     TpchQueries.queries, GraphQueries.queries, JourneyQueries.queries,
-    RobustQueries.queries, PrivacyQueries.queries)
+    RobustQueries.queries, PrivacyQueries.queries, FeatureQueries.queries)
 
   val oracleModules: Seq[Map[String, String]] = Seq(
     EventQueries.oracle, ElbQueries.oracle, JoinQueries.oracle,
@@ -36,7 +36,7 @@ object SparkEntry {
     TextQueries.oracle, MiscQueries.oracle, CurationQueries.oracle,
     ClusterQueries.oracle, AnalyticsQueries.oracle, SketchQueries.oracle,
     TpchQueries.oracle, GraphQueries.oracle, JourneyQueries.oracle,
-    RobustQueries.oracle, PrivacyQueries.oracle)
+    RobustQueries.oracle, PrivacyQueries.oracle, FeatureQueries.oracle)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -195,4 +195,58 @@ object Graph {
     increments.drop(1).foreach(_.unpersist())
     out
   }
+
+  /** Common-neighbor link prediction: for every node pair sharing at
+    * least `minCommon` neighbors, the common-neighbor count plus the
+    * Jaccard score common/(deg_x + deg_y − common) — the classic
+    * "people you may know" / candidate-pair generator over an entity
+    * graph.
+    *
+    * Counting runs by WEDGE enumeration at the shared neighbor (apex),
+    * never by pairing the whole vertex set: each apex emits the ordered
+    * pairs of its `apexCap` LOWEST-id neighbors map-side from one
+    * sorted collect_set (same bounded-fanout posture as the triangle
+    * incidence cap — an uncapped 1M-degree hub would alone emit 5·10¹¹
+    * wedges). Degrees in the score stay UNCAPPED true degrees; the cap
+    * only bounds which apexes can witness a pair, and is mirrored
+    * verbatim in the SQL oracle so both engines see identical pairs.
+    *
+    * Shape: one keyed exchange to build capped adjacency, map-side
+    * C(cap,2) pair fan-out, one hash-aggregate on (x,y), two broadcast
+    * joins for degrees (the degree table is |V|-sized — broadcast holds
+    * to ~10⁷ vertices; above that flip them to sort-merge with the same
+    * semantics).
+    */
+  def commonNeighbors(edges: DataFrame, apexCap: Int = 8,
+      minCommon: Long = 2L): DataFrame = {
+    require(apexCap >= 2 && apexCap <= 64, s"apexCap in [2,64], got $apexCap")
+    val e = edges
+      .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .persist()
+    val adj = e.select(col("lo").as("apex"), col("hi").as("nb"))
+      .union(e.select(col("hi").as("apex"), col("lo").as("nb")))
+    val deg = adj.groupBy(col("apex").as("node"))
+      .agg(count(lit(1)).as("deg")).persist()
+    val pairs = adj.groupBy("apex")
+      .agg(slice(sort_array(collect_set(col("nb"))), 1, apexCap).as("ns"))
+      .select(explode(expr(
+        """flatten(transform(ns, (a, i) ->
+          |  transform(slice(ns, i + 2, size(ns)), b -> struct(a AS x, b AS y))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    val out = pairs
+      .join(broadcast(deg.select(col("node").as("x"), col("deg").as("deg_x"))), "x")
+      .join(broadcast(deg.select(col("node").as("y"), col("deg").as("deg_y"))), "y")
+      .select(col("x"), col("y"), col("common"), col("deg_x"), col("deg_y"),
+        (col("common").cast("double")
+          / (col("deg_x") + col("deg_y") - col("common")).cast("double"))
+          .as("jaccard"))
+      .localCheckpoint()
+    e.unpersist(); deg.unpersist()
+    out
+  }
 }

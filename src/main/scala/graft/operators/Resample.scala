@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap — THE resampling scheme that survives 100 TB.
+  *
+  * Classic bootstrap draws n rows with replacement per replicate, which
+  * needs a global index (a total order over the data) and materializes
+  * B×n resampled rows. The Poisson approximation replaces the draw with
+  * an independent per-row Poisson(1) weight per replicate (for large n
+  * the multinomial row-counts converge to independent Poisson(1)), so
+  * every replicate becomes a weighted aggregate over ONE scan — no
+  * expansion, no global state, embarrassingly parallel.
+  *
+  * Determinism: the weight is an inverse-CDF lookup on a 60-bit uniform
+  * from md5(salt:rowid:rep) — the repo's standard reproducible-draw
+  * idiom (layout- and partitioning-independent, replayable in any
+  * engine with md5). The CDF thresholds are Poisson(1) partial sums
+  * scaled to 2⁶⁰ and truncated, embedded as literals so the Spark plan
+  * and the SQL oracle compare against the SAME integers.
+  */
+object Resample {
+
+  /** floor(P(Poisson(1) ≤ k) · 2⁶⁰) for k = 0..5; u ≥ the last → w = 6.
+    * Computed once from the exact partial sums e⁻¹·Σ 1/i! via BigDecimal
+    * (not double math) so the literals are reproducible from the
+    * published formula.
+    */
+  val cdfThresholds: Seq[Long] = {
+    val mc = new java.math.MathContext(50)
+    // math.E as double would poison the tail digits — build e from the
+    // series instead: e = Σ 1/i!, 30 terms is < 1e-32 away.
+    val e = (0 to 30).map(i => BigDecimal(1, mc) /
+      BigDecimal((1 to i).foldLeft(BigInt(1))(_ * _), mc)).sum
+    val invE = BigDecimal(1, mc) / e
+    val two60 = BigDecimal(BigInt(1) << 60)
+    (0 to 5).map { k =>
+      val cdf = invE * (0 to k).map(i => BigDecimal(1, mc) /
+        BigDecimal((1 to i).foldLeft(BigInt(1))(_ * _), mc)).sum
+      (cdf * two60).toBigInt.longValue
+    }
+  }
+
+  /** The per-(row, rep) Poisson(1) weight as a Column (0..6). */
+  def weight(idCol: Column, rep: Int, salt: String): Column = {
+    val u = conv(substring(
+      md5(concat(lit(s"$salt:"), idCol.cast("string"), lit(s":$rep"))),
+      1, 15), 16, 10).cast("long")
+    // fold from the LARGEST threshold inward so the final when-chain
+    // tests the smallest first (a when chain matches outermost-first;
+    // folding ascending would trap ~99.9% of draws at w=5)
+    cdfThresholds.zipWithIndex.reverse.foldLeft(lit(6): Column) {
+      case (acc, (thr, k)) => when(u < lit(thr), lit(k)).otherwise(acc)
+    }
+  }
+
+  /** B bootstrap replicates of a weighted mean over `valueCol` (exact
+    * integer units, e.g. cents) in ONE aggregate pass: 2·B running sums
+    * (Σw, Σw·v) as columns — no row explosion — then an unpivot to B
+    * rows. mean = Σwv / Σw evaluated in double identically on both
+    * engines. Adding reps scales the MAP side only; the exchange always
+    * carries a single 2·B-long partial row per task.
+    */
+  def bootstrapMeans(df: DataFrame, idCol: Column, valueCol: Column,
+      reps: Int, salt: String = "boot"): DataFrame = {
+    require(reps >= 1 && reps <= 256, s"reps must be in [1,256], got $reps")
+    val aggs = (0 until reps).flatMap { r =>
+      val w = weight(idCol, r, salt)
+      Seq(sum(w).as(s"_w$r"), sum(w * valueCol).as(s"_wv$r"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(expr(
+      s"stack($reps, ${(0 until reps)
+        .map(r => s"$r, _w$r, _wv$r").mkString(", ")}) AS (rep, n_eff, wsum)"))
+    stacked.select(col("rep").cast("int").as("rep"), col("n_eff"), col("wsum"),
+      (col("wsum").cast("double") / col("n_eff").cast("double")).as("mean_rep"))
+  }
+}

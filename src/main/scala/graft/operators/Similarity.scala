@@ -449,4 +449,96 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rrf"),
         col("fused_rank"))
   }
+
+  /** Product-quantization ADC search — the memory-side ANN lever IVF
+    * doesn't give: each vector is compressed to `subspaces` one-byte
+    * codes (argmin centroid per subvector), and query↔vector distance
+    * is approximated asymmetrically as Σₛ d(queryₛ, centroid[codeₛ]) —
+    * a table lookup per subspace, no touching the original floats. At
+    * 100 TB this is what makes the candidate scan cheap: the scanned
+    * index row is `subspaces` bytes, not `dims` floats (64× smaller at
+    * 8 subspaces over 64 float dims), and the per-query lookup tables
+    * (subspaces × codebookSize longs) broadcast for free.
+    *
+    * Determinism discipline: codebooks are the md5-lowest
+    * `codebookSize` corpus vectors' subvectors (same public-formula
+    * seeding as the IVF coarse quantizer — index STRUCTURE is what's
+    * under test; a trained codebook drops in without changing shape);
+    * all distances are exact integer L2² over quantized vectors
+    * (bounded ≪ 2⁴³, so the packed argmin and the double-cast ADC sum
+    * are both exact); argmin ties break to the smaller centroid index.
+    *
+    * Shape: ONE broadcast crossJoin against the codebook encodes the
+    * corpus (packed-long min per subspace in a single hash-aggregate —
+    * the ivfTopK argmin trick, once per subspace), the ≤|Q| lookup
+    * tables build on the broadcast side, scoring is a map-only scan of
+    * the code table + bounded-heap top-k. No shuffle ever carries the
+    * corpus twice.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16): DataFrame = {
+    require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
+    require(codebookSize >= 2 && codebookSize <= 256,
+      s"codebookSize in [2,256], got $codebookSize")
+    val dsub = dims / subspaces
+    val mult = 1L << 20
+    import graft.functions.LongArrayDot.long_dot
+    def sub(c: Column, s: Int): Column = slice(c, s * dsub + 1, dsub)
+
+    val prep = prepared(corpus, idCol, embCol)
+    val cents = prep
+      .orderBy(md5(concat(lit("pq:"), col(idCol).cast("string"))), col(idCol))
+      .limit(codebookSize)
+      .select(col(idCol).as("cent_id"), col("q").as("qcent"))
+      .withColumn("cidx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cent_id"))).cast("long") - 1)
+    val centsPrep = (0 until subspaces).foldLeft(cents) { (df, s) =>
+      df.withColumn(s"_cn2_$s", long_dot(sub(col("qcent"), s), sub(col("qcent"), s)))
+    }
+
+    def subDist(s: Int): Column =
+      col(s"_vn2_$s") + col(s"_cn2_$s") -
+        lit(2L) * long_dot(sub(col("q"), s), sub(col("qcent"), s))
+    def withSelfDots(df: DataFrame): DataFrame =
+      (0 until subspaces).foldLeft(df) { (d, s) =>
+        d.withColumn(s"_vn2_$s", long_dot(sub(col("q"), s), sub(col("q"), s)))
+      }
+
+    // corpus → one code (centroid index) per subspace
+    val codes = withSelfDots(prep)
+      .crossJoin(broadcast(centsPrep))
+      .select(col(idCol) +: (0 until subspaces).map(s =>
+        (subDist(s) * mult + col("cidx")).as(s"_p_$s")): _*)
+      .groupBy(col(idCol))
+      .agg(min(col("_p_0")).as("_m_0"),
+        (1 until subspaces).map(s => min(col(s"_p_$s")).as(s"_m_$s")): _*)
+      .select(col(idCol) +: (0 until subspaces).map(s =>
+        (col(s"_m_$s") % mult).cast("int").as(s"code_$s")): _*)
+
+    // per-query ADC lookup tables: array of cidx-ordered distances per
+    // subspace (struct sort_array orders by cidx, the first field)
+    val lutStruct = struct(col("cidx") +:
+      (0 until subspaces).map(s => subDist(s).as(s"d_$s")): _*)
+    val luts = withSelfDots(prepared(queries, idCol, embCol))
+      .crossJoin(broadcast(centsPrep))
+      .groupBy(col(idCol).as("query_id"))
+      .agg(sort_array(collect_list(lutStruct)).as("_arr"))
+      .select(col("query_id") +: (0 until subspaces).map(s =>
+        transform(col("_arr"), x => x.getField(s"d_$s")).as(s"_lut_$s")): _*)
+
+    val scored = codes
+      .join(broadcast(luts), col("query_id") =!= col(idCol))
+      .withColumn("adc_dist", (0 until subspaces).map(s =>
+        element_at(col(s"_lut_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(-col("adc_dist").cast("double"), col(idCol).cast("long"), k)
+        .as("topk"))
+    rankRows(scored, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("cosine")).cast("long").as("adc_dist"))
+  }
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series feature operators over keyed event streams: sample
+  * autocorrelation of a bucketed count series, and seasonal-profile
+  * residual scoring (the "is this hour's value weird for this hour of
+  * day" primitive behind every seasonality-aware anomaly monitor).
+  *
+  * Exactness discipline (repo-wide): every moment that feeds a float is
+  * an exact BIGINT (counts, integer cents, their products), and the one
+  * float expression is written identically in the DuckDB oracle, so both
+  * engines evaluate the same IEEE ops on the same inputs — results
+  * hash-match bit-for-bit.
+  */
+object TimeSeries {
+
+  /** Sample autocorrelation of a per-key count series at index lags
+    * 1..maxLag (lag over the bucket-ordered ROW sequence, so gaps in the
+    * bucket grid don't make the definition engine-dependent).
+    *
+    * Pearson r over the (x_t, x_{t−L}) pairs, computed from exact
+    * integer moments: r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy −
+    * Sy²)), NULL when either variance term is zero. Bounds: with hourly
+    * buckets, n ≤ 8.8e3/key-year and per-bucket counts ≤ ~1e6 keep
+    * n·Sxy < 2⁶³ by a wide margin.
+    *
+    * Scale posture: one hash-aggregate to build the bucketed series
+    * (map-side combine absorbs the raw rows), ONE window exchange keyed
+    * by the series key computing all maxLag lag columns in a single
+    * sort, then a second small aggregate over series-length rows. The
+    * key-level window partition is series-length-sized (thousands of
+    * buckets), never raw-row-sized, so a hot key costs O(buckets·maxLag)
+    * on one task — flat at any raw-data scale.
+    */
+  def acf(df: DataFrame, keyCol: String, tsCol: String,
+      bucket: String = "hour", maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag must be in [1,32], got $maxLag")
+    val series = df
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bkt"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bkt"))
+    val lagged = series.select(
+      col(keyCol) +: col("x") +:
+        (1 to maxLag).map(l => lag(col("x"), l).over(w).as(s"_lag$l")): _*)
+    // stack to (key, lag, x, y) rows so one aggregate computes every lag
+    val stacked = lagged.select(col(keyCol),
+      expr(s"stack($maxLag, ${(1 to maxLag)
+        .map(l => s"$l, x, _lag$l").mkString(", ")}) AS (lag, x, y)"))
+      .where(col("y").isNotNull)
+    stacked
+      .groupBy(col(keyCol), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"))
+      .withColumn("acf",
+        (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+          / (sqrt((col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+            * sqrt((col("n_pairs") * col("_syy") - col("_sy") * col("_sy")).cast("double"))))
+      .select(col(keyCol), col("lag").cast("int").as("lag"),
+        col("n_pairs"), col("acf"))
+  }
+
+  /** Seasonal-profile residuals: group rows into (key, season) cells —
+    * e.g. (event_type, hour-of-day) — and score each row's integer
+    * measure against its cell mean WITHOUT dividing: the deviation is
+    * kept n-scaled (dev = v·n − Σv, exactly n·(v − mean)), so the
+    * anomaly predicate |v − mean| > threshold becomes the exact integer
+    * comparison |dev| > threshold·n. Returns the flagged rows with the
+    * cell stats attached.
+    *
+    * Scale posture: the profile is one hash-aggregate collapsing to
+    * |keys|·|seasons| rows (tiny), broadcast back onto the fact scan —
+    * no window sort, no second shuffle of the raw rows; the only full
+    * pass is the map-side partial agg + the scan that scores.
+    */
+  def seasonalOutliers(df: DataFrame, keyCol: Column, seasonCol: Column,
+      valueCol: Column, thresholdUnits: Long): DataFrame = {
+    val cells = df
+      .groupBy(keyCol.as("_k"), seasonCol.as("_s"))
+      .agg(count(lit(1)).as("n_cell"), sum(valueCol).as("sum_cell"))
+    df.withColumn("_k", keyCol).withColumn("_s", seasonCol)
+      .withColumn("_v", valueCol)
+      .join(broadcast(cells), Seq("_k", "_s"))
+      .withColumn("dev_scaled", col("_v") * col("n_cell") - col("sum_cell"))
+      .where(abs(col("dev_scaled")) > lit(thresholdUnits) * col("n_cell"))
+  }
+}

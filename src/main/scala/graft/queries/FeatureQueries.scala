@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Resample, TimeSeries}
+
+/** Feature-engineering queries a training-data pipeline runs between
+  * "raw corpus" and "batches": time-series features (autocorrelation,
+  * seasonal-residual anomalies), equal-frequency value binning,
+  * sequence-length bucketing for batch packing, and Poisson-bootstrap
+  * uncertainty — each with a bit-exact DuckDB oracle twin (integer
+  * moments everywhere; each float is ONE identical expression).
+  */
+object FeatureQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(12,2)") * 100).cast("bigint")
+
+  private val centsSql =
+    "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** Hourly-count autocorrelation per event_type at lags 1..3 —
+    * "does traffic now predict traffic an hour from now". See
+    * [[TimeSeries.acf]] for the exact-moment formulation.
+    */
+  def tsAcf(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeries.acf(Tables.events(spark, sfDir),
+        keyCol = "event_type", tsCol = "ts", bucket = "hour", maxLag = 3)
+      .select("event_type", "lag", "n_pairs", "acf")
+
+  /** Seasonal (hour-of-day) residual anomalies: events whose value sits
+    * more than 250.00 away from their (type, hour-of-day) cell mean.
+    * The deviation is carried n-scaled (exact integers) so no division
+    * ever happens — see [[TimeSeries.seasonalOutliers]].
+    */
+  def seasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        hour(col("ts")).as("hod"), cents(col("value")).as("cents"))
+    TimeSeries.seasonalOutliers(e, col("event_type"), col("hod"),
+        col("cents"), thresholdUnits = 25000L)
+      .select("event_id", "event_type", "hod", "cents",
+        "n_cell", "sum_cell", "dev_scaled")
+  }
+
+  /** Equal-frequency (decile) VALUE binning of order totals — the qcut
+    * primitive behind feature bucketization. Bins are assigned per
+    * distinct value (rows with equal values share a bin, pandas-qcut
+    * style), which is what makes the operator scale-sane: the global
+    * cumulative window runs over the DISTINCT-value table (bounded by
+    * the value domain, ~|prices|), never over raw rows — the same
+    * distinct-table discipline as auc_exact. Bin of a value =
+    * ⌊rank_before·10 / n⌋ in exact integers, capped at 9.
+    */
+  def featureBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("cents"))
+    val vals = c.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val wBefore = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = vals.agg(sum(col("cnt")).as("n_total"))
+    val binned = vals
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("bin", least(lit(9L), expr("(cum_before * 10) DIV n_total")))
+    binned.groupBy("bin")
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents") * col("cnt")).as("sum_cents"))
+  }
+
+  /** Sequence-length bucketing for batch packing: documents banded into
+    * 16-token-wide buckets, with the padding waste each bucket pays if
+    * every member pads to the bucket ceiling — the table a batching
+    * scheduler reads to pick bucket boundaries. Pure integer arithmetic
+    * over the repo's standard whitespace word count.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(graft.operators.TextAnalysis.wordCount(col("text"))
+        .cast("bigint").as("n_words"))
+      .withColumn("bucket", expr("n_words DIV 16"))
+    d.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_words")).as("min_words"),
+        max(col("n_words")).as("max_words"),
+        sum(col("n_words")).as("sum_words"),
+        sum((col("bucket") + 1) * 16 - col("n_words")).as("pad_waste"))
+  }
+
+  /** 32-replicate Poisson bootstrap of the mean event value (in cents):
+    * the scale-correct bootstrap — per-row md5-deterministic Poisson(1)
+    * weights, every replicate a weighted sum in the SAME single
+    * aggregate pass, no row expansion. See [[Resample.bootstrapMeans]].
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), cents(col("value")).as("cents"))
+    Resample.bootstrapMeans(e, col("event_id"), col("cents"),
+      reps = 32, salt = "boot")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_acf" -> (tsAcf _),
+    "seasonal_anomaly" -> (seasonalAnomaly _),
+    "feature_bins" -> (featureBins _),
+    "length_buckets" -> (lengthBuckets _),
+    "bootstrap_ci" -> (bootstrapCi _)
+  )
+
+  private val bootThresholds = Resample.cdfThresholds
+
+  val oracle: Map[String, String] = Map(
+    "ts_acf" ->
+      """WITH series AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bkt,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY bkt) AS l1,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY bkt) AS l2,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY bkt) AS l3
+        |  FROM series),
+        |stacked AS (
+        |  SELECT event_type, 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2 AS lag, x, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3 AS lag, x, l3 AS y FROM lagged WHERE l3 IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM stacked GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM m""".stripMargin,
+    "seasonal_anomaly" ->
+      s"""WITH c AS (
+         |  SELECT event_id, event_type,
+         |    CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         |    $centsSql AS cents
+         |  FROM events),
+         |cell AS (
+         |  SELECT event_type, hod,
+         |    CAST(count(*) AS BIGINT) AS n_cell,
+         |    CAST(sum(cents) AS BIGINT) AS sum_cell
+         |  FROM c GROUP BY 1, 2)
+         |SELECT event_id, c.event_type, c.hod, c.cents, n_cell, sum_cell,
+         |  c.cents * n_cell - sum_cell AS dev_scaled
+         |FROM c JOIN cell USING (event_type, hod)
+         |WHERE abs(c.cents * n_cell - sum_cell) > 25000 * n_cell""".stripMargin,
+    "feature_bins" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |v AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY cents),
+        |cum AS (
+        |  SELECT cents, cnt,
+        |    CAST(COALESCE(sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before,
+        |    CAST((SELECT sum(cnt) FROM v) AS BIGINT) AS n_total
+        |  FROM v)
+        |SELECT least(9, (cum_before * 10) // n_total) AS bin,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents * cnt) AS BIGINT) AS sum_cents
+        |FROM cum GROUP BY 1""".stripMargin,
+    "length_buckets" ->
+      s"""WITH d AS (
+         |  SELECT CAST(${TextQueries.nWords} AS BIGINT) AS n_words FROM documents),
+         |b AS (SELECT n_words, n_words // 16 AS bucket FROM d)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(n_words) AS min_words, max(n_words) AS max_words,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum((bucket + 1) * 16 - n_words) AS BIGINT) AS pad_waste
+         |FROM b GROUP BY bucket""".stripMargin,
+    "bootstrap_ci" ->
+      s"""WITH c AS (
+         |  SELECT event_id, $centsSql AS cents FROM events),
+         |reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+         |drawn AS (
+         |  SELECT rep, cents,
+         |    CAST(concat('0x', substr(md5('boot:' || CAST(event_id AS VARCHAR)
+         |      || ':' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+         |  FROM c CROSS JOIN reps),
+         |w AS (
+         |  SELECT rep, cents,
+         |    CASE ${bootThresholds.zipWithIndex
+               .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")}
+         |         ELSE 6 END AS w
+         |  FROM drawn)
+         |SELECT CAST(rep AS INT) AS rep,
+         |  CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * cents) AS BIGINT) AS wsum,
+         |  CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_rep
+         |FROM w GROUP BY rep""".stripMargin
+  )
+}

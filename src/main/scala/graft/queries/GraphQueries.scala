@@ -152,6 +152,67 @@ object GraphQueries {
       |  CAST(COALESCE(tcnt.tri_count, 0) AS BIGINT) AS tri_count
       |FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node""".stripMargin
 
+  /** Common-neighbor link prediction over the same co-purchase graph as
+    * [[triangleCount]] (per-part 4-lowest-custkey edges): candidate
+    * "same buyer community" pairs witnessed by ≥ 2 shared neighbors,
+    * scored by capped-common count + Jaccard over true degrees. The
+    * jaccard double is the single division of two exact BIGINTs, written
+    * identically in the oracle.
+    */
+  def commonNeighborsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val top = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .groupBy("part")
+      .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
+    val edges = top.select(explode(expr(
+        """flatten(transform(cs, (a, i) ->
+          |  transform(slice(cs, i + 2, size(cs)), b -> struct(a AS u, b AS v))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    Graph.commonNeighbors(edges, apexCap = 8, minCommon = 2L)
+  }
+
+  /** Identical wedge semantics in SQL: capped adjacency via row_number,
+    * pair wedges by apex self-join, degrees uncapped. */
+  private val CommonNeighborsOracle =
+    """WITH inc AS (
+      |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |top4 AS (
+      |  SELECT part, cust FROM (
+      |    SELECT part, cust,
+      |      row_number() OVER (PARTITION BY part ORDER BY cust) AS rn
+      |    FROM inc) t
+      |  WHERE rn <= 4),
+      |e0 AS (
+      |  SELECT DISTINCT a.cust AS lo, b.cust AS hi
+      |  FROM top4 a JOIN top4 b ON a.part = b.part AND a.cust < b.cust),
+      |adj AS (
+      |  SELECT lo AS apex, hi AS nb FROM e0
+      |  UNION ALL SELECT hi AS apex, lo AS nb FROM e0),
+      |deg AS (
+      |  SELECT apex AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM adj GROUP BY apex),
+      |capped AS (
+      |  SELECT apex, nb FROM (
+      |    SELECT apex, nb,
+      |      row_number() OVER (PARTITION BY apex ORDER BY nb) AS rn
+      |    FROM adj) t
+      |  WHERE rn <= 8),
+      |pairs AS (
+      |  SELECT a.nb AS x, b.nb AS y, CAST(count(*) AS BIGINT) AS common
+      |  FROM capped a JOIN capped b ON a.apex = b.apex AND a.nb < b.nb
+      |  GROUP BY a.nb, b.nb
+      |  HAVING count(*) >= 2)
+      |SELECT p.x, p.y, p.common, dx.deg AS deg_x, dy.deg AS deg_y,
+      |  CAST(p.common AS DOUBLE)
+      |    / CAST(dx.deg + dy.deg - p.common AS DOUBLE) AS jaccard
+      |FROM pairs p
+      |JOIN deg dx ON dx.node = p.x
+      |JOIN deg dy ON dy.node = p.y""".stripMargin
+
   /** Multi-source BFS over the customer↔supplier trade graph: minimum
     * hop distance from the `c_custkey % 100 = 1` seed customers, 4
     * levels. Same compact struct(tinyint, long) node keys through the
@@ -193,12 +254,14 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
-    "graph_bfs" -> (bfsHops _)
+    "graph_bfs" -> (bfsHops _),
+    "graph_common_neighbors" -> (commonNeighborsQ _)
   )
 
   val oracle: Map[String, String] = Map(
     "pagerank" -> oracleSqlFor(Iterations),
     "triangle_count" -> TriangleOracle,
-    "graph_bfs" -> BfsOracle
+    "graph_bfs" -> BfsOracle,
+    "graph_common_neighbors" -> CommonNeighborsOracle
   )
 }

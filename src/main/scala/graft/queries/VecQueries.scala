@@ -131,9 +131,17 @@ object VecQueries {
       "vec_id", "embedding", "label", k = 5)
   }
 
+  /** PQ-compressed ADC top-5 per query — see [[Similarity.pqTopK]]. */
+  def topkPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.pqTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, codebookSize = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "negative_sample" -> negativeSample,
     "hard_negatives" -> hardNegatives,
+    "similarity_pq" -> topkPq,
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
     "similarity_lsh_mp" -> topkLshMp,
@@ -248,6 +256,41 @@ object VecQueries {
       |  FROM n v CROSS JOIN tc2n c WHERE v.vec_id < 10) WHERE rn <= 12)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "similarity_pq" ->
+      s"""WITH $qCte,
+         |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |cents AS (SELECT cent_id, qcent,
+         |    CAST(row_number() OVER (ORDER BY cent_id) AS BIGINT) - 1 AS cidx
+         |  FROM (SELECT vec_id AS cent_id, qv AS qcent FROM n
+         |        ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT 16)),
+         |csub AS (SELECT cidx, s,
+         |    array_slice(qcent, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM cents CROSS JOIN ss),
+         |vsub AS (SELECT vec_id, s,
+         |    array_slice(qv, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM n CROSS JOIN ss),
+         |d AS (SELECT v.vec_id, v.s, c.cidx,
+         |    CAST(list_dot_product(v.sv, v.sv) AS BIGINT)
+         |      + CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
+         |      - 2 * CAST(list_dot_product(v.sv, c.sv) AS BIGINT) AS d
+         |  FROM vsub v JOIN csub c ON v.s = c.s),
+         |codes AS (SELECT vec_id, s, cidx FROM (
+         |    SELECT vec_id, s, cidx,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    CAST(sum(q.d) AS BIGINT) AS adc_dist
+         |  FROM codes x JOIN d q ON q.s = x.s AND q.cidx = x.cidx
+         |  WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin,
     "hard_negatives" ->
       s"""WITH $qCte
          |SELECT query_id, anchor_label, neighbor_id, neg_label, rank, cosine

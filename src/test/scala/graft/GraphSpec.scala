@@ -105,4 +105,36 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 7L -> 0L, 42L -> 0L,
       2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("commonNeighbors: 4-cycle yields exactly the two diagonal pairs") {
+    // a-b-c-d-a: diag pairs (a,c) and (b,d) each share 2 neighbors;
+    // adjacent pairs share none. Jaccard = 2/(2+2-2) = 1.0 exactly.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val got = Graph.commonNeighbors(edges, apexCap = 8, minCommon = 2)
+      .select("x", "y", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("commonNeighbors: apexCap bounds hub wedge fan-out deterministically") {
+    // star: hub 100 with leaves 1..6; apexCap=3 keeps only leaves 1,2,3
+    // at the hub, so witnessed pairs are exactly C(3,2), each common=1,
+    // while leaf apexes (degree 1) contribute nothing.
+    val edges = (1L to 6L).map(l => (100L, l)).toDF("u", "v")
+    val got = Graph.commonNeighbors(edges, apexCap = 3, minCommon = 1)
+      .select("x", "y", "common", "deg_x", "deg_y")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // degrees stay UNCAPPED true degrees (leaves have degree 1)
+    assert(got === Set((1L, 2L, 1L, 1L, 1L), (1L, 3L, 1L, 1L, 1L),
+      (2L, 3L, 1L, 1L, 1L)))
+  }
+
+  test("commonNeighbors: duplicate and reversed edges collapse before counting") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("u", "v")
+    // node 1 is the only apex with ≥2 neighbors: pair (2,3) common=1
+    val got = Graph.commonNeighbors(edges, apexCap = 8, minCommon = 1)
+      .select("x", "y", "common").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L, 1L)))
+  }
 }

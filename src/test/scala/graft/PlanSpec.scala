@@ -197,7 +197,9 @@ class PlanSpec extends SparkSpec {
       // kmv_set_algebra's 1-row crossJoin no longer appears here: its
       // result is localCheckpointed (cache-release fix), so the gate
       // sees only the materialized RDD scan.
+      "feature_bins" -> "crossJoin of the single broadcast n_total row",
       "mixture_sample" -> "crossJoin of the single global-totals row",
+      "similarity_pq" -> "broadcast codebook fan-out for encoding + broadcast per-query ADC LUTs",
       "skyline_pareto" -> "broadcast candidate dominance anti-join over tiny local skylines",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",

@@ -119,4 +119,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getString(r.fieldIndex("anchor_label")) == "A"))
     assert(out.map(_.getInt(out.head.fieldIndex("rank"))).toSeq == Seq(1, 2, 3))
   }
+
+  test("pqTopK: an exact duplicate of the query achieves the minimal ADC " +
+      "distance and ranks first") {
+    val rnd = new scala.util.Random(31)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val base = (0L until 40L).map(i => (i, vec()))
+    // vector 11 duplicates query 1: same subvectors → same codes → its
+    // ADC distance is Σ_s min_c d(q_s, c_s), the smallest any code
+    // assignment can reach
+    val rows = base.map { case (i, v) => if (i == 11L) (i, base(1)._2) else (i, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, df.where(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "rank", "adc_dist")
+      .as[(Long, Int, Long)].collect()
+    assert(out.head._1 == 11L, s"duplicate must rank first: ${out.toSeq}")
+    assert(out.head._3 <= out.last._3, "ranking must be ascending in ADC distance")
+  }
+
+  test("pqTopK is invariant under repartitioning") {
+    val rnd = new scala.util.Random(32)
+    val df = (0L until 60L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(d, d.where(col("vec_id") < 3L),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(9)))
+  }
+
+  test("pqTopK rejects non-divisible subspace layouts") {
+    val df = Seq((1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(df, df, "vec_id", "embedding", k = 1, subspaces = 7)
+    }
+  }
 }

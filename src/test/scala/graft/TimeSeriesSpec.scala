@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Resample, TimeSeries}
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(hourOffset: Int, i: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${hourOffset}%02d:00:${i % 60}%02d")
+
+  test("acf of a perfectly linear hourly series is 1.0 at every lag") {
+    // hour h carries h+1 events → counts 1..6; any lag pairs are x=y+L
+    val rows = for (h <- 0 to 5; i <- 0 to h) yield ("k", at(h, i))
+    val df = rows.toDF("event_type", "ts")
+    val out = TimeSeries.acf(df, "event_type", "ts", "hour", maxLag = 2)
+      .select("lag", "n_pairs", "acf").as[(Int, Long, Double)].collect()
+      .map { case (l, n, r) => l -> ((n, r)) }.toMap
+    assert(out(1)._1 == 5L && out(2)._1 == 4L)
+    assert(math.abs(out(1)._2 - 1.0) < 1e-12, s"lag1 acf=${out(1)._2}")
+    assert(math.abs(out(2)._2 - 1.0) < 1e-12, s"lag2 acf=${out(2)._2}")
+  }
+
+  test("acf of an alternating series is -1.0 at lag 1 and 1.0 at lag 2") {
+    // counts 1,3,1,3,1,3 → perfect negative lag-1, perfect positive lag-2
+    val rows = for (h <- 0 to 5; i <- 0 until (if (h % 2 == 0) 1 else 3))
+      yield ("k", at(h, i))
+    val out = TimeSeries.acf(rows.toDF("event_type", "ts"), "event_type", "ts",
+        "hour", maxLag = 2)
+      .select("lag", "acf").as[(Int, Double)].collect().toMap
+    assert(math.abs(out(1) + 1.0) < 1e-12, s"lag1=${out(1)}")
+    assert(math.abs(out(2) - 1.0) < 1e-12, s"lag2=${out(2)}")
+  }
+
+  test("acf is invariant under repartitioning (exact integer moments)") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (h <- 0 to 23; i <- 0 until (1 + rnd.nextInt(5)))
+      yield (s"t${h % 3}", at(h, i))
+    val df = rows.toDF("event_type", "ts")
+    val a = TimeSeries.acf(df.repartition(1), "event_type", "ts", "hour", 3)
+      .orderBy("event_type", "lag").collect().toSeq
+    val b = TimeSeries.acf(df.repartition(7), "event_type", "ts", "hour", 3)
+      .orderBy("event_type", "lag").collect().toSeq
+    assert(a == b)
+  }
+
+  test("seasonalOutliers flags exactly the rows past the scaled threshold") {
+    val df = Seq(
+      ("e1", "k", 0, 100L), ("e2", "k", 0, 100L),
+      ("e3", "k", 0, 100L), ("e4", "k", 0, 700L),
+      ("e5", "k", 1, 500L) // singleton cell: dev = 0, never flagged
+    ).toDF("event_id", "event_type", "hod", "cents")
+    val out = TimeSeries.seasonalOutliers(df, col("event_type"), col("hod"),
+        col("cents"), thresholdUnits = 300L)
+      .select("event_id", "dev_scaled").as[(String, Long)].collect().toMap
+    // cell (k,0): n=4 sum=1000; dev(700)=1800 > 1200; dev(100)=-600 ≤ 1200
+    assert(out == Map("e4" -> 1800L))
+  }
+
+  test("seasonalOutliers never divides: ties at the threshold stay excluded") {
+    // dev = |v·n − Σ| exactly equal to thr·n must NOT flag (strict >)
+    val df = Seq(("a", "k", 0, 0L), ("b", "k", 0, 200L))
+      .toDF("event_id", "event_type", "hod", "cents")
+    // n=2 sum=200: dev(a) = -200, |dev| = 200 = thr·n when thr=100
+    val out = TimeSeries.seasonalOutliers(df, col("event_type"), col("hod"),
+      col("cents"), thresholdUnits = 100L)
+    assert(out.count() == 0)
+  }
+}
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdf thresholds are the Poisson(1) partial sums scaled to 2^60") {
+    val t = Resample.cdfThresholds
+    assert(t.size == 6)
+    assert(t == t.sorted, "thresholds must be monotone")
+    // P(X=0)=1/e → first threshold ≈ 0.3678794·2^60
+    assert(math.abs(t.head.toDouble / math.pow(2, 60) - math.exp(-1)) < 1e-12)
+    // P(X≤5) ≈ 0.999406
+    assert(math.abs(t.last.toDouble / math.pow(2, 60) - 0.9994058151824183) < 1e-12)
+  }
+
+  test("bootstrap weights are Poisson(1)-shaped and deterministic") {
+    val df = (1L to 20000L).toDF("id")
+    val w = df.select(Resample.weight(col("id"), rep = 0, salt = "t").as("w"))
+      .groupBy("w").count().as[(Int, Long)].collect().toMap
+    val n = 20000.0
+    // P(0)=P(1)=1/e≈0.368: both within 3σ≈0.01
+    assert(math.abs(w(0) / n - 0.3679) < 0.015, s"P(0)=${w(0) / n}")
+    assert(math.abs(w(1) / n - 0.3679) < 0.015, s"P(1)=${w(1) / n}")
+    assert(w.keys.max <= 6)
+    // determinism: identical under different partitioning
+    val w2 = df.repartition(13)
+      .select(Resample.weight(col("id"), rep = 0, salt = "t").as("w"))
+      .groupBy("w").count().as[(Int, Long)].collect().toMap
+    assert(w == w2)
+  }
+
+  test("bootstrapMeans: replicate means concentrate around the true mean") {
+    val df = (1L to 10000L).map(i => (i, i % 100)).toDF("id", "v")
+    val out = Resample.bootstrapMeans(df, col("id"), col("v"), reps = 16)
+      .select("rep", "n_eff", "mean_rep").as[(Int, Long, Double)].collect()
+    assert(out.length == 16)
+    assert(out.map(_._1).toSet == (0 until 16).toSet)
+    // n_eff ≈ n within 5σ = 5·√10000 = 500
+    assert(out.forall(r => math.abs(r._2 - 10000L) < 500), out.mkString(","))
+    // true mean = 49.5; bootstrap se ≈ σ/√n ≈ 0.29 → all reps within 5σ
+    assert(out.forall(r => math.abs(r._3 - 49.5) < 1.5), out.mkString(","))
+  }
+
+  test("bootstrapMeans runs as ONE aggregate pass — no row explosion") {
+    val df = (1L to 100L).toDF("id").withColumn("v", col("id"))
+    val plan = Resample.bootstrapMeans(df, col("id"), col("v"), reps = 8)
+      .queryExecution.executedPlan.toString
+    // the only Generate allowed is the post-aggregation stack unpivot of
+    // the ONE result row; the data-sized side must see a single agg
+    // exchange and no join/replication
+    assert(!plan.contains("Join"), s"join leaked into the plan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the one agg exchange:\n$plan")
+  }
+}
