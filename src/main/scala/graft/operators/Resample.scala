@@ -62,14 +62,34 @@ object Resample {
     * engines. Adding reps scales the MAP side only; the exchange always
     * carries a single 2·B-long partial row per task.
     */
+  /** `spread`: optional pre-projection round-robin repartition width.
+    * The draw costs `reps` md5s per row, so the projection is
+    * CPU-bound, and its parallelism is pinned to the SCAN's split
+    * count — a single local parquet file = one task doing every hash
+    * (measured: 3 tasks / 5.1 s single-core at reps=32, sf0.1). On a
+    * real multi-file/multi-block table the scan already fans out and
+    * `spread` should stay None (the extra shuffle of the 2-column
+    * (id, value) projection buys nothing); set it only when feeding
+    * from a source with fewer splits than cores.
+    */
   def bootstrapMeans(df: DataFrame, idCol: Column, valueCol: Column,
-      reps: Int, salt: String = "boot"): DataFrame = {
+      reps: Int, salt: String = "boot", spread: Option[Int] = None): DataFrame = {
     require(reps >= 1 && reps <= 256, s"reps must be in [1,256], got $reps")
+    // materialize each weight in a projection BEFORE aggregating: inside
+    // a 2·reps-expression aggregate the md5→conv chain dodges common-
+    // subexpression elimination (measured 9.6 s → the weights-first
+    // shape at reps=32/sf0.1), while a projection computes each hash
+    // exactly once per (row, rep)
+    val narrow = df.select(idCol.as("_id"), valueCol.as("_v"))
+    val base = spread.map(narrow.repartition(_)).getOrElse(narrow)
+    val projected = base.select(
+      col("_v") +:
+        (0 until reps).map(r => weight(col("_id"), r, salt).as(s"_w$r")): _*)
     val aggs = (0 until reps).flatMap { r =>
-      val w = weight(idCol, r, salt)
-      Seq(sum(w).as(s"_w$r"), sum(w * valueCol).as(s"_wv$r"))
+      Seq(sum(col(s"_w$r")).as(s"_w$r"),
+        sum(col(s"_w$r") * col("_v")).as(s"_wv$r"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = projected.agg(aggs.head, aggs.tail: _*)
     val stacked = one.select(expr(
       s"stack($reps, ${(0 until reps)
         .map(r => s"$r, _w$r, _wv$r").mkString(", ")}) AS (rep, n_eff, wsum)"))

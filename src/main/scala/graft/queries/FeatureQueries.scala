@@ -100,8 +100,12 @@ object FeatureQueries {
   def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(col("event_id"), cents(col("value")).as("cents"))
+    // the fixture is ONE parquet file → one scan split; spread the
+    // CPU-bound draw projection across the session's cores (see the
+    // spread doc on bootstrapMeans — on a many-split table leave unset)
     Resample.bootstrapMeans(e, col("event_id"), col("cents"),
-      reps = 32, salt = "boot")
+      reps = 32, salt = "boot",
+      spread = Some(spark.sparkContext.defaultParallelism))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
