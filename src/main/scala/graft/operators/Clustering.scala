@@ -195,4 +195,62 @@ object Clustering {
     }
     cents
   }
+
+  /** Greedy k-center (farthest-point) coreset selection — the diversity
+    * dial of training-data curation: pick the point farthest from the
+    * already-chosen set, k times. The output is the classic 2-approx
+    * cover: a maximally-spread subset plus the radius sequence (each
+    * pick's distance at selection time, monotone non-increasing — the
+    * k-center objective after each step).
+    *
+    * Execution: the chosen set never exceeds k rows, so each round is
+    * ONE broadcast of the newest center + a map-only `least()` update
+    * of the per-row min-distance column + a TakeOrdered(1) argmax — k
+    * scans total, no shuffle of the corpus, O(1) driver state. That is
+    * the scale-correct shape (the textbook sequential greedy is the
+    * same k passes; nothing cheaper is exact). min-distances persist
+    * between rounds with lineage cuts so round t costs one update, not
+    * t replays.
+    *
+    * Determinism: seed = md5-lowest id (public-formula draw), all
+    * distances exact integer L2² on the quantized domain, argmax ties
+    * break to the smaller id; the seed row reports distance 0.
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    val data = prep(df, idCol, embCol).persist()
+    def d2(q: Column, cq: Column, n2: Column, cn2: Column): Column =
+      n2 + cn2 - lit(2L) * LongArrayDot.long_dot(q, cq)
+    val seed = data
+      .orderBy(md5(concat(lit("kcenter:"), col(idCol).cast("string"))), col(idCol))
+      .limit(1)
+      .select(col(idCol).as("center_id"), col("q").as("cq"),
+        col("n2").as("cn2"), lit(0L).as("dist_chosen"))
+    var picked = seed.withColumn("center_rank", lit(1)).localCheckpoint()
+    var mind = data
+      .crossJoin(broadcast(picked.where(col("center_rank") === 1)))
+      .select(col(idCol), col("q"), col("n2"),
+        d2(col("q"), col("cq"), col("n2"), col("cn2")).as("mind"))
+      .localCheckpoint()
+    var t = 2
+    while (t <= k) {
+      val next = mind.orderBy(col("mind").desc, col(idCol)).limit(1)
+        .select(col(idCol).as("center_id"), col("q").as("cq"),
+          col("n2").as("cn2"), col("mind").as("dist_chosen"))
+        .withColumn("center_rank", lit(t))
+        .localCheckpoint()
+      picked = picked.union(next).localCheckpoint()
+      val prev = mind
+      mind = mind.crossJoin(broadcast(next))
+        .select(col(idCol), col("q"), col("n2"),
+          least(col("mind"),
+            d2(col("q"), col("cq"), col("n2"), col("cn2"))).as("mind"))
+        .localCheckpoint()
+      prev.unpersist()
+      t += 1
+    }
+    data.unpersist()
+    picked.select(col("center_rank"), col("center_id"), col("dist_chosen"))
+  }
 }

@@ -46,6 +46,36 @@ object Robust {
         max(col("_tw")).as("total_w"))
   }
 
+  /** MAD (median-absolute-deviation) robust outliers per key: flag rows
+    * with |v − median| > factor·MAD — the robust z-score screen that,
+    * unlike mean/stddev ([[graft.operators.Analytics]] zscore), cannot
+    * be dragged by the outliers it is hunting (50% breakdown point vs
+    * 0%). Both medians are the exact LOWER median ([[weightedMedian]]
+    * with unit weights), so everything stays integer end to end — no
+    * interpolated midpoint, no float anywhere, strict `>` at the
+    * threshold.
+    *
+    * Shape: two keyed window exchanges (value median, then deviation
+    * median) + two broadcast joins of the ≤|keys|-row median tables —
+    * the raw rows shuffle twice and never more; factor·MAD compares as
+    * exact integers.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, factor: Long = 5L): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val one = df.withColumn("_one", lit(1L))
+    val med = weightedMedian(one, keyCol, valueCol, "_one", Seq(tieCol))
+      .select(col(keyCol), col("med"))
+    val dev = one.join(broadcast(med), keyCol)
+      .withColumn("abs_dev", abs(col(valueCol) - col("med")))
+    val mad = weightedMedian(dev, keyCol, "abs_dev", "_one", Seq(tieCol))
+      .select(col(keyCol), col("med").as("mad"))
+    dev.join(broadcast(mad), keyCol)
+      .where(col("abs_dev") > lit(factor) * col("mad"))
+      .select(col(keyCol), col(tieCol), col(valueCol), col("med"),
+        col("abs_dev"), col("mad"))
+  }
+
   /** Winsorized and trimmed mean per key over an exact integer (cents)
     * column. With n group rows and k = n DIV `tailDenom` (5% tails at
     * the default 20), the k smallest values are clamped up to the

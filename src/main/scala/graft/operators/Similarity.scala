@@ -450,6 +450,113 @@ object Similarity {
         col("fused_rank"))
   }
 
+  /** Maximal Marginal Relevance re-ranking: from each query's
+    * `poolSize` most-similar candidates, greedily select `k` that
+    * balance relevance against redundancy — pick t maximizes
+    * λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s). The standard
+    * diversify-the-retrieval finisher (RAG context packing, dedup-aware
+    * search UIs) and, run with the query as a topic centroid, a
+    * per-topic diverse-exemplar selector for curation.
+    *
+    * Determinism: similarities are the quantized integer cosine scaled
+    * to 1e6 and FLOORED to a BIGINT (floor, not cast — Spark's
+    * double→long truncates while DuckDB's CAST rounds; floor is the
+    * same function in both). λ enters as the integer pair
+    * (lambda10, 10−lambda10), so the greedy objective
+    * `lambda10·rel − (10−lambda10)·pen` is exact integer arithmetic
+    * with ties to the smaller candidate id.
+    *
+    * Shape: the pool build is [[bruteForceTopK]]'s broadcast scan
+    * (swap in any ANN pool upstream); everything after runs on
+    * |Q|·poolSize rows — per-query windows over ≤poolSize rows, k−1
+    * bounded joins (the selected set never exceeds k), lineage cut per
+    * round. The greedy is inherently sequential in k; it is NOT
+    * sequential in |Q| — every query advances in the same k−1 passes.
+    */
+  def mmrDiversify(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int = 5,
+      poolSize: Int = 20, lambda10: Int = 7): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize >= k >= 1, got k=$k poolSize=$poolSize")
+    require(lambda10 >= 0 && lambda10 <= 10, s"lambda10 in [0,10], got $lambda10")
+    import graft.functions.LongArrayDot.long_dot
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    def simc(dotC: Column, n2a: Column, n2b: Column): Column =
+      floor(dotC.cast("double")
+        / sqrt(n2a.cast("double") * n2b.cast("double")) * lit(1e6)).cast("long")
+
+    val c = prepared(corpus, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("q").as("qc"), col("n2").as("n2c"))
+    val qs = prepared(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("q").as("qq"), col("n2").as("n2q"))
+    val pool = rankRows(
+      c.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+        .withColumn("rel",
+          simc(long_dot(col("qq"), col("qc")), col("n2q"), col("n2c")))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKByScore
+          .top_k_by(col("rel").cast("double"), col("neighbor_id").cast("long"),
+            poolSize).as("topk")),
+      Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("cid"),
+        col("cosine").cast("long").as("rel"))
+      .localCheckpoint()
+
+    // candidate vectors + all within-pool pairwise sims (≤ poolSize²/query)
+    val pv = c.join(broadcast(pool), col("neighbor_id") === col("cid"))
+      .select(col("query_id"), col("cid"), col("rel"), col("qc"), col("n2c"))
+      .localCheckpoint()
+    val x = pv.select(col("query_id"), col("cid").as("a"),
+      col("qc").as("qa"), col("n2c").as("n2a"))
+    val y = pv.select(col("query_id").as("_qy"), col("cid").as("b"),
+      col("qc").as("qb"), col("n2c").as("n2b"))
+    val pairs = x.join(broadcast(y),
+        col("query_id") === col("_qy") && col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        simc(long_dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("sab"))
+      .localCheckpoint()
+
+    var sel = pool
+      .withColumn("_rn", row_number().over(w.orderBy(col("rel").desc, col("cid"))))
+      .where(col("_rn") === 1)
+      .select(col("query_id"), col("cid"), col("rel"),
+        lit(0L).as("penalty"), lit(1).as("mmr_rank"))
+    var rem = pool.join(sel.select("query_id", "cid"),
+        Seq("query_id", "cid"), "left_anti")
+    var t = 2
+    while (t <= k) {
+      val penalties = rem.as("r")
+        .join(pairs.as("p"),
+          col("r.query_id") === col("p.query_id") && col("r.cid") === col("p.a"))
+        .join(sel.select(col("query_id").as("_sq"), col("cid").as("_sc")),
+          col("p.query_id") === col("_sq") && col("p.b") === col("_sc"))
+        .groupBy(col("r.query_id").as("query_id"), col("r.cid").as("cid"),
+          col("r.rel").as("rel"))
+        .agg(max(col("p.sab")).as("penalty"))
+      val pick = penalties
+        .withColumn("_score",
+          lit(lambda10.toLong) * col("rel") -
+            lit((10 - lambda10).toLong) * col("penalty"))
+        .withColumn("_rn",
+          row_number().over(w.orderBy(col("_score").desc, col("cid"))))
+        .where(col("_rn") === 1)
+        .select(col("query_id"), col("cid"), col("rel"), col("penalty"),
+          lit(t).as("mmr_rank"))
+      // the loop frames stay un-checkpointed on purpose: they hold
+      // |Q|·poolSize rows with lineage bounded by k (<=5 joins deep),
+      // and unioning LogicalRDD checkpoints trips Union's constraint
+      // rewrite (key-not-found on a stale attribute)
+      sel = sel.union(pick)
+      rem = rem.join(pick.select("query_id", "cid"),
+          Seq("query_id", "cid"), "left_anti")
+      t += 1
+    }
+    sel.select(col("query_id"), col("cid").as("neighbor_id"),
+      col("mmr_rank"), col("rel"), col("penalty"))
+  }
+
   /** Product-quantization ADC search — the memory-side ANN lever IVF
     * doesn't give: each vector is compressed to `subspaces` one-byte
     * codes (argmin centroid per subvector), and query↔vector distance

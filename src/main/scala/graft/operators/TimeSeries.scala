@@ -80,14 +80,73 @@ object TimeSeries {
     * pass is the map-side partial agg + the scan that scores.
     */
   def seasonalOutliers(df: DataFrame, keyCol: Column, seasonCol: Column,
-      valueCol: Column, thresholdUnits: Long): DataFrame = {
-    val cells = df
-      .groupBy(keyCol.as("_k"), seasonCol.as("_s"))
+      valueCol: Column, thresholdUnits: Long): DataFrame =
+    scoreSeasonal(df, seasonalCells(df, keyCol, seasonCol, valueCol),
+      keyCol, seasonCol, valueCol, thresholdUnits)
+
+  /** The (key, season) profile: count + exact sum per cell. Split out of
+    * [[seasonalOutliers]] so a STREAM can score against a batch-built
+    * profile (the stream-static twin) — the cells table is the natural
+    * published artifact of this operator anyway.
+    */
+  def seasonalCells(df: DataFrame, keyCol: Column, seasonCol: Column,
+      valueCol: Column): DataFrame =
+    df.groupBy(keyCol.as("_k"), seasonCol.as("_s"))
       .agg(count(lit(1)).as("n_cell"), sum(valueCol).as("sum_cell"))
+
+  /** Linear time-interpolation of missing values per key — the
+    * imputation rung above [[Analytics]] forward-fill: a null at time t
+    * between non-null neighbors (t₀,v₀) and (t₁,v₁) fills to
+    * v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀); a null before the first / after the
+    * last observation takes the nearest observed value; an all-null key
+    * stays null. The pandas `interpolate(method="time")` contract.
+    *
+    * Determinism: neighbors and timestamps come from exact integers
+    * (value units + epoch-µs), located with `last/first(ignoreNulls)`
+    * over the key-ordered window; the interpolation itself is ONE float
+    * expression written identically in the oracle (each factor cast
+    * from an exact BIGINT, fixed operation order).
+    *
+    * Shape: one keyed exchange, four window functions stacked on the
+    * same sort (prev/next value + timestamp), map-only finish. The
+    * window partition is per-key series length — chunk like
+    * [[Rolling.trailingChunked]] if one key dominates.
+    */
+  def interpolate(df: DataFrame, keyCol: Column, tsMicros: Column,
+      valueCol: Column, tieCol: Column): DataFrame = {
+    val back = Window.partitionBy(keyCol).orderBy(tsMicros, tieCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(keyCol).orderBy(tsMicros, tieCol)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obs = valueCol.isNotNull
+    val out = df
+      .withColumn("_t", tsMicros)
+      .withColumn("_pv", last(when(obs, valueCol), ignoreNulls = true).over(back))
+      .withColumn("_pt", last(when(obs, tsMicros), ignoreNulls = true).over(back))
+      .withColumn("_nv", first(when(obs, valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("_nt", first(when(obs, tsMicros), ignoreNulls = true).over(fwd))
+    out.withColumn("filled",
+      when(obs, valueCol.cast("double"))
+        .when(col("_pv").isNull, col("_nv").cast("double"))
+        .when(col("_nv").isNull, col("_pv").cast("double"))
+        // both neighbors at the SAME µs (duplicate-timestamp sandwich):
+        // 0/0 would be NaN; define it as the previous value
+        .when(col("_nt") === col("_pt"), col("_pv").cast("double"))
+        .otherwise(col("_pv").cast("double")
+          + (col("_nv") - col("_pv")).cast("double")
+            * ((col("_t") - col("_pt")).cast("double")
+              / (col("_nt") - col("_pt")).cast("double"))))
+  }
+
+  /** Score `df` against a prebuilt profile — stateless, so it runs
+    * unchanged over a streaming DataFrame (stream-static broadcast
+    * join + filter, Append mode, no state store).
+    */
+  def scoreSeasonal(df: DataFrame, cells: DataFrame, keyCol: Column,
+      seasonCol: Column, valueCol: Column, thresholdUnits: Long): DataFrame =
     df.withColumn("_k", keyCol).withColumn("_s", seasonCol)
       .withColumn("_v", valueCol)
       .join(broadcast(cells), Seq("_k", "_s"))
       .withColumn("dev_scaled", col("_v") * col("n_cell") - col("sum_cell"))
       .where(abs(col("dev_scaled")) > lit(thresholdUnits) * col("n_cell"))
-  }
 }

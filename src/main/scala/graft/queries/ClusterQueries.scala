@@ -67,11 +67,21 @@ object ClusterQueries {
       assigned(spark, sfDir).select("vec_id", "cluster"),
       groupCol = "cluster", idCol = "vec_id", cap = 40)
 
+  /** Greedy farthest-point coreset (8 centers) — see
+    * [[Clustering.kCenterCoreset]] for the k-scan execution shape.
+    */
+  def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame =
+    Clustering.kCenterCoreset(
+      Tables.distributed(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", k = K)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_assign" -> kmeansAssign,
     "kmeans_update" -> kmeansUpdate,
     "kmeans_assign2" -> kmeansAssign2,
     "kmeans_sse" -> kmeansSse,
+    "kcenter_coreset" -> kcenterCoreset,
     "cluster_balanced_sample" -> clusterBalancedSample
   )
 
@@ -130,7 +140,42 @@ object ClusterQueries {
        |a2 AS (SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
        |       FROM r2 WHERE rn = 1)""".stripMargin
 
+  /** The identical greedy unrolled as chained CTEs: cᵗ = the argmax of
+    * the running min-distance mᵗ⁻¹, mᵗ = least(mᵗ⁻¹, d²-to-cᵗ). Exact
+    * integers end to end; ties (mind DESC, vec_id) like the engine.
+    */
+  private def kcenterOracle(k: Int): String = {
+    val base =
+      """WITH q AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q),
+        |c1 AS (SELECT vec_id AS center_id, qv AS cq, n2 AS cn2
+        |       FROM n ORDER BY md5('kcenter:' || CAST(vec_id AS VARCHAR)), vec_id
+        |       LIMIT 1),
+        |m1 AS (SELECT v.vec_id, v.qv, v.n2,
+        |         v.n2 + c.cn2 - 2 * CAST(list_dot_product(v.qv, c.cq) AS BIGINT)
+        |           AS mind
+        |       FROM n v CROSS JOIN c1 c)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""c$t AS (SELECT vec_id AS center_id, qv AS cq, n2 AS cn2, mind
+         |       FROM m${t - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$t AS (SELECT m.vec_id, m.qv, m.n2,
+         |         least(m.mind, m.n2 + c.cn2
+         |           - 2 * CAST(list_dot_product(m.qv, c.cq) AS BIGINT)) AS mind
+         |       FROM m${t - 1} m CROSS JOIN c$t c)""".stripMargin
+    }
+    val out = (s"SELECT CAST(1 AS INT) AS center_rank, center_id," +
+      s" CAST(0 AS BIGINT) AS dist_chosen FROM c1") +:
+      (2 to k).map(t => s"SELECT CAST($t AS INT), center_id," +
+        s" CAST(mind AS BIGINT) FROM c$t")
+    (base +: steps).mkString(",\n") + "\n" + out.mkString("\nUNION ALL\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "kcenter_coreset" -> kcenterOracle(K),
     "kmeans_assign" ->
       s"""$assignCte
          |SELECT vec_id, cluster, dist2 FROM a""".stripMargin,

@@ -36,14 +36,60 @@ object FeatureQueries {
     * The deviation is carried n-scaled (exact integers) so no division
     * ever happens — see [[TimeSeries.seasonalOutliers]].
     */
+  private def seasonalCols(e: DataFrame): DataFrame =
+    e.select(col("event_id"), col("event_type"),
+      hour(col("ts")).as("hod"), cents(col("value")).as("cents"))
+
   def seasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"),
-        hour(col("ts")).as("hod"), cents(col("value")).as("cents"))
+    val e = seasonalCols(Tables.events(spark, sfDir))
     TimeSeries.seasonalOutliers(e, col("event_type"), col("hod"),
         col("cents"), thresholdUnits = 25000L)
       .select("event_id", "event_type", "hod", "cents",
         "n_cell", "sum_cell", "dev_scaled")
+  }
+
+  /** Streaming twin of [[seasonalAnomaly]]: the profile builds ONCE on
+    * the static table, the live stream scores statelessly against the
+    * broadcast cells (stream-static join, Append mode, NO state store —
+    * the same monitoring topology a production anomaly alerter runs:
+    * nightly profile, streaming scorer). Deterministic, so it shares
+    * seasonal_anomaly's oracle verbatim.
+    */
+  def streamingSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingPipeline
+    val cells = TimeSeries.seasonalCells(
+      seasonalCols(Tables.events(spark, sfDir)),
+      col("event_type"), col("hod"), col("cents"))
+    val stream = seasonalCols(StreamingPipeline.readEvents(spark, sfDir))
+    val scored = TimeSeries.scoreSeasonal(stream, cells,
+        col("event_type"), col("hod"), col("cents"), thresholdUnits = 25000L)
+      .select("event_id", "event_type", "hod", "cents",
+        "n_cell", "sum_cell", "dev_scaled")
+    StreamingPipeline.runToMemory(scored, "graft_stream_seasonal",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** Linear time-interpolation of a 10%-md5-planted missing-value mask
+    * over each user's event series — the pandas
+    * `interpolate(method="time")` contract; see
+    * [[TimeSeries.interpolate]]. The fixture has no real nulls, so the
+    * mask is planted deterministically (same literal threshold in the
+    * oracle) to exercise interior gaps, head/tail extrapolation, and
+    * runs of consecutive nulls.
+    */
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t10 = graft.operators.Sampling.fractionThreshold(0.1)
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        cents(col("value")).as("cents"))
+      .withColumn("v_obs",
+        when(md5(concat(lit("gapi:"), col("event_id").cast("string")))
+          < lit(t10), lit(null).cast("bigint"))
+          .otherwise(col("cents")))
+    TimeSeries.interpolate(e, col("user_id"), unix_micros(col("ts")),
+        col("v_obs"), col("event_id"))
+      .select(col("event_id"), col("user_id"), col("_t").as("tmicros"),
+        col("v_obs"), col("filled"))
   }
 
   /** Equal-frequency (decile) VALUE binning of order totals — the qcut
@@ -111,12 +157,30 @@ object FeatureQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_acf" -> (tsAcf _),
     "seasonal_anomaly" -> (seasonalAnomaly _),
+    "streaming_seasonal" -> (streamingSeasonal _),
+    "ts_interpolate" -> (tsInterpolate _),
     "feature_bins" -> (featureBins _),
     "length_buckets" -> (lengthBuckets _),
     "bootstrap_ci" -> (bootstrapCi _)
   )
 
   private val bootThresholds = Resample.cdfThresholds
+
+  private val SeasonalOracle =
+    s"""WITH c AS (
+       |  SELECT event_id, event_type,
+       |    CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+       |    $centsSql AS cents
+       |  FROM events),
+       |cell AS (
+       |  SELECT event_type, hod,
+       |    CAST(count(*) AS BIGINT) AS n_cell,
+       |    CAST(sum(cents) AS BIGINT) AS sum_cell
+       |  FROM c GROUP BY 1, 2)
+       |SELECT event_id, c.event_type, c.hod, c.cents, n_cell, sum_cell,
+       |  c.cents * n_cell - sum_cell AS dev_scaled
+       |FROM c JOIN cell USING (event_type, hod)
+       |WHERE abs(c.cents * n_cell - sum_cell) > 25000 * n_cell""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ts_acf" ->
@@ -149,21 +213,43 @@ object FeatureQueries {
         |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
         |FROM m""".stripMargin,
-    "seasonal_anomaly" ->
+    "ts_interpolate" -> {
+      val t10 = graft.operators.Sampling.fractionThreshold(0.1)
       s"""WITH c AS (
-         |  SELECT event_id, event_type,
-         |    CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
-         |    $centsSql AS cents
+         |  SELECT event_id, user_id, epoch_us(ts) AS t, $centsSql AS cents
          |  FROM events),
-         |cell AS (
-         |  SELECT event_type, hod,
-         |    CAST(count(*) AS BIGINT) AS n_cell,
-         |    CAST(sum(cents) AS BIGINT) AS sum_cell
-         |  FROM c GROUP BY 1, 2)
-         |SELECT event_id, c.event_type, c.hod, c.cents, n_cell, sum_cell,
-         |  c.cents * n_cell - sum_cell AS dev_scaled
-         |FROM c JOIN cell USING (event_type, hod)
-         |WHERE abs(c.cents * n_cell - sum_cell) > 25000 * n_cell""".stripMargin,
+         |g AS (SELECT event_id, user_id, t,
+         |    CASE WHEN md5('gapi:' || CAST(event_id AS VARCHAR)) < '$t10'
+         |         THEN NULL ELSE cents END AS v
+         |  FROM c),
+         |w AS (SELECT event_id, user_id, t AS tmicros, v AS v_obs,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY t, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY t, event_id
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t, event_id
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM g)
+         |SELECT event_id, user_id, tmicros, v_obs,
+         |  CASE WHEN v_obs IS NOT NULL THEN CAST(v_obs AS DOUBLE)
+         |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+         |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+         |       WHEN nt = pt THEN CAST(pv AS DOUBLE)
+         |       ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+         |         * (CAST(tmicros - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |  END AS filled
+         |FROM w""".stripMargin
+    },
+    "seasonal_anomaly" -> SeasonalOracle,
+    // the streaming twin is deterministic and scores the same rows
+    // against the same profile — identical oracle by construction
+    "streaming_seasonal" -> SeasonalOracle,
     "feature_bins" ->
       """WITH c AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

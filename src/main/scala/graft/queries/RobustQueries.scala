@@ -60,13 +60,55 @@ object RobustQueries {
         col("last_order"))
   }
 
+  /** MAD robust outliers on event values per type (|v − med| > 5·MAD,
+    * exact lower medians, all-integer decision) — see
+    * [[Robust.madOutliers]].
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    Robust.madOutliers(
+      Tables.events(spark, sfDir).select(
+        col("event_id"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents")),
+      keyCol = "event_type", valueCol = "cents", tieCol = "event_id",
+      factor = 5L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weighted_median" -> weightedMedian,
     "winsorized_stats" -> winsorizedStats,
+    "mad_outliers" -> madOutliers,
     "skyline_pareto" -> skylinePareto
   )
 
+  private val MadOracle =
+    """WITH c AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |w1 AS (SELECT event_type, event_id, cents,
+      |    CAST(sum(1) OVER (PARTITION BY event_type ORDER BY cents, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tw
+      |  FROM c),
+      |m1 AS (SELECT event_type,
+      |    CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS med
+      |  FROM w1 GROUP BY 1),
+      |d AS (SELECT c.event_id, c.event_type, c.cents, m1.med,
+      |    abs(c.cents - m1.med) AS abs_dev
+      |  FROM c JOIN m1 USING (event_type)),
+      |w2 AS (SELECT event_type, event_id, abs_dev,
+      |    CAST(sum(1) OVER (PARTITION BY event_type ORDER BY abs_dev, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tw
+      |  FROM d),
+      |m2 AS (SELECT event_type,
+      |    CAST(min(CASE WHEN 2 * cw >= tw THEN abs_dev END) AS BIGINT) AS mad
+      |  FROM w2 GROUP BY 1)
+      |SELECT d.event_type, d.event_id, d.cents, d.med, d.abs_dev, m2.mad
+      |FROM d JOIN m2 USING (event_type)
+      |WHERE d.abs_dev > 5 * m2.mad""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mad_outliers" -> MadOracle,
     "weighted_median" ->
       """WITH c AS (
         |  SELECT l_returnflag AS flag, l_orderkey, l_linenumber,

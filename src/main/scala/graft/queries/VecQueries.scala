@@ -138,10 +138,20 @@ object VecQueries {
       "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, codebookSize = 16)
   }
 
+  /** MMR-diversified top-5 from each query's 20-candidate pool
+    * (λ = 0.7) — see [[Similarity.mmrDiversify]].
+    */
+  def topkMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.mmrDiversify(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, poolSize = 20, lambda10 = 7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "negative_sample" -> negativeSample,
     "hard_negatives" -> hardNegatives,
     "similarity_pq" -> topkPq,
+    "mmr_diversify" -> topkMmr,
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
     "similarity_lsh_mp" -> topkLshMp,
@@ -255,7 +265,57 @@ object VecQueries {
       |        c.cell) AS rn
       |  FROM n v CROSS JOIN tc2n c WHERE v.vec_id < 10) WHERE rn <= 12)""".stripMargin
 
+  /** The MMR greedy unrolled as chained CTEs: selᵗ = argmax of
+    * λ₁₀·rel − (10−λ₁₀)·max-sim-to-selected over the not-yet-selected
+    * pool, ties to the smaller id — identical integer objective to
+    * [[Similarity.mmrDiversify]] (floor'd scaled cosines).
+    */
+  private def mmrOracle(k: Int, pool: Int, lam: Int): String = {
+    val sim = (a: String, b: String) =>
+      s"CAST(floor(CAST(list_dot_product($a.qv, $b.qv) AS BIGINT)::DOUBLE" +
+        s" / sqrt($a.n2::DOUBLE * $b.n2::DOUBLE) * 1000000) AS BIGINT)"
+    val base =
+      s"""WITH $qCte,
+         |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS cid,
+         |    ${sim("a", "b")} AS rel
+         |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |pool AS (SELECT query_id, cid, rel FROM (
+         |    SELECT query_id, cid, rel, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cid) AS rn FROM scored) t WHERE rn <= $pool),
+         |pv AS (SELECT p.query_id, p.cid, p.rel, n.qv, n.n2
+         |  FROM pool p JOIN n ON n.vec_id = p.cid),
+         |pp AS (SELECT x.query_id, x.cid AS a, y.cid AS b, ${sim("x", "y")} AS sab
+         |  FROM pv x JOIN pv y ON x.query_id = y.query_id AND x.cid <> y.cid),
+         |sel1 AS (SELECT query_id, cid, rel, CAST(0 AS BIGINT) AS pen FROM (
+         |    SELECT query_id, cid, rel, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cid) AS rn FROM pool) t WHERE rn = 1),
+         |selu1 AS (SELECT query_id, cid FROM sel1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""pen$t AS (SELECT p.query_id, p.cid, p.rel, max(pp.sab) AS pen
+         |  FROM pool p
+         |  JOIN pp ON pp.query_id = p.query_id AND pp.a = p.cid
+         |  JOIN selu${t - 1} s ON s.query_id = pp.query_id AND s.cid = pp.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} z
+         |    WHERE z.query_id = p.query_id AND z.cid = p.cid)
+         |  GROUP BY p.query_id, p.cid, p.rel),
+         |sel$t AS (SELECT query_id, cid, rel, pen FROM (
+         |    SELECT query_id, cid, rel, pen,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $lam * rel - ${10 - lam} * pen DESC, cid) AS rn
+         |    FROM pen$t) t WHERE rn = 1),
+         |selu$t AS (SELECT query_id, cid FROM selu${t - 1}
+         |  UNION ALL SELECT query_id, cid FROM sel$t)""".stripMargin
+    }
+    val out =
+      ("SELECT query_id, cid AS neighbor_id, CAST(1 AS INT) AS mmr_rank," +
+        " rel, pen AS penalty FROM sel1") +:
+        (2 to k).map(t =>
+          s"SELECT query_id, cid, CAST($t AS INT), rel, pen FROM sel$t")
+    (base +: steps).mkString(",\n") + "\n" + out.mkString("\nUNION ALL\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "mmr_diversify" -> mmrOracle(5, 20, 7),
     "similarity_pq" ->
       s"""WITH $qCte,
          |ss AS (SELECT unnest(generate_series(0, 7)) AS s),

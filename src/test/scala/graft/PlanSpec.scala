@@ -198,6 +198,12 @@ class PlanSpec extends SparkSpec {
       // result is localCheckpointed (cache-release fix), so the gate
       // sees only the materialized RDD scan.
       "feature_bins" -> "crossJoin of the single broadcast n_total row",
+      // kcenter_coreset / mmr_diversify don't appear although they DO
+      // broadcast-fan-out (newest-center row / query pool): their
+      // iterative stages run eagerly behind localCheckpoint, so the
+      // final plan the gate sees is a LogicalRDD scan — the
+      // kmv_set_algebra situation. Their fan-out shapes are pinned by
+      // CoresetSpec instead.
       "mixture_sample" -> "crossJoin of the single global-totals row",
       "similarity_pq" -> "broadcast codebook fan-out for encoding + broadcast per-query ADC LUTs",
       "skyline_pareto" -> "broadcast candidate dominance anti-join over tiny local skylines",

@@ -83,4 +83,36 @@ class RobustSpec extends SparkSpec {
     assert(base.nonEmpty)
     assert(base === run(df.repartition(13)))
   }
+
+  test("madOutliers: hand-computed lower medians and the 5-MAD screen") {
+    // values 0,10,20,30,1000: lower med = 20 (first with 2·cw ≥ 5);
+    // |v−20| = 20,10,0,10,980 → lower MAD = 10; flag |v−20| > 50 → 1000
+    val df = Seq((1L, "k", 0L), (2L, "k", 10L), (3L, "k", 20L),
+      (4L, "k", 30L), (5L, "k", 1000L)).toDF("id", "grp", "cents")
+    val out = Robust.madOutliers(df, "grp", "cents", "id", factor = 5L)
+      .select("id", "med", "abs_dev", "mad")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((5L, 20L, 980L, 10L)), out.mkString(","))
+  }
+
+  test("madOutliers: zero MAD (constant majority) flags every deviant, " +
+      "and an untouched group flags nothing") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "a", 10L), (5L, "a", 100L),
+      (6L, "b", 1L), (7L, "b", 2L), (8L, "b", 3L)).toDF("id", "grp", "cents")
+    val got = Robust.madOutliers(df, "grp", "cents", "id", factor = 5L)
+      .select("id").as[Long].collect().toSet
+    // group a: med=10, MAD=0 → any nonzero deviation exceeds 5·0
+    // group b: med=2, MAD=1 → max deviation 1 ≤ 5
+    assert(got === Set(5L))
+  }
+
+  test("madOutliers is invariant to input partitioning") {
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}", rnd.nextInt(1000).toLong))
+      .toDF("id", "grp", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Robust.madOutliers(d, "grp", "cents", "id").collect().toSet
+    assert(run(df.repartition(1)) == run(df.repartition(17)))
+  }
 }

@@ -58,6 +58,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Map("e4" -> 1800L))
   }
 
+  test("interpolate: interior gap is linear in time, head/tail clamp, " +
+      "all-null key stays null") {
+    val df = Seq(
+      ("u", 0L, 1L, Some(100L)),
+      ("u", 10L, 2L, None),
+      ("u", 20L, 3L, None),
+      ("u", 30L, 4L, Some(400L)),
+      ("h", 0L, 5L, None),          // head null → next value
+      ("h", 10L, 6L, Some(50L)),
+      ("h", 20L, 7L, None),         // tail null → prev value
+      ("z", 0L, 8L, None)           // all-null key → stays null
+    ).toDF("k", "t", "id", "v")
+    val out = TimeSeries.interpolate(df, col("k"), col("t"), col("v"), col("id"))
+      .select("id", "filled").as[(Long, Option[Double])].collect().toMap
+    assert(out(1).contains(100.0) && out(4).contains(400.0))
+    assert(out(2).contains(200.0), s"t=10 → 100 + 300·(10/30): ${out(2)}")
+    assert(out(3).contains(300.0))
+    assert(out(5).contains(50.0) && out(7).contains(50.0))
+    assert(out(8).isEmpty)
+  }
+
+  test("interpolate: duplicate-timestamp sandwich defines 0/0 as the prev value") {
+    val df = Seq(
+      ("u", 5L, 1L, Some(10L)),
+      ("u", 5L, 2L, None),     // same µs as both neighbors
+      ("u", 5L, 3L, Some(30L))
+    ).toDF("k", "t", "id", "v")
+    val out = TimeSeries.interpolate(df, col("k"), col("t"), col("v"), col("id"))
+      .select("id", "filled").as[(Long, Option[Double])].collect().toMap
+    assert(out(2).contains(10.0), s"NaN must not escape: ${out(2)}")
+  }
+
   test("seasonalOutliers never divides: ties at the threshold stay excluded") {
     // dev = |v·n − Σ| exactly equal to thr·n must NOT flag (strict >)
     val df = Seq(("a", "k", 0, 0L), ("b", "k", 0, 200L))
