@@ -75,6 +75,54 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank: the teleport mass returns ONLY to the seed
+    * set, so rank measures proximity to the seeds — the similarity /
+    * recommendation walk (vs [[pagerank]]'s global importance). Same
+    * fixed-point integer recurrence (bit-deterministic under any
+    * partitioning): rank⁰ = scale·[seed], rankᵗ = 0.15·scale·[seed] +
+    * ⌊0.85·Σ inbound rankᵗ⁻¹/deg⌋. Seeds ride a broadcast left-join
+    * flag; everything else is [[pagerank]]'s loop — one edges×ranks
+    * join + one keyed aggregate per iteration, lineage cuts every 4.
+    *
+    * `seeds` must be a 1-column frame coercible to the edge node type.
+    */
+  def personalizedPagerank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 0 && scale % 20 == 0,
+      "need scale % 20 == 0 for an exact 0.15 term")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val seedSet = seeds.toDF("node").distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedSet.withColumn("_seed", lit(true))), Seq("node"), "left")
+      .withColumn("_seed", coalesce(col("_seed"), lit(false)))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, "src").persist()
+    val teleport = scale / 20 * 3
+
+    var ranks = nodes.withColumn("rank",
+      when(col("_seed"), lit(scale)).otherwise(lit(0L)))
+      .select("node", "rank")
+    for (i <- 1 to iterations) {
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .groupBy("dst")
+        .agg(sum(expr("rank DIV deg")).as("contrib"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          nodes("node"),
+          (when(col("_seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist(); eDeg.unpersist()
+    out
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation —
     * the standard distributed formulation (Suri & Vassilvitskii's MR
     * "last reducer" fix): orient every undirected edge from its

@@ -92,6 +92,26 @@ object FeatureQueries {
         col("v_obs"), col("filled"))
   }
 
+  /** Train/serve drift monitor: total-variation distance between the
+    * first and second time-half of each event type's value
+    * distribution over pooled deciles — see [[graft.operators.Drift]]
+    * for why TV (and not PSI/KL) is the oracle-exact choice. The time
+    * split is the exact integer midpoint of the observed µs range (one
+    * 1-row broadcast, the split_temporal device).
+    */
+  def driftDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("cents"),
+        unix_micros(col("ts")).as("t"))
+    val bounds = e.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+    val flagged = e.crossJoin(broadcast(bounds))
+      .withColumn("in_a", col("t") <= expr("(mn + mx) DIV 2"))
+    graft.operators.Drift.tvDrift(flagged, col("event_type"), col("cents"),
+        col("in_a"), bins = 10)
+      .select(col("_k").as("event_type"), col("n_bins"),
+        col("tot_a"), col("tot_b"), col("tv_num"), col("tv"))
+  }
+
   /** Equal-frequency (decile) VALUE binning of order totals — the qcut
     * primitive behind feature bucketization. Bins are assigned per
     * distinct value (rows with equal values share a bin, pandas-qcut
@@ -159,6 +179,7 @@ object FeatureQueries {
     "seasonal_anomaly" -> (seasonalAnomaly _),
     "streaming_seasonal" -> (streamingSeasonal _),
     "ts_interpolate" -> (tsInterpolate _),
+    "drift_detect" -> (driftDetect _),
     "feature_bins" -> (featureBins _),
     "length_buckets" -> (lengthBuckets _),
     "bootstrap_ci" -> (bootstrapCi _)
@@ -246,6 +267,38 @@ object FeatureQueries {
          |  END AS filled
          |FROM w""".stripMargin
     },
+    "drift_detect" ->
+      s"""WITH c AS (
+         |  SELECT event_type, epoch_us(ts) AS t, $centsSql AS cents
+         |  FROM events),
+         |b AS (SELECT min(t) AS mn, max(t) AS mx FROM c),
+         |f AS (SELECT event_type, cents, t <= (mn + mx) // 2 AS in_a
+         |  FROM c CROSS JOIN b),
+         |v AS (SELECT event_type, cents,
+         |    CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS ca,
+         |    CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS cb
+         |  FROM f GROUP BY 1, 2),
+         |w AS (SELECT event_type, cents, ca, cb,
+         |    CAST(COALESCE(sum(ca + cb) OVER (PARTITION BY event_type
+         |      ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS cum,
+         |    CAST(sum(ca + cb) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+         |  FROM v),
+         |pb AS (SELECT event_type, least(9, (cum * 10) // tot) AS bin,
+         |    CAST(sum(ca) AS BIGINT) AS a, CAST(sum(cb) AS BIGINT) AS b
+         |  FROM w GROUP BY 1, 2),
+         |t2 AS (SELECT event_type, bin, a, b,
+         |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS tot_a,
+         |    CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS tot_b
+         |  FROM pb)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+         |  max(tot_a) AS tot_a, max(tot_b) AS tot_b,
+         |  CAST(sum(abs(a * tot_b - b * tot_a)) AS BIGINT) AS tv_num,
+         |  CASE WHEN max(tot_a) = 0 OR max(tot_b) = 0 THEN NULL
+         |       ELSE CAST(sum(abs(a * tot_b - b * tot_a)) AS BIGINT)::DOUBLE
+         |         / CAST(2 * max(tot_a) * max(tot_b) AS BIGINT)::DOUBLE
+         |  END AS tv
+         |FROM t2 GROUP BY 1""".stripMargin,
     "seasonal_anomaly" -> SeasonalOracle,
     // the streaming twin is deterministic and scores the same rows
     // against the same profile — identical oracle by construction

@@ -152,6 +152,58 @@ object GraphQueries {
       |  CAST(COALESCE(tcnt.tri_count, 0) AS BIGINT) AS tri_count
       |FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node""".stripMargin
 
+  /** Personalized PageRank from the `c_custkey % 100 = 1` seed
+    * customers over the trade graph — rank as proximity-to-seeds (the
+    * recommendation walk), same exact-integer recurrence as
+    * [[pagerank]]; seeds outside the graph contribute nothing (node
+    * set comes from the edges).
+    */
+  def pagerankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") % 100 === 1)
+      .select(struct(lit(0).as("t"), col("c_custkey").as("k")).as("node"))
+    Graph.personalizedPagerank(edges(spark, sfDir), seeds, Iterations, Scale)
+      .select(
+        concat(when(col("node.t") === 0, lit("c")).otherwise(lit("s")),
+          col("node.k").cast("string")).as("node"),
+        col("rank"))
+  }
+
+  /** [[oracleSqlFor]] with the teleport restricted to the seed set. */
+  private def pprOracleSqlFor(iterations: Int): String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+         |  FROM customer WHERE c_custkey % 100 = 1),
+         |pr0 AS (SELECT n.node,
+         |    CAST(CASE WHEN s.node IS NOT NULL THEN $Scale ELSE 0 END AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, CAST(
+         |      CASE WHEN s.node IS NOT NULL THEN $Teleport ELSE 0 END
+         |      + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN seeds s ON n.node = s.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank // d.deg) AS contrib
+         |    FROM edges e
+         |    JOIN pr${i - 1} p ON p.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, rank FROM pr$iterations"
+  }
+
   /** Common-neighbor link prediction over the same co-purchase graph as
     * [[triangleCount]] (per-part 4-lowest-custkey edges): candidate
     * "same buyer community" pairs witnessed by ≥ 2 shared neighbors,
@@ -255,13 +307,15 @@ object GraphQueries {
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
     "graph_bfs" -> (bfsHops _),
-    "graph_common_neighbors" -> (commonNeighborsQ _)
+    "graph_common_neighbors" -> (commonNeighborsQ _),
+    "pagerank_personalized" -> (pagerankPersonalized _)
   )
 
   val oracle: Map[String, String] = Map(
     "pagerank" -> oracleSqlFor(Iterations),
     "triangle_count" -> TriangleOracle,
     "graph_bfs" -> BfsOracle,
-    "graph_common_neighbors" -> CommonNeighborsOracle
+    "graph_common_neighbors" -> CommonNeighborsOracle,
+    "pagerank_personalized" -> pprOracleSqlFor(Iterations)
   )
 }

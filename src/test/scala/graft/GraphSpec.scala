@@ -106,6 +106,44 @@ class GraphSpec extends SparkSpec {
       2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("personalizedPagerank with seeds = all nodes equals global pagerank") {
+    val rnd = new scala.util.Random(41)
+    val e0 = (1 to 200).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(p => p._1 != p._2).distinct
+    val df = e0.toDF("src", "dst")
+    val und = df.union(df.select($"dst".as("src"), $"src".as("dst")))
+    val allNodes = und.select($"src".as("node")).distinct()
+    val ppr = Graph.personalizedPagerank(und, allNodes, 3, S)
+      .as[(String, Long)].collect().toMap
+    val pr = Graph.pagerank(und, 3, S).as[(String, Long)].collect().toMap
+    assert(ppr == pr)
+  }
+
+  test("personalizedPagerank: mass reaches only the seeds' component") {
+    // two disjoint 2-cycles; seed in the first — second stays at 0
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val ranks = Graph.personalizedPagerank(edges, seeds, 4, S)
+      .as[(String, Long)].collect().toMap
+    assert(ranks("x") == 0L && ranks("y") == 0L)
+    assert(ranks("a") > ranks("b") && ranks("b") > 0L,
+      s"seed holds the teleport mass: $ranks")
+  }
+
+  test("personalizedPagerank: hand-stepped 2-cycle integer recurrence") {
+    // seed a, rank0 = (S, 0); r1: a = 0.15S + 0.85·0 = 0.15S,
+    // b = 0 + ⌊0.85·S⌋; r2: a = 0.15S + ⌊0.85·0.85S⌋, b = ⌊0.85·0.15S⌋
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r2 = Graph.personalizedPagerank(edges, seeds, 2, S)
+      .as[(String, Long)].collect().toMap
+    val t = S / 20 * 3
+    val a2 = t + (85L * (85L * S / 100)) / 100
+    val b2 = (85L * t) / 100
+    assert(r2 == Map("a" -> a2, "b" -> b2), s"got $r2 want a=$a2 b=$b2")
+  }
+
   test("commonNeighbors: 4-cycle yields exactly the two diagonal pairs") {
     // a-b-c-d-a: diag pairs (a,c) and (b,d) each share 2 neighbors;
     // adjacent pairs share none. Jaccard = 2/(2+2-2) = 1.0 exactly.

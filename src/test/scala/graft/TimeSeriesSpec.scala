@@ -101,6 +101,48 @@ class TimeSeriesSpec extends SparkSpec {
   }
 }
 
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Drift
+
+  private def run(rows: Seq[(String, Long, Boolean)]) =
+    Drift.tvDrift(rows.toDF("k", "v", "a"), col("k"), col("v"), col("a"))
+      .select("_k", "tot_a", "tot_b", "tv_num", "tv")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("identical distributions score tv = 0; disjoint score tv = 1") {
+    val same = (1L to 100L).flatMap(v => Seq(("s", v % 10, true), ("s", v % 10, false)))
+    // disjoint: A lives in [0,10), B in [100,110)
+    val dis = (1L to 100L).map(v => ("d", v % 10, true)) ++
+      (1L to 100L).map(v => ("d", 100 + v % 10, false))
+    val out = run(same ++ dis)
+    assert(out("s")._5.contains(0.0), s"identical: ${out("s")}")
+    assert(out("d")._5.contains(1.0), s"disjoint: ${out("d")}")
+  }
+
+  test("a key present on one side only reports NULL, not NaN") {
+    val out = run((1L to 20L).map(v => ("only_a", v, true)))
+    assert(out("only_a")._5.isEmpty)
+    assert(out("only_a")._2 == 20L && out("only_a")._3 == 0L)
+  }
+
+  test("tv is invariant under repartitioning and bounded by [0,1]") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 2000).map { _ =>
+      ("k", rnd.nextInt(50).toLong + (if (rnd.nextBoolean()) 5 else 0),
+        rnd.nextBoolean())
+    }
+    val df = rows.toDF("k", "v", "a")
+    def one(d: org.apache.spark.sql.DataFrame) =
+      Drift.tvDrift(d, col("k"), col("v"), col("a")).collect().toSeq
+    val a = one(df.repartition(1))
+    assert(a == one(df.repartition(13)))
+    val tv = a.head.getAs[Double]("tv")
+    assert(tv >= 0.0 && tv <= 1.0)
+  }
+}
+
 class ResampleSpec extends SparkSpec {
   import spark.implicits._
 
