@@ -63,13 +63,31 @@ object Robust {
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
       tieCol: String, factor: Long = 5L): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val one = df.withColumn("_one", lit(1L))
-    val med = weightedMedian(one, keyCol, valueCol, "_one", Seq(tieCol))
-      .select(col(keyCol), col("med"))
-    val dev = one.join(broadcast(med), keyCol)
+    // Lower median from the VALUE HISTOGRAM, not a raw-row window: the
+    // keys of a robust screen are typically low-cardinality (event
+    // types, segments), so partitioning raw rows by key would make the
+    // whole table |keys| straggler tasks at scale. Collapsing to
+    // (key, value, cnt) first (map-combining hash agg) leaves the
+    // cumulative window a distinct-value-table problem — the
+    // feature_bins/auc discipline — and the lower median over the
+    // histogram (min v with 2·cum ≥ n) is IDENTICAL to the row
+    // formulation, ties included.
+    def histMedian(d: DataFrame, vCol: String, outName: String): DataFrame = {
+      val h = d.groupBy(col(keyCol), col(vCol))
+        .agg(count(lit(1)).as("_cnt"))
+      val run = Window.partitionBy(keyCol).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(keyCol)
+      h.withColumn("_cw", sum(col("_cnt")).over(run))
+        .withColumn("_tw", sum(col("_cnt")).over(all))
+        .groupBy(col(keyCol))
+        .agg(min(when(lit(2L) * col("_cw") >= col("_tw"), col(vCol)))
+          .as(outName))
+    }
+    val med = histMedian(df, valueCol, "med")
+    val dev = df.join(broadcast(med), keyCol)
       .withColumn("abs_dev", abs(col(valueCol) - col("med")))
-    val mad = weightedMedian(dev, keyCol, "abs_dev", "_one", Seq(tieCol))
-      .select(col(keyCol), col("med").as("mad"))
+    val mad = histMedian(dev, "abs_dev", "mad")
     dev.join(broadcast(mad), keyCol)
       .where(col("abs_dev") > lit(factor) * col("mad"))
       .select(col(keyCol), col(tieCol), col(valueCol), col("med"),
