@@ -39,7 +39,11 @@ object ElbPipeline {
     val sess = Sessionize.sessionize(
       timed, keyCol = "client_ip", timeCol = "time",
       tieBreak = org.apache.spark.sql.functions.col("time_abs_order"))
-    ElbParser.addPathFeatures(Rolling.addRollingFeatures(sess))
+    // Chunked rolling (skew-proof, hash-identical frames) is the
+    // pipeline default since round 10: the plain key-partitioned frame
+    // degrades 2.1× under a 20% hot key (BASELINE.md skew table) while
+    // the (key, hour-block) carry layout stays flat at any skew.
+    ElbParser.addPathFeatures(Rolling.addRollingFeaturesChunked(sess))
   }
 
   /** Full run. Returns the enriched frame for inspection/testing. */

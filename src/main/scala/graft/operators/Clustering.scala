@@ -215,6 +215,10 @@ object Clustering {
     * Determinism: seed = md5-lowest id (public-formula draw), all
     * distances exact integer L2² on the quantized domain, argmax ties
     * break to the smaller id; the seed row reports distance 0.
+    *
+    * If k exceeds the number of distinct vectors the greedy STOPS
+    * EARLY (fewer than k rows returned) rather than emitting duplicate
+    * centers — every point is already covered at radius 0.
     */
   def kCenterCoreset(df: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame = {
@@ -234,21 +238,31 @@ object Clustering {
         d2(col("q"), col("cq"), col("n2"), col("cn2")).as("mind"))
       .localCheckpoint()
     var t = 2
-    while (t <= k) {
-      val next = mind.orderBy(col("mind").desc, col(idCol)).limit(1)
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      // mind > 0 argmax: once every remaining point is at distance 0
+      // (k exceeds the number of DISTINCT vectors), there is no new
+      // coverage to add — stop early instead of silently re-emitting
+      // an already-chosen center. The unrolled oracle mirrors the
+      // same predicate, so both engines truncate identically.
+      val next = mind.where(col("mind") > 0)
+        .orderBy(col("mind").desc, col(idCol)).limit(1)
         .select(col(idCol).as("center_id"), col("q").as("cq"),
           col("n2").as("cn2"), col("mind").as("dist_chosen"))
         .withColumn("center_rank", lit(t))
         .localCheckpoint()
-      picked = picked.union(next).localCheckpoint()
-      val prev = mind
-      mind = mind.crossJoin(broadcast(next))
-        .select(col(idCol), col("q"), col("n2"),
-          least(col("mind"),
-            d2(col("q"), col("cq"), col("n2"), col("cn2"))).as("mind"))
-        .localCheckpoint()
-      prev.unpersist()
-      t += 1
+      if (next.isEmpty) { exhausted = true }
+      else {
+        picked = picked.union(next).localCheckpoint()
+        val prev = mind
+        mind = mind.crossJoin(broadcast(next))
+          .select(col(idCol), col("q"), col("n2"),
+            least(col("mind"),
+              d2(col("q"), col("cq"), col("n2"), col("cn2"))).as("mind"))
+          .localCheckpoint()
+        prev.unpersist()
+        t += 1
+      }
     }
     data.unpersist()
     picked.select(col("center_rank"), col("center_id"), col("dist_chosen"))

@@ -93,7 +93,12 @@ object Resample {
     val stacked = one.select(expr(
       s"stack($reps, ${(0 until reps)
         .map(r => s"$r, _w$r, _wv$r").mkString(", ")}) AS (rep, n_eff, wsum)"))
+    // explicit empty-replicate gate (every row drew weight 0 — P ≈ e⁻ⁿ,
+    // only plausible on tiny inputs): NULL by decision, not by leaning
+    // on either engine's double 0/0 behavior
     stacked.select(col("rep").cast("int").as("rep"), col("n_eff"), col("wsum"),
-      (col("wsum").cast("double") / col("n_eff").cast("double")).as("mean_rep"))
+      when(col("n_eff") === 0, lit(null).cast("double"))
+        .otherwise(col("wsum").cast("double") / col("n_eff").cast("double"))
+        .as("mean_rep"))
   }
 }

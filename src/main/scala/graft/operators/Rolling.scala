@@ -79,6 +79,26 @@ object Rolling {
       .withColumn("rolling_1h_avg_processing", avg(col(avgCol)).over(w1))
   }
 
+  /** [[addRollingFeatures]] through [[trailingChunked]] — identical
+    * frames (same `(t−Δ, t]` membership, so the count is bit-identical
+    * and the mean agrees to summation-order ulps), but the window
+    * partitions by (key, hour-block) with carry replication instead of
+    * by key alone: a hot IP splits into per-block tasks instead of one
+    * straggler. This is the [[graft.ElbPipeline]] default — the plain
+    * variant stays as the minimal-shape twin and skew-table baseline.
+    */
+  def addRollingFeaturesChunked(
+      df: DataFrame,
+      keyCol: String = "client_ip",
+      timeCol: String = "time",
+      countCol: String = "request",
+      avgCol: String = "total_processing_time"): DataFrame =
+    trailingChunked(df, col(keyCol), col(timeCol), OneHour)(
+      (w => count(col(countCol)).over(w.rangeBetween(-(FiveMinutes - 1), 0)),
+        "rolling_5min_request_count"),
+      (w => avg(col(avgCol)).over(w.rangeBetween(-(OneHour - 1), 0)),
+        "rolling_1h_avg_processing"))
+
   /** Exponentially-weighted moving average (α = ½) over the last
     * `depth` rows per key, on the exact integer domain.
     *

@@ -479,6 +479,11 @@ object Similarity {
       poolSize: Int = 20, lambda10: Int = 7): DataFrame = {
     require(k >= 1 && poolSize >= k,
       s"need poolSize >= k >= 1, got k=$k poolSize=$poolSize")
+    // the greedy loop frames stay un-checkpointed (see the loop note);
+    // that assumption is only sound with bounded lineage, so bound k
+    // like kCenterCoreset does — a deeper MMR wants per-round
+    // checkpoints, not a silent quadratic plan-analysis blowup
+    require(k <= 32, s"k must be <= 32 (un-checkpointed greedy lineage), got $k")
     require(lambda10 >= 0 && lambda10 <= 10, s"lambda10 in [0,10], got $lambda10")
     import graft.functions.LongArrayDot.long_dot
     val w = org.apache.spark.sql.expressions.Window
@@ -591,10 +596,47 @@ object Similarity {
       s"codebookSize in [2,256], got $codebookSize")
     val dsub = dims / subspaces
     val mult = 1L << 20
-    import graft.functions.LongArrayDot.long_dot
-    def sub(c: Column, s: Int): Column = slice(c, s * dsub + 1, dsub)
 
     val prep = prepared(corpus, idCol, embCol)
+    val centsPrep = pqCodebook(prep, idCol, subspaces, dsub, codebookSize)
+
+    // corpus → one code (centroid index) per subspace
+    val codes = pqWithSelfDots(prep, subspaces, dsub)
+      .crossJoin(broadcast(centsPrep))
+      .select(col(idCol) +: (0 until subspaces).map(s =>
+        (pqSubDist(s, dsub) * mult + col("cidx")).as(s"_p_$s")): _*)
+      .groupBy(col(idCol))
+      .agg(min(col("_p_0")).as("_m_0"),
+        (1 until subspaces).map(s => min(col(s"_p_$s")).as(s"_m_$s")): _*)
+      .select(col(idCol) +: (0 until subspaces).map(s =>
+        (col(s"_m_$s") % mult).cast("int").as(s"code_$s")): _*)
+
+    val luts = pqLuts(prepared(queries, idCol, embCol), idCol, centsPrep,
+      subspaces, dsub)
+    val scored = codes
+      .join(broadcast(luts), col("query_id") =!= col(idCol))
+      .withColumn("adc_dist", (0 until subspaces).map(s =>
+        element_at(col(s"_lut_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(-col("adc_dist").cast("double"), col(idCol).cast("long"), k)
+        .as("topk"))
+    rankRows(scored, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("cosine")).cast("long").as("adc_dist"))
+  }
+
+  /** Subvector s of a quantized vector (1-based slice). */
+  private def pqSub(c: Column, s: Int, dsub: Int): Column =
+    slice(c, s * dsub + 1, dsub)
+
+  /** Deterministic PQ codebook: the md5-lowest `codebookSize` corpus
+    * vectors, cidx-labeled in id order, with per-subspace self-dots
+    * precomputed (tiny frame — broadcast at every use site).
+    */
+  private def pqCodebook(prep: DataFrame, idCol: String, subspaces: Int,
+      dsub: Int, codebookSize: Int): DataFrame = {
+    import graft.functions.LongArrayDot.long_dot
     val cents = prep
       .orderBy(md5(concat(lit("pq:"), col(idCol).cast("string"))), col(idCol))
       .limit(codebookSize)
@@ -602,42 +644,131 @@ object Similarity {
       .withColumn("cidx",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cent_id"))).cast("long") - 1)
-    val centsPrep = (0 until subspaces).foldLeft(cents) { (df, s) =>
-      df.withColumn(s"_cn2_$s", long_dot(sub(col("qcent"), s), sub(col("qcent"), s)))
+    (0 until subspaces).foldLeft(cents) { (df, s) =>
+      df.withColumn(s"_cn2_$s",
+        long_dot(pqSub(col("qcent"), s, dsub), pqSub(col("qcent"), s, dsub)))
     }
+  }
 
-    def subDist(s: Int): Column =
-      col(s"_vn2_$s") + col(s"_cn2_$s") -
-        lit(2L) * long_dot(sub(col("q"), s), sub(col("qcent"), s))
-    def withSelfDots(df: DataFrame): DataFrame =
-      (0 until subspaces).foldLeft(df) { (d, s) =>
-        d.withColumn(s"_vn2_$s", long_dot(sub(col("q"), s), sub(col("q"), s)))
-      }
+  /** Exact integer L2² between subvector s of row vector `q` and the
+    * codebook row's subvector (needs `_vn2_s`/`_cn2_s` self-dots).
+    */
+  private def pqSubDist(s: Int, dsub: Int): Column = {
+    import graft.functions.LongArrayDot.long_dot
+    col(s"_vn2_$s") + col(s"_cn2_$s") -
+      lit(2L) * long_dot(pqSub(col("q"), s, dsub), pqSub(col("qcent"), s, dsub))
+  }
 
-    // corpus → one code (centroid index) per subspace
-    val codes = withSelfDots(prep)
-      .crossJoin(broadcast(centsPrep))
-      .select(col(idCol) +: (0 until subspaces).map(s =>
-        (subDist(s) * mult + col("cidx")).as(s"_p_$s")): _*)
-      .groupBy(col(idCol))
-      .agg(min(col("_p_0")).as("_m_0"),
-        (1 until subspaces).map(s => min(col(s"_p_$s")).as(s"_m_$s")): _*)
-      .select(col(idCol) +: (0 until subspaces).map(s =>
-        (col(s"_m_$s") % mult).cast("int").as(s"code_$s")): _*)
+  private def pqWithSelfDots(df: DataFrame, subspaces: Int, dsub: Int): DataFrame = {
+    import graft.functions.LongArrayDot.long_dot
+    (0 until subspaces).foldLeft(df) { (d, s) =>
+      d.withColumn(s"_vn2_$s",
+        long_dot(pqSub(col("q"), s, dsub), pqSub(col("q"), s, dsub)))
+    }
+  }
 
-    // per-query ADC lookup tables: array of cidx-ordered distances per
-    // subspace (struct sort_array orders by cidx, the first field)
+  /** Per-query ADC lookup tables: an array of cidx-ordered distances
+    * per subspace (struct sort_array orders by cidx, the first field).
+    */
+  private def pqLuts(qprep: DataFrame, idCol: String, centsPrep: DataFrame,
+      subspaces: Int, dsub: Int): DataFrame = {
     val lutStruct = struct(col("cidx") +:
-      (0 until subspaces).map(s => subDist(s).as(s"d_$s")): _*)
-    val luts = withSelfDots(prepared(queries, idCol, embCol))
+      (0 until subspaces).map(s => pqSubDist(s, dsub).as(s"d_$s")): _*)
+    pqWithSelfDots(qprep, subspaces, dsub)
       .crossJoin(broadcast(centsPrep))
       .groupBy(col(idCol).as("query_id"))
       .agg(sort_array(collect_list(lutStruct)).as("_arr"))
       .select(col("query_id") +: (0 until subspaces).map(s =>
         transform(col("_arr"), x => x.getField(s"d_$s")).as(s"_lut_$s")): _*)
+  }
 
+  /** IVF + PQ composed — the production FAISS shape: queries route
+    * through the Lloyd-TRAINED coarse quantizer ([[ivfTrainedTopK]]'s
+    * router) and ADC-score ONLY the probed cells' PQ codes
+    * ([[pqTopK]]'s scorer). Each lever covers the other's weakness:
+    * flat PQ still scans every code per query (a full-corpus pass at
+    * 100 TB, however narrow the rows); IVF alone still reads original
+    * vectors in the probed cells. Composed, the per-query work is
+    * `probes/nCells` of the corpus × `subspaces` bytes per row.
+    *
+    * Shape: ONE broadcast-assign pass gives every corpus vector its
+    * cell AND its `subspaces` codes (the cell argmin and the
+    * per-subspace code argmins share a single hash-aggregate — the
+    * corpus crosses the wire once); the query side fans out ×probes
+    * with its LUTs riding the same broadcast; scoring is a
+    * broadcast-hash join ON THE CELL KEY over the code table + the
+    * bounded-heap top-k. No shuffle ever carries the corpus twice.
+    *
+    * Determinism: trained cells, code argmins, ADC sums and ranking
+    * ties are all exact integer arithmetic — identical to the
+    * unrolled SQL oracle's.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nCentroids: Int = 16, probes: Int = 12, trainRounds: Int = 2,
+      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16): DataFrame = {
+    require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
+    require(probes >= 1 && probes <= nCentroids,
+      s"probes must be in [1, $nCentroids], got $probes")
+    require(codebookSize >= 2 && codebookSize <= 256,
+      s"codebookSize in [2,256], got $codebookSize")
+    val dsub = dims / subspaces
+    val mult = 1L << 20
+    import graft.functions.LongArrayDot.long_dot
+
+    // trained coarse quantizer (tiny: nCentroids × dims)
+    val cents = Clustering
+      .lloydCentroids(corpus, idCol, embCol, nCentroids, trainRounds)
+      .select(col("cluster").cast("long").as("cell"),
+        col("cq").as("qcent"), col("cn2").as("n2cent"))
+    def packed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("_packed",
+          (col("n2") + col("n2cent")
+            - lit(2L) * long_dot(col("q"), col("qcent")))
+            * mult + col("cell"))
+
+    val prep = prepared(corpus, idCol, embCol)
+    val centsPrep = pqCodebook(prep, idCol, subspaces, dsub, codebookSize)
+
+    // corpus → (cell, code_0..code_{S-1}) in ONE aggregate: the cell
+    // argmin and the per-subspace code argmins are all packed-long
+    // mins over the same broadcast fan-out group
+    val cellOf = packed(prep)
+      .groupBy(col(idCol))
+      .agg(min(col("_packed")).as("_best"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
+      .select(col(idCol), (col("_best") % mult).as("cell"),
+        col("q"), col("n2"))
+    val codes = pqWithSelfDots(cellOf, subspaces, dsub)
+      .crossJoin(broadcast(centsPrep))
+      .select(col(idCol) +: col("cell") +: (0 until subspaces).map(s =>
+        (pqSubDist(s, dsub) * mult + col("cidx")).as(s"_p_$s")): _*)
+      .groupBy(col(idCol))
+      .agg(first(col("cell")).as("cell"),
+        (0 until subspaces).map(s => min(col(s"_p_$s")).as(s"_m_$s")): _*)
+      .select(col(idCol) +: col("cell") +: (0 until subspaces).map(s =>
+        (col(s"_m_$s") % mult).cast("int").as(s"code_$s")): _*)
+
+    // queries: `probes` nearest trained cells each, LUTs attached —
+    // |Q|·probes rows, broadcast
+    val qprep = prepared(queries, idCol, embCol)
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_packed"))
+    val qprobe = packed(qprep)
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= probes)
+      .select((col("_packed") % mult).as("cell"), col(idCol).as("query_id"))
+    val luts = pqLuts(qprep, idCol, centsPrep, subspaces, dsub)
+    val qcells = qprobe.join(luts, "query_id")
+
+    // scoring: broadcast-hash join ON cell — only probed cells' codes
+    // are touched (scored rows ≈ |Q| · probes/nCells · N, vs |Q|·N
+    // for the flat PQ scan)
     val scored = codes
-      .join(broadcast(luts), col("query_id") =!= col(idCol))
+      .join(broadcast(qcells),
+        codes("cell") === qcells("cell") && col("query_id") =!= col(idCol))
       .withColumn("adc_dist", (0 until subspaces).map(s =>
         element_at(col(s"_lut_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
       .groupBy(col("query_id"))

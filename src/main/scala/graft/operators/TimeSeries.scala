@@ -58,10 +58,16 @@ object TimeSeries {
         sum(col("x") * col("y")).as("_sxy"),
         sum(col("x") * col("x")).as("_sxx"),
         sum(col("y") * col("y")).as("_syy"))
+      .withColumn("_vx", col("n_pairs") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_vy", col("n_pairs") * col("_syy") - col("_sy") * col("_sy"))
+      // explicit zero-variance gate (constant series or a single pair):
+      // don't lean on non-ANSI divide-by-zero NULL semantics agreeing
+      // across engines — same discipline as Drift.tvDrift
       .withColumn("acf",
-        (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
-          / (sqrt((col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
-            * sqrt((col("n_pairs") * col("_syy") - col("_sy") * col("_sy")).cast("double"))))
+        when(col("_vx") === 0 || col("_vy") === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+              / (sqrt(col("_vx").cast("double")) * sqrt(col("_vy").cast("double")))))
       .select(col(keyCol), col("lag").cast("int").as("lag"),
         col("n_pairs"), col("acf"))
   }

@@ -161,7 +161,8 @@ object ClusterQueries {
         |       FROM n v CROSS JOIN c1 c)""".stripMargin
     val steps = (2 to k).map { t =>
       s"""c$t AS (SELECT vec_id AS center_id, qv AS cq, n2 AS cn2, mind
-         |       FROM m${t - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |       FROM m${t - 1} WHERE mind > 0
+         |       ORDER BY mind DESC, vec_id LIMIT 1),
          |m$t AS (SELECT m.vec_id, m.qv, m.n2,
          |         least(m.mind, m.n2 + c.cn2
          |           - 2 * CAST(list_dot_product(m.qv, c.cq) AS BIGINT)) AS mind

@@ -230,9 +230,11 @@ object FeatureQueries {
         |    CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM stacked GROUP BY 1, 2)
         |SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
-        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |  CASE WHEN n_pairs * sxx - sx * sx = 0
+        |         OR n_pairs * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
         |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-        |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS acf
         |FROM m""".stripMargin,
     "ts_interpolate" -> {
       val t10 = graft.operators.Sampling.fractionThreshold(0.1)
@@ -347,8 +349,9 @@ object FeatureQueries {
          |SELECT CAST(rep AS INT) AS rep,
          |  CAST(sum(w) AS BIGINT) AS n_eff,
          |  CAST(sum(w * cents) AS BIGINT) AS wsum,
-         |  CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
-         |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_rep
+         |  CASE WHEN CAST(sum(w) AS BIGINT) = 0 THEN NULL
+         |       ELSE CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) END AS mean_rep
          |FROM w GROUP BY rep""".stripMargin
   )
 }
