@@ -100,6 +100,8 @@ object VecQueries {
       .unionByName(recall(topkIvfMp(spark, sfDir), "ivf_mp"))
       .unionByName(recall(topkIvfMp8(spark, sfDir), "ivf_mp8"))
       .unionByName(recall(topkIvfTrain(spark, sfDir), "ivf_train"))
+      .unionByName(recall(topkPq(spark, sfDir), "pq"))
+      .unionByName(recall(topkIvfPq(spark, sfDir), "ivfpq"))
   }
 
   /** Reciprocal-rank fusion of the two multi-probe ANN rankings
@@ -138,6 +140,19 @@ object VecQueries {
       "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, codebookSize = 16)
   }
 
+  /** IVF+PQ composed ANN (trained 16-cell router, 12 probes, 8×8 PQ
+    * codes) — see [[Similarity.ivfPqTopK]]: per query only the probed
+    * cells' codes are ADC-scored (12/16 of the corpus here; the probe
+    * fraction is the dial — production would run 8-32 probes over
+    * thousands of cells).
+    */
+  def topkIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.ivfPqTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16, probes = 12,
+      trainRounds = 2, subspaces = 8, dims = 64, codebookSize = 16)
+  }
+
   /** MMR-diversified top-5 from each query's 20-candidate pool
     * (λ = 0.7) — see [[Similarity.mmrDiversify]].
     */
@@ -151,6 +166,7 @@ object VecQueries {
     "negative_sample" -> negativeSample,
     "hard_negatives" -> hardNegatives,
     "similarity_pq" -> topkPq,
+    "similarity_ivfpq" -> topkIvfPq,
     "mmr_diversify" -> topkMmr,
     "similarity_topk" -> topkBrute,
     "similarity_lsh" -> topkLsh,
@@ -226,6 +242,36 @@ object VecQueries {
     * assigned to its nearest trained cell (`tasg`), queries probing
     * their 12 nearest (`tqasg`).
     */
+  /** PQ encode + per-query subspace distances (8 subspaces × 8 dims,
+    * 16-code deterministic codebook) as chained CTEs — ends with
+    * `pqcodes(vec_id, s, cidx)` and `pqd(vec_id, s, cidx, d)`. Shared
+    * by similarity_pq / similarity_ivfpq / the recall ladder; names
+    * are pq-prefixed so they compose with the IVF CTE chains.
+    */
+  private val pqCtes: String =
+    """pqss AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |pqc AS (SELECT cent_id, qcent,
+      |    CAST(row_number() OVER (ORDER BY cent_id) AS BIGINT) - 1 AS cidx
+      |  FROM (SELECT vec_id AS cent_id, qv AS qcent FROM n
+      |        ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+      |        LIMIT 16)),
+      |pqcsub AS (SELECT cidx, s,
+      |    array_slice(qcent, s * 8 + 1, s * 8 + 8) AS sv
+      |  FROM pqc CROSS JOIN pqss),
+      |pqvsub AS (SELECT vec_id, s,
+      |    array_slice(qv, s * 8 + 1, s * 8 + 8) AS sv
+      |  FROM n CROSS JOIN pqss),
+      |pqd AS (SELECT v.vec_id, v.s, c.cidx,
+      |    CAST(list_dot_product(v.sv, v.sv) AS BIGINT)
+      |      + CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(v.sv, c.sv) AS BIGINT) AS d
+      |  FROM pqvsub v JOIN pqcsub c ON v.s = c.s),
+      |pqcodes AS (SELECT vec_id, s, cidx FROM (
+      |    SELECT vec_id, s, cidx,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
+      |    FROM pqd) t
+      |  WHERE rn = 1)""".stripMargin
+
   private val ivfTrainCtes: String =
     """tseeds AS (SELECT vec_id, qv, n2,
       |            md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS mk
@@ -318,32 +364,31 @@ object VecQueries {
     "mmr_diversify" -> mmrOracle(5, 20, 7),
     "similarity_pq" ->
       s"""WITH $qCte,
-         |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
-         |cents AS (SELECT cent_id, qcent,
-         |    CAST(row_number() OVER (ORDER BY cent_id) AS BIGINT) - 1 AS cidx
-         |  FROM (SELECT vec_id AS cent_id, qv AS qcent FROM n
-         |        ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
-         |        LIMIT 16)),
-         |csub AS (SELECT cidx, s,
-         |    array_slice(qcent, s * 8 + 1, s * 8 + 8) AS sv
-         |  FROM cents CROSS JOIN ss),
-         |vsub AS (SELECT vec_id, s,
-         |    array_slice(qv, s * 8 + 1, s * 8 + 8) AS sv
-         |  FROM n CROSS JOIN ss),
-         |d AS (SELECT v.vec_id, v.s, c.cidx,
-         |    CAST(list_dot_product(v.sv, v.sv) AS BIGINT)
-         |      + CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
-         |      - 2 * CAST(list_dot_product(v.sv, c.sv) AS BIGINT) AS d
-         |  FROM vsub v JOIN csub c ON v.s = c.s),
-         |codes AS (SELECT vec_id, s, cidx FROM (
-         |    SELECT vec_id, s, cidx,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
-         |    FROM d) t
-         |  WHERE rn = 1),
+         |$pqCtes,
          |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
          |    CAST(sum(q.d) AS BIGINT) AS adc_dist
-         |  FROM codes x JOIN d q ON q.s = x.s AND q.cidx = x.cidx
+         |  FROM pqcodes x JOIN pqd q ON q.s = x.s AND q.cidx = x.cidx
          |  WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin,
+    "similarity_ivfpq" ->
+      s"""WITH $qCte,
+         |$ivfTrainCtes,
+         |$pqCtes,
+         |cand AS (SELECT qp.vec_id AS query_id, cx.vec_id AS neighbor_id
+         |  FROM tasg cx JOIN tqasg qp ON qp.cell = cx.cell
+         |  WHERE qp.vec_id <> cx.vec_id),
+         |adc AS (SELECT c.query_id, c.neighbor_id,
+         |    CAST(sum(qd.d) AS BIGINT) AS adc_dist
+         |  FROM cand c
+         |  JOIN pqcodes x ON x.vec_id = c.neighbor_id
+         |  JOIN pqd qd ON qd.vec_id = c.query_id
+         |    AND qd.s = x.s AND qd.cidx = x.cidx
          |  GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, rank, adc_dist FROM (
          |  SELECT query_id, neighbor_id, adc_dist,
@@ -568,7 +613,36 @@ object VecQueries {
          |  FROM tqasg a JOIN tasg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
          |  WHERE rank <= 5),
          |ht AS (SELECT query_id, count(*) AS hits FROM truth
-         |       JOIN tivf USING (query_id, neighbor_id) GROUP BY query_id)
+         |       JOIN tivf USING (query_id, neighbor_id) GROUP BY query_id),
+         |$pqCtes,
+         |pqadc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    CAST(sum(q.d) AS BIGINT) AS adc
+         |  FROM pqcodes x JOIN pqd q ON q.s = x.s AND q.cidx = x.cidx
+         |  WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id GROUP BY 1, 2),
+         |pqtop AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rank FROM pqadc)
+         |  WHERE rank <= 5),
+         |ipqcand AS (SELECT qp.vec_id AS query_id, cx.vec_id AS neighbor_id
+         |  FROM tasg cx JOIN tqasg qp ON qp.cell = cx.cell
+         |  WHERE qp.vec_id <> cx.vec_id),
+         |ipqadc AS (SELECT c.query_id, c.neighbor_id,
+         |    CAST(sum(qd.d) AS BIGINT) AS adc
+         |  FROM ipqcand c
+         |  JOIN pqcodes x ON x.vec_id = c.neighbor_id
+         |  JOIN pqd qd ON qd.vec_id = c.query_id
+         |    AND qd.s = x.s AND qd.cidx = x.cidx
+         |  GROUP BY 1, 2),
+         |ipqtop AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rank FROM ipqadc)
+         |  WHERE rank <= 5),
+         |hpq AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN pqtop USING (query_id, neighbor_id) GROUP BY query_id),
+         |hipq AS (SELECT query_id, count(*) AS hits FROM truth
+         |       JOIN ipqtop USING (query_id, neighbor_id) GROUP BY query_id)
          |SELECT 'lsh' AS method, query_id,
          |  CAST(coalesce(hl.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(hl.hits, 0) AS DOUBLE) / 5 AS recall_at_5
@@ -597,7 +671,17 @@ object VecQueries {
          |SELECT 'ivf_train' AS method, query_id,
          |  CAST(coalesce(ht.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(ht.hits, 0) AS DOUBLE) / 5 AS recall_at_5
-         |FROM qs LEFT JOIN ht USING (query_id)""".stripMargin,
+         |FROM qs LEFT JOIN ht USING (query_id)
+         |UNION ALL
+         |SELECT 'pq' AS method, query_id,
+         |  CAST(coalesce(hpq.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hpq.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hpq USING (query_id)
+         |UNION ALL
+         |SELECT 'ivfpq' AS method, query_id,
+         |  CAST(coalesce(hipq.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hipq.hits, 0) AS DOUBLE) / 5 AS recall_at_5
+         |FROM qs LEFT JOIN hipq USING (query_id)""".stripMargin,
     "similarity_topk" ->
       s"""WITH $qCte
          |SELECT query_id, neighbor_id, rank, cosine FROM (

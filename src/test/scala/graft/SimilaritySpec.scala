@@ -156,4 +156,37 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopK(df, df, "vec_id", "embedding", k = 1, subspaces = 7)
     }
   }
+
+  test("ivfPqTopK with probes = nCells equals the flat PQ scan exactly") {
+    // routing only restricts WHICH codes are scored — never the scores:
+    // probing every cell must reproduce pqTopK row-for-row (same
+    // neighbors, ranks, and ADC distances)
+    val rnd = new scala.util.Random(107)
+    val df = (0L until 80L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val qs = df.where(col("vec_id") < 3L)
+    val flat = Similarity.pqTopK(df, qs, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val routed = Similarity.ivfPqTopK(df, qs, "vec_id", "embedding", k = 5,
+        nCentroids = 8, probes = 8, trainRounds = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(routed == flat)
+  }
+
+  test("ivfPqTopK partial probes: ADC distances agree with the flat scan on overlap") {
+    val rnd = new scala.util.Random(211)
+    val df = (0L until 80L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val qs = df.where(col("vec_id") < 3L)
+    val flat = Similarity.pqTopK(df, qs, "vec_id", "embedding", k = 80)
+      .select("query_id", "neighbor_id", "adc_dist")
+    val routed = Similarity.ivfPqTopK(df, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 8, probes = 3, trainRounds = 2)
+    // every routed pair exists in the exhaustive flat ranking with the
+    // identical ADC distance (cell routing must not perturb scoring)
+    val mismatched = routed.alias("r")
+      .join(flat.alias("f"), Seq("query_id", "neighbor_id"), "left")
+      .where(col("f.adc_dist").isNull || col("f.adc_dist") =!= col("r.adc_dist"))
+    assert(mismatched.count() === 0)
+  }
 }
