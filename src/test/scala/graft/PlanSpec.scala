@@ -207,6 +207,11 @@ class PlanSpec extends SparkSpec {
       // CoresetSpec instead.
       "mixture_sample" -> "crossJoin of the single global-totals row",
       "similarity_pq" -> "broadcast codebook fan-out for encoding + broadcast per-query ADC LUTs",
+      // audited via PlanDump: 4 BNLJs, all BuildRight/Cross over
+      // IdentityBroadcastMode builds of the ≤16-row trained-centroid
+      // (cell routing) and ≤16-row PQ codebook (code assign + LUT)
+      // frames; the scoring join is a BroadcastHashJoin on `cell`.
+      "similarity_ivfpq" -> "broadcast trained-centroid routing + broadcast codebook fan-outs (codes + per-query ADC LUTs)",
       "skyline_pareto" -> "broadcast candidate dominance anti-join over tiny local skylines",
       "similarity_ivf" -> "broadcast centroid table for cell routing",
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",
