@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PqCodec
 
 /** Approximate-nearest-neighbor search over an `Array[Float]` embedding
   * column: brute-force exact top-k as the correctness baseline, and a
@@ -572,51 +573,46 @@ object Similarity {
     * 8 subspaces over 64 float dims), and the per-query lookup tables
     * (subspaces × codebookSize longs) broadcast for free.
     *
-    * Determinism discipline: codebooks are the md5-lowest
+    * Determinism discipline: codebooks seed from the md5-lowest
     * `codebookSize` corpus vectors' subvectors (same public-formula
-    * seeding as the IVF coarse quantizer — index STRUCTURE is what's
-    * under test; a trained codebook drops in without changing shape);
+    * seeding as the IVF coarse quantizer) and optionally take
+    * `trainRounds − 1` per-subspace Lloyd updates ([[pqCodebook]]);
     * all distances are exact integer L2² over quantized vectors
     * (bounded ≪ 2⁴³, so the packed argmin and the double-cast ADC sum
     * are both exact); argmin ties break to the smaller centroid index.
     *
-    * Shape: ONE broadcast crossJoin against the codebook encodes the
-    * corpus (packed-long min per subspace in a single hash-aggregate —
-    * the ivfTopK argmin trick, once per subspace), the ≤|Q| lookup
-    * tables build on the broadcast side, scoring is a map-only scan of
-    * the code table + bounded-heap top-k. No shuffle ever carries the
-    * corpus twice.
+    * Shape: the trained codebook (a few thousand longs) lives on the
+    * DRIVER and ships to executors inside the codegen'd
+    * [[graft.functions.PqCodec]] expressions — encoding the corpus is
+    * ONE map pass (`pq_codes`: a tight subspace×code×dim loop per
+    * row, no join fan-out, no exchange), the ≤|Q| lookup tables are a
+    * map over the query side (`pq_lut`), and scoring is the broadcast
+    * code-table scan + `pq_adc` lookups + bounded-heap top-k. This is
+    * the FAISS kernel shape: at 100 TB nothing but the |Q|-row LUT
+    * frame ever crosses the wire beyond the code table itself.
     */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int,
-      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16): DataFrame = {
+      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
+      trainRounds: Int = 1): DataFrame = {
     require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
     require(codebookSize >= 2 && codebookSize <= 256,
       s"codebookSize in [2,256], got $codebookSize")
     val dsub = dims / subspaces
-    val mult = 1L << 20
 
     val prep = prepared(corpus, idCol, embCol)
-    val centsPrep = pqCodebook(prep, idCol, subspaces, dsub, codebookSize)
+    val cb = pqCodebook(prep, idCol, subspaces, dsub, codebookSize,
+      trainRounds)
 
-    // corpus → one code (centroid index) per subspace
-    val codes = pqWithSelfDots(prep, subspaces, dsub)
-      .crossJoin(broadcast(centsPrep))
-      .select(col(idCol) +: (0 until subspaces).map(s =>
-        (pqSubDist(s, dsub) * mult + col("cidx")).as(s"_p_$s")): _*)
-      .groupBy(col(idCol))
-      .agg(min(col("_p_0")).as("_m_0"),
-        (1 until subspaces).map(s => min(col(s"_p_$s")).as(s"_m_$s")): _*)
-      .select(col(idCol) +: (0 until subspaces).map(s =>
-        (col(s"_m_$s") % mult).cast("int").as(s"code_$s")): _*)
-
-    val luts = pqLuts(prepared(queries, idCol, embCol), idCol, centsPrep,
-      subspaces, dsub)
+    val codes = prep.select(col(idCol),
+      PqCodec.pq_codes(col("q"), cb, subspaces, dsub).as("_codes"))
+    val luts = prepared(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"),
+        PqCodec.pq_lut(col("q"), cb, subspaces, dsub).as("_luts"))
     val scored = codes
       .join(broadcast(luts), col("query_id") =!= col(idCol))
-      .withColumn("adc_dist", (0 until subspaces).map(s =>
-        element_at(col(s"_lut_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
+      .withColumn("adc_dist", PqCodec.pq_adc(col("_codes"), col("_luts")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore
         .top_k_by(-col("adc_dist").cast("double"), col(idCol).cast("long"), k)
@@ -626,60 +622,101 @@ object Similarity {
         (-col("cosine")).cast("long").as("adc_dist"))
   }
 
-  /** Subvector s of a quantized vector (1-based slice). */
-  private def pqSub(c: Column, s: Int, dsub: Int): Column =
-    slice(c, s * dsub + 1, dsub)
-
-  /** Deterministic PQ codebook: the md5-lowest `codebookSize` corpus
-    * vectors, cidx-labeled in id order, with per-subspace self-dots
-    * precomputed (tiny frame — broadcast at every use site).
+  /** Deterministic PQ codebook, optionally Lloyd-TRAINED per subspace.
+    *
+    * Seeds are the md5-lowest `codebookSize` corpus vectors,
+    * cidx-labeled in id order. Each of the `trainRounds − 1` update
+    * rounds then runs one Lloyd step INDEPENDENTLY in every subspace —
+    * assign each corpus subvector to its nearest code (exact integer
+    * L2², ties to the smaller cidx) and requantize the per-dim means
+    * with [[Clustering.lloydUpdate]]'s exact arithmetic
+    * (round(round(Σq/(n·10⁴), 6)·10⁴)) so the trained geometry stays
+    * integer-reproducible at any parallelism. A subspace cell that
+    * goes empty keeps its previous centroid (cidx stays dense).
+    *
+    * The codebook lives on the DRIVER (subspaces × codebookSize
+    * subvectors — ≤128 KB at production dials), so each training round
+    * is ONE narrow aggregate over the corpus: a single map pass
+    * assigns every row its codes via the codegen'd
+    * [[graft.functions.PqCodec]] kernel (no join fan-out), a
+    * (subspace, code, dim) hash-aggregate sums the per-dim totals
+    * (≤ subspaces·codebookSize·dsub = dims·codebookSize groups —
+    * map-side combine reduces the exchange to one tiny buffer per
+    * task), and the mean/requantize arithmetic runs on the collected
+    * group totals driver-side with the exact same IEEE/HALF_UP ops
+    * Spark's `round` performs. (At 100 TB you'd additionally train on
+    * a deterministic md5-threshold sample of the corpus — the codebook
+    * only needs ~100·k points per subspace to converge; the
+    * full-corpus pass here keeps the oracle exactly mirrorable.)
+    *
+    * Output layout: `cb(s * k + c)` = the dsub-long subvector of code
+    * c in subspace s (k may be smaller than `codebookSize` on corpora
+    * with fewer vectors).
     */
   private def pqCodebook(prep: DataFrame, idCol: String, subspaces: Int,
-      dsub: Int, codebookSize: Int): DataFrame = {
-    import graft.functions.LongArrayDot.long_dot
-    val cents = prep
+      dsub: Int, codebookSize: Int, trainRounds: Int = 1): Array[Array[Long]] = {
+    require(trainRounds >= 1, s"trainRounds must be >= 1, got $trainRounds")
+    // memoized like Clustering.lloydCentroids: the codebook is index
+    // state, trained once per (session, corpus plan, dials) and reused
+    // by every caller (pq + ivfpq share one training here)
+    val key = Seq(
+      org.apache.spark.sql.GraftBridge.sessionUUID(prep.sparkSession),
+      prep.queryExecution.analyzed.semanticHash(), idCol, subspaces, dsub,
+      codebookSize, trainRounds).mkString("|")
+    cbCache.computeIfAbsent(key, _ =>
+      pqCodebookUncached(prep, idCol, subspaces, dsub, codebookSize,
+        trainRounds))
+  }
+
+  private val cbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  private def pqCodebookUncached(prep: DataFrame, idCol: String,
+      subspaces: Int, dsub: Int, codebookSize: Int,
+      trainRounds: Int): Array[Array[Long]] = {
+    val seeds = prep
       .orderBy(md5(concat(lit("pq:"), col(idCol).cast("string"))), col(idCol))
       .limit(codebookSize)
-      .select(col(idCol).as("cent_id"), col("q").as("qcent"))
-      .withColumn("cidx",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cent_id"))).cast("long") - 1)
-    (0 until subspaces).foldLeft(cents) { (df, s) =>
-      df.withColumn(s"_cn2_$s",
-        long_dot(pqSub(col("qcent"), s, dsub), pqSub(col("qcent"), s, dsub)))
+      .select(col(idCol).cast("long").as("cent_id"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1) // cidx labels codes in id order among the chosen
+    val k = seeds.length
+    var cb = Array.tabulate(subspaces * k) { idx =>
+      java.util.Arrays.copyOfRange(
+        seeds(idx % k)._2, (idx / k) * dsub, (idx / k + 1) * dsub)
     }
-  }
-
-  /** Exact integer L2² between subvector s of row vector `q` and the
-    * codebook row's subvector (needs `_vn2_s`/`_cn2_s` self-dots).
-    */
-  private def pqSubDist(s: Int, dsub: Int): Column = {
-    import graft.functions.LongArrayDot.long_dot
-    col(s"_vn2_$s") + col(s"_cn2_$s") -
-      lit(2L) * long_dot(pqSub(col("q"), s, dsub), pqSub(col("qcent"), s, dsub))
-  }
-
-  private def pqWithSelfDots(df: DataFrame, subspaces: Int, dsub: Int): DataFrame = {
-    import graft.functions.LongArrayDot.long_dot
-    (0 until subspaces).foldLeft(df) { (d, s) =>
-      d.withColumn(s"_vn2_$s",
-        long_dot(pqSub(col("q"), s, dsub), pqSub(col("q"), s, dsub)))
+    var r = 1
+    while (r < trainRounds) {
+      val totals = prep
+        .withColumn("_codes",
+          PqCodec.pq_codes(col("q"), cb, subspaces, dsub))
+        .select(col("_codes"), posexplode(col("q")).as(Seq("_d64", "_qx")))
+        .select(col("_d64").divide(lit(dsub)).cast("int").as("s"),
+          element_at(col("_codes"),
+            col("_d64").divide(lit(dsub)).cast("int") + 1).as("cidx"),
+          (col("_d64") % dsub).as("dim"), col("_qx"))
+        .groupBy("s", "cidx", "dim")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("_qx")).as("qsum"))
+        .collect()
+      // requantized mean, Clustering.lloydUpdate's exact arithmetic:
+      // round(round(Σq/(n·10⁴), 6)·10⁴) with Spark Round's
+      // BigDecimal.valueOf + HALF_UP semantics. Cells with no
+      // assigned vectors receive no totals rows and keep their
+      // previous centroid (the SQL mirror's LEFT JOIN + coalesce).
+      val next = cb.map(_.clone())
+      totals.foreach { row =>
+        val (s, cidx, dim) = (row.getInt(0), row.getInt(1), row.getInt(2))
+        val mean = row.getLong(4).toDouble / (row.getLong(3) * 10000L)
+        val r6 = java.math.BigDecimal.valueOf(mean)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        next(s * k + cidx)(dim) = java.math.BigDecimal.valueOf(r6 * 10000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+      cb = next
+      r += 1
     }
-  }
-
-  /** Per-query ADC lookup tables: an array of cidx-ordered distances
-    * per subspace (struct sort_array orders by cidx, the first field).
-    */
-  private def pqLuts(qprep: DataFrame, idCol: String, centsPrep: DataFrame,
-      subspaces: Int, dsub: Int): DataFrame = {
-    val lutStruct = struct(col("cidx") +:
-      (0 until subspaces).map(s => pqSubDist(s, dsub).as(s"d_$s")): _*)
-    pqWithSelfDots(qprep, subspaces, dsub)
-      .crossJoin(broadcast(centsPrep))
-      .groupBy(col(idCol).as("query_id"))
-      .agg(sort_array(collect_list(lutStruct)).as("_arr"))
-      .select(col("query_id") +: (0 until subspaces).map(s =>
-        transform(col("_arr"), x => x.getField(s"d_$s")).as(s"_lut_$s")): _*)
+    cb
   }
 
   /** IVF + PQ composed — the production FAISS shape: queries route
@@ -691,13 +728,14 @@ object Similarity {
     * vectors in the probed cells. Composed, the per-query work is
     * `probes/nCells` of the corpus × `subspaces` bytes per row.
     *
-    * Shape: ONE broadcast-assign pass gives every corpus vector its
-    * cell AND its `subspaces` codes (the cell argmin and the
-    * per-subspace code argmins share a single hash-aggregate — the
-    * corpus crosses the wire once); the query side fans out ×probes
-    * with its LUTs riding the same broadcast; scoring is a
-    * broadcast-hash join ON THE CELL KEY over the code table + the
-    * bounded-heap top-k. No shuffle ever carries the corpus twice.
+    * Shape: a broadcast-assign argmin gives every corpus vector its
+    * cell, and the same projection maps it to its `subspaces` codes
+    * with the driver-side codebook kernel ([[graft.functions.PqCodec]]
+    * — no join fan-out); the query side fans out ×probes with its
+    * `pq_lut` tables attached; scoring is a broadcast-hash join ON THE
+    * CELL KEY over the (cell, codes) table + `pq_adc` lookups + the
+    * bounded-heap top-k. The corpus crosses one exchange (the cell
+    * argmin's aggregate), in narrow rows.
     *
     * Determinism: trained cells, code argmins, ADC sums and ranking
     * ties are all exact integer arithmetic — identical to the
@@ -707,7 +745,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int,
       nCentroids: Int = 16, probes: Int = 12, trainRounds: Int = 2,
-      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16): DataFrame = {
+      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
+      pqTrainRounds: Int = 1): DataFrame = {
     require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
     require(probes >= 1 && probes <= nCentroids,
       s"probes must be in [1, $nCentroids], got $probes")
@@ -730,26 +769,16 @@ object Similarity {
             * mult + col("cell"))
 
     val prep = prepared(corpus, idCol, embCol)
-    val centsPrep = pqCodebook(prep, idCol, subspaces, dsub, codebookSize)
+    val cb = pqCodebook(prep, idCol, subspaces, dsub, codebookSize,
+      pqTrainRounds)
 
-    // corpus → (cell, code_0..code_{S-1}) in ONE aggregate: the cell
-    // argmin and the per-subspace code argmins are all packed-long
-    // mins over the same broadcast fan-out group
-    val cellOf = packed(prep)
+    // corpus → its nearest cell (broadcast-assign argmin) + its codes
+    // (driver-codebook kernel, same projection — no extra exchange)
+    val codes = packed(prep)
       .groupBy(col(idCol))
-      .agg(min(col("_packed")).as("_best"),
-        first(col("q")).as("q"), first(col("n2")).as("n2"))
+      .agg(min(col("_packed")).as("_best"), first(col("q")).as("q"))
       .select(col(idCol), (col("_best") % mult).as("cell"),
-        col("q"), col("n2"))
-    val codes = pqWithSelfDots(cellOf, subspaces, dsub)
-      .crossJoin(broadcast(centsPrep))
-      .select(col(idCol) +: col("cell") +: (0 until subspaces).map(s =>
-        (pqSubDist(s, dsub) * mult + col("cidx")).as(s"_p_$s")): _*)
-      .groupBy(col(idCol))
-      .agg(first(col("cell")).as("cell"),
-        (0 until subspaces).map(s => min(col(s"_p_$s")).as(s"_m_$s")): _*)
-      .select(col(idCol) +: col("cell") +: (0 until subspaces).map(s =>
-        (col(s"_m_$s") % mult).cast("int").as(s"code_$s")): _*)
+        PqCodec.pq_codes(col("q"), cb, subspaces, dsub).as("_codes"))
 
     // queries: `probes` nearest trained cells each, LUTs attached —
     // |Q|·probes rows, broadcast
@@ -760,7 +789,8 @@ object Similarity {
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= probes)
       .select((col("_packed") % mult).as("cell"), col(idCol).as("query_id"))
-    val luts = pqLuts(qprep, idCol, centsPrep, subspaces, dsub)
+    val luts = qprep.select(col(idCol).as("query_id"),
+      PqCodec.pq_lut(col("q"), cb, subspaces, dsub).as("_luts"))
     val qcells = qprobe.join(luts, "query_id")
 
     // scoring: broadcast-hash join ON cell — only probed cells' codes
@@ -769,8 +799,7 @@ object Similarity {
     val scored = codes
       .join(broadcast(qcells),
         codes("cell") === qcells("cell") && col("query_id") =!= col(idCol))
-      .withColumn("adc_dist", (0 until subspaces).map(s =>
-        element_at(col(s"_lut_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
+      .withColumn("adc_dist", PqCodec.pq_adc(col("_codes"), col("_luts")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore
         .top_k_by(-col("adc_dist").cast("double"), col(idCol).cast("long"), k)

@@ -78,11 +78,16 @@ object VecQueries {
     * matches exactly, zero-hit queries included.
     */
   def similarityRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    // NOT persisted: caching the shared corpus subtree was measured
-    // SLOWER (10.3 s vs 5.6 s at sf0.1) — the 7 methods' scans are
-    // cheap columnar reads, and the InMemoryRelation write + lost
-    // scan-level optimizations cost more than the re-reads save.
+    // The shared CORPUS subtree is NOT persisted: caching it was
+    // measured SLOWER (10.3 s vs 5.6 s at sf0.1) — the methods' scans
+    // are cheap columnar reads, and the InMemoryRelation write + lost
+    // scan-level optimizations cost more than the re-reads save. The
+    // TRUTH frame is different: every unionByName arm joins it, so
+    // without a cut the brute-force scoring pass re-runs once per
+    // method — localCheckpoint materializes the |Q|·k-row result once
+    // and the arms join the tiny cached RDD.
     val truth = topkBrute(spark, sfDir).select("query_id", "neighbor_id")
+      .localCheckpoint()
     val qs = truth.select("query_id").distinct()
     def recall(approx: DataFrame, method: String): DataFrame = {
       val hits = truth
@@ -133,24 +138,33 @@ object VecQueries {
       "vec_id", "embedding", "label", k = 5)
   }
 
-  /** PQ-compressed ADC top-5 per query — see [[Similarity.pqTopK]]. */
+  /** PQ-compressed ADC top-5 per query — see [[Similarity.pqTopK]].
+    * FAISS-standard fine config: 16 subspaces × 4 dims, 256 codes
+    * (16 one-byte codes per vector), codebook Lloyd-trained for 2
+    * per-subspace update rounds — recall@5 vs brute force is 0.70 at
+    * sf0.01 / 0.62 at sf0.1 (0.50 untrained at the same capacity,
+    * 0.10 at the old untrained 8×16 config).
+    */
   def topkPq(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     Similarity.pqTopK(c, c.where(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, codebookSize = 16)
+      "vec_id", "embedding", k = 5, subspaces = 16, dims = 64,
+      codebookSize = 256, trainRounds = 3)
   }
 
-  /** IVF+PQ composed ANN (trained 16-cell router, 12 probes, 8×8 PQ
-    * codes) — see [[Similarity.ivfPqTopK]]: per query only the probed
-    * cells' codes are ADC-scored (12/16 of the corpus here; the probe
-    * fraction is the dial — production would run 8-32 probes over
-    * thousands of cells).
+  /** IVF+PQ composed ANN (trained 16-cell router, 12 probes, trained
+    * 16×256 PQ codes — the same codebook config as [[topkPq]]) — see
+    * [[Similarity.ivfPqTopK]]: per query only the probed cells' codes
+    * are ADC-scored (12/16 of the corpus here; the probe fraction is
+    * the dial — production would run 8-32 probes over thousands of
+    * cells).
     */
   def topkIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     Similarity.ivfPqTopK(c, c.where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nCentroids = 16, probes = 12,
-      trainRounds = 2, subspaces = 8, dims = 64, codebookSize = 16)
+      trainRounds = 2, subspaces = 16, dims = 64, codebookSize = 256,
+      pqTrainRounds = 3)
   }
 
   /** MMR-diversified top-5 from each query's 20-candidate pool
@@ -242,35 +256,70 @@ object VecQueries {
     * assigned to its nearest trained cell (`tasg`), queries probing
     * their 12 nearest (`tqasg`).
     */
-  /** PQ encode + per-query subspace distances (8 subspaces × 8 dims,
-    * 16-code deterministic codebook) as chained CTEs — ends with
-    * `pqcodes(vec_id, s, cidx)` and `pqd(vec_id, s, cidx, d)`. Shared
+  /** PQ encode + per-query subspace distances as chained CTEs — ends
+    * with `pqcodes(vec_id, s, cidx)` and `pqd(vec_id, s, cidx, d)`.
+    * Mirrors [[Similarity.pqTopK]]'s registered config (16 subspaces
+    * × 4 dims, 256 codes, 2 Lloyd update rounds): seeds are the
+    * md5-lowest corpus vectors' subvectors, each unrolled round
+    * reassigns every subvector to its nearest code and requantizes the
+    * per-dim means with the kmeans oracles' exact arithmetic; an empty
+    * cell keeps its previous centroid (LEFT JOIN + coalesce). Shared
     * by similarity_pq / similarity_ivfpq / the recall ladder; names
     * are pq-prefixed so they compose with the IVF CTE chains.
     */
+  private def pqTrainedCtes(subspaces: Int, dsub: Int, codebookSize: Int,
+      updateRounds: Int): String = {
+    val seed =
+      s"""pqss AS (SELECT unnest(generate_series(0, ${subspaces - 1})) AS s),
+         |pqc AS (SELECT cent_id, qcent,
+         |    CAST(row_number() OVER (ORDER BY cent_id) AS BIGINT) - 1 AS cidx
+         |  FROM (SELECT vec_id AS cent_id, qv AS qcent FROM n
+         |        ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $codebookSize)),
+         |pqvsub AS (SELECT vec_id, s,
+         |    array_slice(qv, s * $dsub + 1, s * $dsub + $dsub) AS sv
+         |  FROM n CROSS JOIN pqss),
+         |pqcb0 AS (SELECT cidx, s,
+         |    array_slice(qcent, s * $dsub + 1, s * $dsub + $dsub) AS sv
+         |  FROM pqc CROSS JOIN pqss)""".stripMargin
+    val rounds = (1 to updateRounds).map { t =>
+      s"""pqa$t AS (SELECT vec_id, s, cidx, sv FROM (
+         |    SELECT v.vec_id, v.s, c.cidx, v.sv,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.s
+         |        ORDER BY CAST(list_dot_product(v.sv, v.sv) AS BIGINT)
+         |          + CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(v.sv, c.sv) AS BIGINT),
+         |          c.cidx) AS rn
+         |    FROM pqvsub v JOIN pqcb${t - 1} c ON c.s = v.s) t WHERE rn = 1),
+         |pqm$t AS (SELECT s, cidx, i,
+         |    CAST(round(round(CAST(sum(sv[i]) AS BIGINT)::DOUBLE
+         |        / (count(*) * 10000), 6) * 10000) AS BIGINT) AS cqe
+         |  FROM pqa$t, unnest(generate_series(1, $dsub)) t(i)
+         |  GROUP BY s, cidx, i),
+         |pqup$t AS (SELECT s, cidx, list(cqe ORDER BY i) AS sv
+         |  FROM pqm$t GROUP BY s, cidx),
+         |pqcb$t AS (SELECT b.cidx, b.s, coalesce(u.sv, b.sv) AS sv
+         |  FROM pqcb${t - 1} b
+         |  LEFT JOIN pqup$t u ON u.s = b.s AND u.cidx = b.cidx)""".stripMargin
+    }
+    val tail =
+      s"""pqcsub AS (SELECT cidx, s, sv FROM pqcb$updateRounds),
+         |pqd AS (SELECT v.vec_id, v.s, c.cidx,
+         |    CAST(list_dot_product(v.sv, v.sv) AS BIGINT)
+         |      + CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
+         |      - 2 * CAST(list_dot_product(v.sv, c.sv) AS BIGINT) AS d
+         |  FROM pqvsub v JOIN pqcsub c ON v.s = c.s),
+         |pqcodes AS (SELECT vec_id, s, cidx FROM (
+         |    SELECT vec_id, s, cidx,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
+         |    FROM pqd) t
+         |  WHERE rn = 1)""".stripMargin
+    (seed +: rounds :+ tail).mkString(",\n")
+  }
+
   private val pqCtes: String =
-    """pqss AS (SELECT unnest(generate_series(0, 7)) AS s),
-      |pqc AS (SELECT cent_id, qcent,
-      |    CAST(row_number() OVER (ORDER BY cent_id) AS BIGINT) - 1 AS cidx
-      |  FROM (SELECT vec_id AS cent_id, qv AS qcent FROM n
-      |        ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
-      |        LIMIT 16)),
-      |pqcsub AS (SELECT cidx, s,
-      |    array_slice(qcent, s * 8 + 1, s * 8 + 8) AS sv
-      |  FROM pqc CROSS JOIN pqss),
-      |pqvsub AS (SELECT vec_id, s,
-      |    array_slice(qv, s * 8 + 1, s * 8 + 8) AS sv
-      |  FROM n CROSS JOIN pqss),
-      |pqd AS (SELECT v.vec_id, v.s, c.cidx,
-      |    CAST(list_dot_product(v.sv, v.sv) AS BIGINT)
-      |      + CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
-      |      - 2 * CAST(list_dot_product(v.sv, c.sv) AS BIGINT) AS d
-      |  FROM pqvsub v JOIN pqcsub c ON v.s = c.s),
-      |pqcodes AS (SELECT vec_id, s, cidx FROM (
-      |    SELECT vec_id, s, cidx,
-      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cidx) AS rn
-      |    FROM pqd) t
-      |  WHERE rn = 1)""".stripMargin
+    pqTrainedCtes(subspaces = 16, dsub = 4, codebookSize = 256,
+      updateRounds = 2)
 
   private val ivfTrainCtes: String =
     """tseeds AS (SELECT vec_id, qv, n2,

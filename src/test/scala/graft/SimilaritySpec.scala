@@ -150,6 +150,30 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(9)))
   }
 
+  test("trained pqTopK: determinism under repartitioning and the " +
+      "duplicate-query ADC floor survive Lloyd training") {
+    val rnd = new scala.util.Random(47)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val rows = base.map { case (i, v) => if (i == 13L) (i, base(2)._2) else (i, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(d, d.where(col("vec_id") === 2L),
+        "vec_id", "embedding", k = 3, subspaces = 16, codebookSize = 32,
+        trainRounds = 3)
+        .orderBy("rank")
+        .select("neighbor_id", "rank", "adc_dist")
+        .as[(Long, Int, Long)].collect().toSeq
+    val out = run(df.repartition(7))
+    // trained codebooks keep the ADC-floor property: the duplicate's
+    // codes equal the query's own argmin codes, so its ADC distance is
+    // the per-subspace minimum sum — nothing ranks above it
+    assert(out.head._1 == 13L, s"duplicate must rank first: $out")
+    // repartitioning must not change training: the means are exact
+    // integer sums and the requantization is order-free
+    assert(run(df.repartition(1)) == out)
+  }
+
   test("pqTopK rejects non-divisible subspace layouts") {
     val df = Seq((1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
