@@ -49,8 +49,9 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     // degrees attach via ONE window exchange (count over the src
-    // partition, no ordering) instead of a groupBy + second shuffle
-    // join — and the persisted result is hash-partitioned on src,
+    // partition — WindowExec still plans a per-partition sort on src,
+    // but there is no SECOND shuffle like the groupBy + join shape
+    // needs) — and the persisted result is hash-partitioned on src,
     // exactly what every iteration's ranks join wants
     val eDeg = e.withColumn("deg", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))

@@ -44,10 +44,28 @@ object Rolling {
     * copies. Cost: 2× rows through ONE shuffle, in exchange for the
     * hot key splitting into per-block tasks — per-task work is bounded
     * by rows-per-(key, block), not rows-per-key, at any skew.
+    *
+    * Each frame is `(deltaMicros, build, name)`: the builder receives
+    * the (key, block) spec ALREADY bounded to the trailing
+    * `(t−Δ, t]` range, so the exactness invariant `Δ ≤ blockSpan` is
+    * machine-checked here instead of being a doc-only contract —
+    * a lookback wider than one block would silently lose frame
+    * members past the single-carry horizon. The builder is still a
+    * function so composite frames (e.g. a sum/count ratio over the
+    * same range) stay expressible.
     */
   def trailingChunked(df: DataFrame, keyCol: Column, timeCol: Column,
-      blockSpan: Long)(frames: (WindowSpec => Column, String)*): DataFrame = {
+      blockSpan: Long)(
+      frames: (Long, WindowSpec => Column, String)*): DataFrame = {
     require(blockSpan > 0, s"blockSpan must be positive, got $blockSpan")
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach { case (d, _, name) =>
+      require(d > 0, s"frame '$name' needs a positive lookback, got $d")
+      require(d <= blockSpan,
+        s"frame '$name' looks back $d µs > blockSpan $blockSpan µs — " +
+          "carry replication only covers ONE previous block, so this " +
+          "would silently drop frame members; raise blockSpan")
+    }
     val micros = unix_micros(timeCol)
     // exact while micros < 2^53 (year ~2255); the double division is
     // then integer-valued before floor
@@ -60,7 +78,8 @@ object Rolling {
     // — one select plans a single Window node + sort for every frame
     // sharing the (key, block) spec
     val spec = Window.partitionBy(keyCol, col("_blk")).orderBy(unix_micros(timeCol))
-    both.select(col("*") +: frames.map { case (mk, name) => mk(spec).as(name) }: _*)
+    both.select(col("*") +: frames.map { case (d, mk, name) =>
+      mk(spec.rangeBetween(-(d - 1), 0)).as(name) }: _*)
       .where(!col("_carry")).drop("_blk", "_carry")
   }
 
@@ -94,9 +113,9 @@ object Rolling {
       countCol: String = "request",
       avgCol: String = "total_processing_time"): DataFrame =
     trailingChunked(df, col(keyCol), col(timeCol), OneHour)(
-      (w => count(col(countCol)).over(w.rangeBetween(-(FiveMinutes - 1), 0)),
+      (FiveMinutes, w => count(col(countCol)).over(w),
         "rolling_5min_request_count"),
-      (w => avg(col(avgCol)).over(w.rangeBetween(-(OneHour - 1), 0)),
+      (OneHour, w => avg(col(avgCol)).over(w),
         "rolling_1h_avg_processing"))
 
   /** Exponentially-weighted moving average (α = ½) over the last

@@ -81,14 +81,12 @@ object EventQueries {
   def rollingChunkedQ(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Rolling
     val e = Tables.events(spark, sfDir)
-    def r5(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.rangeBetween(-(Rolling.FiveMinutes - 1), 0)
-    def r1(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.rangeBetween(-(Rolling.OneHour - 1), 0)
     Rolling.trailingChunked(e, col("user_id"), col("ts"), Rolling.OneHour)(
-      (w => count(col("event_id")).over(r5(w)), "rolling_5min_count"),
-      (w => sum(col("value").cast("decimal(12,2)")).over(r1(w)).cast("double")
-        / count(col("value")).over(r1(w)), "rolling_1h_avg_value"))
+      (Rolling.FiveMinutes, w => count(col("event_id")).over(w),
+        "rolling_5min_count"),
+      (Rolling.OneHour,
+        w => sum(col("value").cast("decimal(12,2)")).over(w).cast("double")
+          / count(col("value")).over(w), "rolling_1h_avg_value"))
       .select("event_id", "user_id", "ts", "rolling_5min_count", "rolling_1h_avg_value")
   }
 

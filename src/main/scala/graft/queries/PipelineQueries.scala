@@ -139,6 +139,13 @@ object PipelineQueries {
       col("request_hour"), col("total_processing_time"),
       col("session_number"), col("session_id"),
       col("rolling_5min_request_count"),
+      // LOAD-BEARING round(·,6): the chunked rolling mean
+      // (Rolling.addRollingFeaturesChunked, the pipeline default)
+      // agrees with the plain windowed mean only to summation-order
+      // ulps; this rounding is what makes chunked and plain runs —
+      // and the DuckDB oracle — hash-identical. Removing it (or
+      // reordering equal-timestamp rows inside a (key, block)
+      // partition) can flip a halfway rounding case.
       round(col("rolling_1h_avg_processing"), 6).as("rolling_1h_avg_processing"))
       .localCheckpoint()
   }

@@ -315,10 +315,6 @@ class PropertySpec extends SparkSpec {
     }
     val df = all.toDF("sample", "key", "row_id", "ts", "value")
       .withColumn("ckey", concat_ws(":", col("sample"), col("key")))
-    def r5(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.rangeBetween(-(Rolling.FiveMinutes - 1), 0)
-    def r1(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.rangeBetween(-(Rolling.OneHour - 1), 0)
     val plain = df
       .withColumn("c5", count(col("row_id"))
         .over(Rolling.trailing(col("ckey"), col("ts"), Rolling.FiveMinutes)))
@@ -326,8 +322,9 @@ class PropertySpec extends SparkSpec {
         .over(Rolling.trailing(col("ckey"), col("ts"), Rolling.OneHour)))
       .select(col("row_id"), col("c5"), col("s1").cast("string").as("s1"))
     val chunked = Rolling.trailingChunked(df, col("ckey"), col("ts"), Rolling.OneHour)(
-      (w => count(col("row_id")).over(r5(w)), "c5"),
-      (w => sum(col("value").cast("decimal(12,2)")).over(r1(w)), "s1"))
+      (Rolling.FiveMinutes, w => count(col("row_id")).over(w), "c5"),
+      (Rolling.OneHour,
+        w => sum(col("value").cast("decimal(12,2)")).over(w), "s1"))
       .select(col("row_id"), col("c5").as("c5b"), col("s1").cast("string").as("s1b"))
     // duplicate (key, ts) pairs exist by construction; the range frames
     // give tied rows identical frame contents, so the per-row compare

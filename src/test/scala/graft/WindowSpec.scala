@@ -74,10 +74,6 @@ class WindowSpecSuite extends SparkSpec {
     }
     val df = rows.toDF("event_id", "user_id", "ts", "value")
       .withColumn("ts", col("ts").cast("timestamp"))
-    def r5(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.rangeBetween(-(Rolling.FiveMinutes - 1), 0)
-    def r1(w: org.apache.spark.sql.expressions.WindowSpec) =
-      w.rangeBetween(-(Rolling.OneHour - 1), 0)
     val plain = df
       .withColumn("c5", count(col("event_id"))
         .over(Rolling.trailing(col("user_id"), col("ts"), Rolling.FiveMinutes)))
@@ -86,10 +82,16 @@ class WindowSpecSuite extends SparkSpec {
       .select("event_id", "c5", "a1")
     val chunked = Rolling.trailingChunked(
       df, col("user_id"), col("ts"), Rolling.OneHour)(
-      (w => count(col("event_id")).over(r5(w)), "c5"),
-      (w => avg(col("value")).over(r1(w)), "a1"))
+      (Rolling.FiveMinutes, w => count(col("event_id")).over(w), "c5"),
+      (Rolling.OneHour, w => avg(col("value")).over(w), "a1"))
       .select("event_id", "c5", "a1")
     assert(chunked.count() === df.count()) // carries filtered out
+    // the Δ ≤ blockSpan exactness invariant is machine-checked
+    intercept[IllegalArgumentException] {
+      Rolling.trailingChunked(df, col("user_id"), col("ts"),
+        Rolling.FiveMinutes)(
+        (Rolling.OneHour, w => count(col("event_id")).over(w), "c1h"))
+    }
     val diff = plain.join(chunked.withColumnRenamed("c5", "c5b")
         .withColumnRenamed("a1", "a1b"), "event_id")
       .where(col("c5") =!= col("c5b") ||
