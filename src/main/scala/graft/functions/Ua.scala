@@ -37,6 +37,11 @@ object Ua {
       .when(ua.rlike("Twitterbot"), lit("Twitterbot"))
       .when(ua.rlike("Slackbot"), lit("Slackbot"))
       .when(ua.rlike("facebookexternalhit"), lit("FacebookBot"))
+      // Monitoring agents uap-core names (regexes.yaml has dedicated
+      // rules for each; spellings are the public family_replacements)
+      .when(ua.rlike("UptimeRobot/"), lit("UptimeRobot"))
+      .when(ua.rlike("Pingdom\\.com_bot_version_"), lit("PingdomBot"))
+      .when(ua.rlike("NewRelicPinger/"), lit("NewRelicPinger"))
       // Headless/embedded Chromium carries Chrome tokens too
       .when(ua.rlike("HeadlessChrome/"), lit("HeadlessChrome"))
       .when(ua.rlike("Electron/"), lit("Electron"))
@@ -66,6 +71,11 @@ object Ua {
       .when(ua.rlike("MSIE |Trident/"), lit("IE"))
       .when(ua.rlike("(iPhone|iPad|iPod).*Version/[0-9.]+.*Safari/"),
         lit("Mobile Safari"))
+      // iOS WebView: AppleWebKit WITHOUT a Safari/ token (uap-core's
+      // "Mobile Safari UI/WKWebView" family) — must follow the Mobile
+      // Safari rule and precede the generic Safari rule
+      .when(ua.rlike("(iPhone|iPad|iPod).*AppleWebKit(?!.*Safari)"),
+        lit("Mobile Safari UI/WKWebView"))
       .when(ua.rlike("Version/.*Safari/|Safari/"), lit("Safari"))
       .when(ua.rlike("^curl/"), lit("curl"))
       .when(ua.rlike("^Wget/"), lit("Wget"))

@@ -73,7 +73,19 @@ class UaSpec extends SparkSpec {
     ("Python/3.11 aiohttp/3.9.1", "Python aiohttp", "Other", false),
     ("axios/1.6.2", "axios", "Other", false),
     ("Datadog Agent/7.54.0", "Other", "Other", true),
-    ("Pingdom.com_bot_version_1.4_(http://www.pingdom.com/)", "Other", "Other", true),
+    // monitoring agents with dedicated uap-core families (the round-11
+    // ua_golden.csv fixture rows ref_diff replays)
+    ("Pingdom.com_bot_version_1.4_(http://www.pingdom.com/)",
+      "PingdomBot", "Other", true),
+    ("UptimeRobot/2.0 (http://www.uptimerobot.com/)",
+      "UptimeRobot", "Other", true),
+    ("NewRelicPinger/1.0", "NewRelicPinger", "Other", true),
+    // lowercase python-urllib misses uap-core's case-sensitive
+    // Python-urllib rule (but still trips the bot KEYWORD filter)
+    ("python-urllib/3.11", "Other", "Other", true),
+    // iOS WebView: AppleWebKit without a Safari/ token
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
+      "Mobile Safari UI/WKWebView", "iOS", false),
     ("Nagios-Plugins 2.3.3", "Other", "Other", true),
     ("", "Other", "Other", false))
 

@@ -22,10 +22,12 @@ Substitutions (and why they are sound):
    through the reference's real update_geolocation_cache/merge functions.
    Both sides therefore see identical geo data, and api_fetch_timestamp
    is comparable.
- - user_agents (not installed; zero-egress) is stubbed to 'Other', so
-   ua_browser_family / ua_os_family are EXCLUDED from the diff — the
-   engine's UA table is pinned separately by UaSpec's goldens, including
-   the reference test's "Datadog Agent/7.54.0" → Other/Other.
+ - user_agents (not installable; zero-egress) replays the committed
+   golden fixture tools/ua_golden.csv — browser/os families for every
+   corpus UA, derived from the PUBLIC uap-core regexes.yaml rules the
+   library evaluates — so ua_browser_family / ua_os_family ARE diffed
+   since round 11. UaSpec additionally pins the engine's UA table,
+   including the reference test's "Datadog Agent/7.54.0" → Other/Other.
  - optimize_dtypes is skipped on the reference side (dtype-narrowing
    no-op; parquet dictionary encoding covers it — SURVEY.md §1.2).
 
@@ -182,22 +184,48 @@ def gen_corpus(logs_dir, n_lines, seed=20260814):
 
 # ------------------------------------------------- reference-side runner
 
+def load_ua_golden():
+    """The committed user_agents golden fixture (tools/ua_golden.csv,
+    tab-separated): browser/os families for every UA in the corpus,
+    derived from the PUBLIC uap-core regexes.yaml rules (the database
+    the user_agents library evaluates). The library itself is not
+    installable here (zero egress), so the reference pipeline replays
+    this fixture; the diff then verifies the engine's Ua rule table
+    end-to-end against it, column-for-column."""
+    path = os.path.join(REPO, "tools/ua_golden.csv")
+    table = {}
+    with open(path) as f:
+        next(f)  # header
+        for line in f:
+            ua, browser, osfam = line.rstrip("\n").split("\t")
+            table[ua] = (browser, osfam)
+    return table
+
+
 def load_reference(workdir):
     """Import the reference module from its read-only source with
-    user_agents stubbed, BASE_DIR pointed at a writable workdir, and no
-    network touched (boto3 client construction is offline-safe)."""
+    user_agents replaying the committed golden fixture, BASE_DIR
+    pointed at a writable workdir, and no network touched (boto3
+    client construction is offline-safe)."""
+    golden = load_ua_golden()
     ua = types.ModuleType("user_agents")
 
     class _Fam:
-        def __init__(self):
-            self.family = "Other"
+        def __init__(self, family):
+            self.family = family
 
     class _UA:
-        def __init__(self):
-            self.browser = _Fam()
-            self.os = _Fam()
+        def __init__(self, browser, osfam):
+            self.browser = _Fam(browser)
+            self.os = _Fam(osfam)
 
-    ua.parse = lambda s: _UA()
+    def _parse(s):
+        if s not in golden:  # fail loud: an unpinned UA would silently
+            raise KeyError(  # turn the ua columns into fixture noise
+                f"UA not in tools/ua_golden.csv: {s!r}")
+        return _UA(*golden[s])
+
+    ua.parse = _parse
     sys.modules["user_agents"] = ua
 
     src = open(REF_SRC).read()
@@ -290,7 +318,9 @@ def run_spark(logs_dir, out_dir, cache_path):
 
 # -------------------------------------------------------------- the diff
 
-EXCLUDED = {"ua_browser_family", "ua_os_family"}  # user_agents stubbed
+# No excluded columns: the ua families compare against the committed
+# uap-core golden fixture (load_ua_golden) since round 11.
+EXCLUDED = set()
 
 TS_COLS = {"time", "request_creation_time", "api_fetch_timestamp"}
 FLOAT_COLS = {"request_processing_time", "target_processing_time",
