@@ -183,6 +183,19 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[String,
       Array[(Int, Array[Long], Long)]]()
 
+  /** Exact integer squared L2 of EVERY (row, centroid) pair — the
+    * un-argmin'd fan-out [[assign]] collapses. Diagnostics surface
+    * (probe-curve sweeps need the full per-cell ranking); the corpus
+    * side streams against the broadcast centroid table.
+    */
+  def cellDistances(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame =
+    prep(df, idCol, embCol)
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cluster"),
+        (col("n2") + col("cn2")
+          - lit(2L) * LongArrayDot.long_dot(col("q"), col("cq"))).as("dist2"))
+
   // pre-quantized assign: same body as assign() minus the re-prep
   private def assignPrepped(data: DataFrame, idCol: String,
       cents: DataFrame): DataFrame = {
