@@ -402,4 +402,112 @@ object Multimodal {
       }
     }
   }
+
+  // ---- real-world formats: PNG + JPEG via javax.imageio ---------------
+
+  case class ImageIoRecord(media_id: Long, format: String,
+      payload: Array[Byte])
+  case class ImageIoFeatures(media_id: Long, format: String,
+      width: Int, height: Int, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** The PPM synthesis raster ([[synthesizePayload]]'s formula:
+    * w = 16+(id%8)·4, h = 12+(id%5)·4, byte i = (i+id)%256, RGB
+    * row-major) as a BufferedImage.
+    */
+  private[graft] def synthRaster(id: Long): java.awt.image.BufferedImage = {
+    val w = (16 + id % 8 * 4).toInt; val h = (12 + id % 5 * 4).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y.toLong * w + x) * 3
+        val r = ((i + id) % 256).toInt
+        val g = ((i + 1 + id) % 256).toInt
+        val b = ((i + 2 + id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Two REAL-FORMAT payloads per row id — the same deterministic
+    * raster encoded as PNG (lossless: the decode side's pixel stats
+    * stay closed-form mirrorable in SQL) and as JPEG (lossy: decoded
+    * stats are the JVM codec's output, pinned by the committed golden
+    * fixture `tools/jpeg_golden.csv` — DuckDB cannot decode JPEG, and
+    * the codec output is a per-JVM constant, not a formula).
+    * `javax.imageio` is pure-JVM (headless-safe, no native codec
+    * libraries), so this is the real-world decode path the PPM/WAV/
+    * FRM0 family deliberately avoided — same Spark plumbing, actual
+    * compressed formats.
+    */
+  def synthesizeImageIoMedia(df: DataFrame, idCol: String): Dataset[ImageIoRecord] = {
+    implicit val enc = Encoders.product[ImageIoRecord]
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        Seq("png", "jpg").map(fmt =>
+          ImageIoRecord(id, fmt, encodeImageIo(id, fmt)))
+      }
+    }
+  }
+
+  private[graft] def encodeImageIo(id: Long, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(synthRaster(id), fmt, bos))
+      throw new IllegalStateException(s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** (width, height, px_sum, px_min, px_max) of REAL PNG/JPEG bytes,
+    * or None if ImageIO can't read them.
+    */
+  private[graft] def imageIoStats(
+      payload: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+    val img = try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val rgb = im.getRGB(0, 0, w, h, null, 0, w)
+      var sum = 0L; var mn = 255; var mx = 0
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        var c = 0
+        while (c < 3) {
+          val v = (p >> (16 - 8 * c)) & 0xff
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          c += 1
+        }
+        i += 1
+      }
+      (w, h, sum, mn, mx)
+    }
+  }
+
+  /** Decode REAL PNG/JPEG bytes with `javax.imageio.ImageIO.read`
+    * (magic-sniffing reader selection, the production decode path) and
+    * compute exact integer stats over the decoded RGB channels.
+    * Malformed/unreadable payloads DROP (the parser family's
+    * drop-don't-throw discipline); channel order is normalized through
+    * getRGB so the stats are raster-layout-independent.
+    */
+  def imageIoFeatures(ds: Dataset[ImageIoRecord]): Dataset[ImageIoFeatures] = {
+    implicit val enc = Encoders.product[ImageIoFeatures]
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        imageIoStats(r.payload).map { case (w, h, sum, mn, mx) =>
+          ImageIoFeatures(r.media_id, r.format, w, h, sum, mn, mx)
+        }
+      }
+    }
+  }
 }

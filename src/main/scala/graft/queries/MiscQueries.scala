@@ -70,6 +70,22 @@ object MiscQueries {
   def dedupImageAhash(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.ahashNearDupPairs(multimodalAhash(spark, sfDir), maxHamming = 3)
 
+  /** REAL-FORMAT decode path (round 11): the synthesis raster encoded
+    * as actual PNG and JPEG by `javax.imageio`, decoded back with
+    * `ImageIO.read`, exact integer stats over the decoded RGB. PNG is
+    * lossless, so its rows stay fully closed-form in the oracle (the
+    * multimodal_features pixel arithmetic); JPEG is lossy, so its rows
+    * are pinned by the committed per-JVM golden
+    * `tools/jpeg_golden.csv` (DuckDB cannot decode JPEG). doc_id < 40
+    * keeps the fixture SF-independent (ids 0–39 exist at every SF).
+    */
+  def multimodalJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+      .where(col("doc_id") < 40).select("doc_id")
+    Multimodal.imageIoFeatures(
+      Multimodal.synthesizeImageIoMedia(docs, "doc_id")).toDF()
+  }
+
   /** 256-sample analysis frames over each decoded WAV — exact integer
     * energy (Σv, Σv²) per frame.
     */
@@ -369,6 +385,7 @@ object MiscQueries {
     "mixture_sample" -> mixtureSample,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_ahash" -> multimodalAhash,
+    "multimodal_jpeg" -> multimodalJpeg,
     "dedup_image_ahash" -> dedupImageAhash,
     "streaming_image_dedup" -> streamingImageDedup,
     "multimodal_resize" -> multimodalResize,
@@ -692,6 +709,27 @@ object MiscQueries {
         |    list_transform(generate_series(0, 23), k ->
         |      (3*((py*8+dy)*iw + px*8) + k + doc_id) % 256)))) AS INT) AS max_byte
         |FROM gxy""".stripMargin,
+    "multimodal_jpeg" ->
+      """WITH ids AS (SELECT doc_id, 16 + (doc_id % 8) * 4 AS iw,
+        |    12 + (doc_id % 5) * 4 AS ih
+        |  FROM documents WHERE doc_id < 40),
+        |png AS (SELECT doc_id, iw, ih, iw*ih*3 AS n, doc_id % 256 AS a,
+        |    (iw*ih*3) // 256 AS k, (iw*ih*3) % 256 AS r FROM ids)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
+        |  CAST(iw AS INT) AS width, CAST(ih AS INT) AS height,
+        |  CAST(k*32640 + CASE WHEN a + r <= 256 THEN r*a + r*(r-1)//2
+        |    ELSE (256-a)*(a+255)//2 + (r-256+a)*(r-256+a-1)//2 END
+        |    AS BIGINT) AS px_sum,
+        |  CAST(CASE WHEN a + n > 256 THEN 0 ELSE a END AS INT) AS px_min,
+        |  CAST(CASE WHEN a + n >= 256 THEN 255 ELSE a + n - 1 END AS INT) AS px_max
+        |FROM png
+        |UNION ALL
+        |SELECT CAST(f.media_id AS BIGINT), f.format,
+        |  CAST(f.width AS INT), CAST(f.height AS INT),
+        |  CAST(f.px_sum AS BIGINT), CAST(f.px_min AS INT),
+        |  CAST(f.px_max AS INT)
+        |FROM read_csv('/root/repo/tools/jpeg_golden.csv', header=true) f
+        |JOIN ids d ON d.doc_id = f.media_id""".stripMargin,
     "multimodal_features" ->
       """WITH p AS (SELECT doc_id, doc_id % 3 AS m3,
         |    16 + (doc_id % 8) * 4 AS iw, 12 + (doc_id % 5) * 4 AS ih,

@@ -184,6 +184,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("imageio png: real-format round trip is lossless and matches " +
+      "the synthesis formula exactly") {
+    Seq(0L, 5L, 11L, 23L).foreach { id =>
+      val png = Multimodal.encodeImageIo(id, "png")
+      // real PNG magic
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+        png(3) == 'G', s"not a PNG for id=$id")
+      val w = (16 + id % 8 * 4).toInt; val h = (12 + id % 5 * 4).toInt
+      val n = w * h * 3
+      var expSum = 0L; var expMn = 255; var expMx = 0
+      var i = 0
+      while (i < n) {
+        val v = ((i + id) % 256).toInt
+        expSum += v; if (v < expMn) expMn = v; if (v > expMx) expMx = v
+        i += 1
+      }
+      assert(Multimodal.imageIoStats(png) ===
+        Some((w, h, expSum, expMn, expMx)), s"png stats for id=$id")
+    }
+  }
+
+  test("imageio jpeg: real lossy decode preserves dims and stays near " +
+      "the source raster") {
+    Seq(1L, 7L, 19L).foreach { id =>
+      val jpg = Multimodal.encodeImageIo(id, "jpg")
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+        s"not a JPEG for id=$id")
+      val w = (16 + id % 8 * 4).toInt; val h = (12 + id % 5 * 4).toInt
+      val n = w * h * 3
+      val Some((gw, gh, gSum, _, _)) = Multimodal.imageIoStats(jpg)
+      assert((gw, gh) === ((w, h)))
+      var expSum = 0L
+      var i = 0
+      while (i < n) { expSum += ((i + id) % 256).toInt; i += 1 }
+      // lossy but DC-preserving: mean per-byte drift bounded
+      assert(math.abs(gSum - expSum).toDouble / n < 8.0,
+        s"jpeg mean drift too large for id=$id: $gSum vs $expSum")
+      // per-JVM determinism (the premise of the committed golden)
+      assert(Multimodal.imageIoStats(Multimodal.encodeImageIo(id, "jpg"))
+        === Multimodal.imageIoStats(jpg))
+    }
+  }
+
   test("golden checksums: payload md5s are stable across builds") {
     def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
       .digest(b).map("%02x".format(_)).mkString
