@@ -56,6 +56,29 @@ class CoresetSpec extends SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(11)))
   }
 
+  test("kCenterCoreset stops early when k exceeds the distinct-vector " +
+      "count (no duplicate centers)") {
+    // 3 distinct vectors, one duplicated: greedy must emit exactly 3
+    // rows for k = 5 — once every point is covered at radius 0, more
+    // picks would only duplicate existing centers (the round-10
+    // early-stop contract; regression-pinned on the engine side, not
+    // just via the oracle)
+    val df = Seq(
+      (0L, Array.fill(64)(0f)),
+      (1L, Array.fill(64)(1f)),
+      (2L, Array.fill(64)(0.5f)),
+      (3L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val got = Clustering.kCenterCoreset(df, "vec_id", "embedding", k = 5)
+      .select("center_rank", "center_id", "dist_chosen")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 3, s"expected 3 centers, got ${got.toSeq}")
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got.last._3 > 0L,
+      "the last emitted pick must still cover new ground")
+    // the duplicate pair contributes exactly one center
+    assert(got.map(_._2).toSet.intersect(Set(2L, 3L)).size == 1)
+  }
+
   test("mmrDiversify skips the near-duplicate in favor of the diverse candidate") {
     // q along e1; A and B equally relevant mirror images; A2 ~ duplicate
     // of A. Top-2 by pure relevance would take A then A2; MMR must take
