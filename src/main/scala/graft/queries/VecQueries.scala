@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Quantize, Similarity}
+import graft.operators.{Clustering, Quantize, Similarity}
 
 /** Driver-contract queries for similarity search over `embeddings`:
   * vectors with vec_id < 10 act as queries against the full corpus.
@@ -176,7 +176,40 @@ object VecQueries {
       "vec_id", "embedding", k = 5, poolSize = 20, lambda10 = 7)
   }
 
+  /** Streaming twin of [[topkIvfTrain]]: the query set STREAMS through
+    * the engine and probes the static trained-IVF index — identical
+    * dials (16 trained cells, 12 probes, k = 5), so the oracle is the
+    * similarity_ivf_train SQL verbatim. See
+    * [[graft.streaming.StreamingPipeline.annStream]] for the
+    * stream-safe routing/join/rank shape.
+    */
+  def streamingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingPipeline
+    val c = corpus(spark, sfDir)
+    val cents = Clustering.lloydCentroids(c, "vec_id", "embedding", 16, 2)
+    val rows = cents.select(col("cluster").cast("long"), col("cq"), col("cn2"))
+      .collect().sortBy(_.getLong(0))
+    val cellsArr = rows.map(_.getLong(0))
+    val centsArr = rows.map(_.getSeq[Long](1).toArray)
+    val cn2Arr = rows.map(_.getLong(2))
+    val index = Clustering.assign(c, "vec_id", "embedding", cents)
+      .select(col("cluster").cast("long").as("cell"),
+        col("vec_id").as("neighbor_id"), col("q").as("qc"))
+      .withColumn("n2c", graft.operators.Dedup.squaredNorm(col("qc")))
+    val stream = StreamingPipeline.readEmbeddings(spark, sfDir)
+      .where(col("vec_id") < 10)
+    val grouped = StreamingPipeline.annStream(stream, index,
+      cellsArr, centsArr, cn2Arr, probes = 12, k = 5)
+    StreamingPipeline.runToMemory(grouped, "graft_stream_ann")
+      .select(col("query_id"),
+        posexplode(col("topk")).as(Seq("pos", "nc")))
+      .select(col("query_id"), col("nc.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("nc.cosine").as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_ann" -> streamingAnn,
     "negative_sample" -> negativeSample,
     "hard_negatives" -> hardNegatives,
     "similarity_pq" -> topkPq,
@@ -481,6 +514,21 @@ object VecQueries {
         |SELECT d.anchor_id, d.j, p.nid AS neg_id,
         |  d.alab AS anchor_label, p.nlab AS neg_label
         |FROM d JOIN pool p ON p.alab = d.alab AND p.r = d.idx""".stripMargin,
+    // the streaming twin probes the identical trained index with the
+    // identical dials, so its oracle is the similarity_ivf_train SQL
+    // verbatim — the streaming engine must land on the same rows
+    "streaming_ann" ->
+      s"""WITH $qCte,
+         |$ivfTrainCtes
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |      / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM tqasg a JOIN tasg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |WHERE rank <= 5""".stripMargin,
     "similarity_ivf_train" ->
       s"""WITH $qCte,
          |$ivfTrainCtes

@@ -347,6 +347,49 @@ object StreamingPipeline {
       .agg(min(col("_base_id")).as("dup_of"))
   }
 
+  /** Streaming ANN — the live-retrieval shape: query vectors STREAM in
+    * and probe the STATIC cell-partitioned trained-IVF index of the
+    * corpus. Routing is the per-row [[graft.functions.IvfRoute]]
+    * expression (the batch probe ranking is a window function, which
+    * streams don't support; the driver-side centroid table makes
+    * routing a stateless projection), the probed cells explode into a
+    * stream-static equi-join on the cell key (stateless, no watermark
+    * — the index is static), and ranking is the bounded-heap
+    * TopKByScore aggregate: state is one k-entry buffer per query, not
+    * the candidate fan-out. At 100 TB the static side is the
+    * cell-bucketed code/vector table and each micro-batch touches only
+    * its queries' probed cells.
+    *
+    * `staticIndex` must carry (cell, neighbor_id, qc, n2c).
+    */
+  def annStream(queries: DataFrame, staticIndex: DataFrame,
+      cells: Array[Long], cents: Array[Array[Long]], cn2: Array[Long],
+      probes: Int, k: Int): DataFrame = {
+    import graft.operators.Dedup
+    queries
+      .select(col("vec_id").as("query_id"),
+        Dedup.quantize(col("embedding")).as("qq"))
+      .withColumn("n2q", Dedup.squaredNorm(col("qq")))
+      .withColumn("cell", explode(graft.functions.IvfRoute
+        .ivf_probe_cells(col("qq"), cells, cents, cn2, probes)))
+      .join(staticIndex, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.quantizedCosine(col("qq"), col("qc"), col("n2q"), col("n2c")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(col("cosine"), col("neighbor_id").cast("long"), k)
+        .as("topk"))
+  }
+
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir).schema
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   /** The reference's cron job as a stream: each micro-batch of logs
     * refreshes the persistent geolocation cache (detect new IPs → fetch
     * → keep-newest upsert → atomic swap of the parquet path) via

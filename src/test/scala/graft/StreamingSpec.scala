@@ -289,6 +289,21 @@ class StreamingSpec extends SparkSpec {
     assert(r4 === Map(5L -> "8_s0"), "post-eviction numbering restart is the documented contract")
   }
 
+  test("streaming ANN probes the trained IVF index onto the exact batch rows") {
+    // the live-retrieval twin: a query stream routed by the
+    // IvfProbeCells expression through a stream-static cell join must
+    // land on exactly the batch trained-IVF ranking (same centroids —
+    // lloydCentroids is memoized — same probes, same tie order)
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.queries.VecQueries.streamingAnn(spark, sf)
+      .orderBy("query_id", "rank").collect().toSeq
+    val batch = graft.queries.VecQueries.topkIvfTrain(spark, sf)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("multimodal plumbing: synthesized payloads decode end-to-end through the engine") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.synthesizeMedia(docs, "doc_id")
