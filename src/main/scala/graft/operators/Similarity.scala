@@ -671,6 +671,21 @@ object Similarity {
   private val cbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
+  /** Public handle on the (memoized) trained codebook — for callers
+    * that run the PQ kernels OUTSIDE a top-k query, e.g. the streaming
+    * index-ingest path ([[graft.streaming.StreamingPipeline
+    * .pqIngestStream]]). Same cache as [[pqTopK]]/[[ivfPqTopK]]: a
+    * corpus/dial pair trains exactly once per session.
+    */
+  def pqCodebookFor(corpus: DataFrame, idCol: String, embCol: String,
+      subspaces: Int, dims: Int, codebookSize: Int,
+      trainRounds: Int): Array[Array[Long]] = {
+    require(dims % subspaces == 0,
+      s"dims=$dims not divisible by subspaces=$subspaces")
+    pqCodebook(prepared(corpus, idCol, embCol), idCol, subspaces,
+      dims / subspaces, codebookSize, trainRounds)
+  }
+
   private def pqCodebookUncached(prep: DataFrame, idCol: String,
       subspaces: Int, dsub: Int, codebookSize: Int,
       trainRounds: Int): Array[Array[Long]] = {

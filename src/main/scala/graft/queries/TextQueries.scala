@@ -222,7 +222,17 @@ object TextQueries {
       .select("doc_id", "n_tokens", "start_offset",
         "start_pack", "end_pack", "n_packs")
 
+  /** Length-quartile curriculum schedule with deterministic
+    * round-robin source interleaving — see
+    * [[graft.operators.Curriculum.curriculumOrder]].
+    */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Curriculum.curriculumOrder(
+      Tables.distributed(spark, sfDir, "documents"),
+      "doc_id", "text", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curriculum_order" -> curriculumOrder,
     "text_lm_score" -> textLmScore,
     "phrase_search" -> phraseSearch,
     "tokenize_pack" -> tokenizePack,
@@ -382,6 +392,28 @@ object TextQueries {
        |FROM c""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "curriculum_order" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |hist AS (SELECT tokens AS v, count(*) AS c FROM tk GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM hist),
+        |nn AS (SELECT count(*) AS n FROM tk),
+        |thr AS (SELECT k, min(v) AS t
+        |  FROM cum, nn, unnest(generate_series(1, 3)) u(k)
+        |  WHERE 4*cc >= k*n GROUP BY k),
+        |st AS (SELECT tk.doc_id, tk.source, tk.tokens,
+        |    CAST(1 + (SELECT count(*) FROM thr
+        |      WHERE tk.tokens > thr.t) AS INT) AS stage
+        |  FROM tk),
+        |ps AS (SELECT *, CAST(row_number() OVER (PARTITION BY stage, source
+        |    ORDER BY md5('curr:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS INT) AS pos FROM st)
+        |SELECT doc_id, source, tokens, stage, pos,
+        |  CAST(row_number() OVER (PARTITION BY stage
+        |    ORDER BY pos, source, doc_id) AS INT) AS curriculum_rank
+        |FROM ps""".stripMargin,
     "tokenize_pack" -> tokenizePackOracle,
     "phrase_search" ->
       """WITH w AS (

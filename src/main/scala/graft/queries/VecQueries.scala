@@ -208,7 +208,34 @@ object VecQueries {
         col("nc.cosine").as("cosine"))
   }
 
+  /** Streaming INGEST half of the ANN index lifecycle (the query half
+    * is [[streamingAnn]]): vectors with vec_id < 50 stream in and get
+    * their trained-IVF home cell AND their 16 PQ codes in one
+    * stateless Append-mode projection — both trained tables ride
+    * driver-side inside the codegen'd kernels, so index maintenance
+    * needs no state store and no shuffle. The oracle re-derives cells
+    * and codes from the trained-router + trained-codebook CTE chains.
+    */
+  def streamingPqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingPipeline
+    val c = corpus(spark, sfDir)
+    val cents = Clustering.lloydCentroids(c, "vec_id", "embedding", 16, 2)
+    val rows = cents.select(col("cluster").cast("long"), col("cq"), col("cn2"))
+      .collect().sortBy(_.getLong(0))
+    val cb = Similarity.pqCodebookFor(c, "vec_id", "embedding",
+      subspaces = 16, dims = 64, codebookSize = 256, trainRounds = 3)
+    val stream = StreamingPipeline.readEmbeddings(spark, sfDir)
+      .where(col("vec_id") < 50)
+    StreamingPipeline.runToMemory(
+      StreamingPipeline.pqIngestStream(stream,
+        rows.map(_.getLong(0)), rows.map(_.getSeq[Long](1).toArray),
+        rows.map(_.getLong(2)), cb, subspaces = 16, dsub = 4),
+      "graft_stream_pq_ingest",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_pq_encode" -> streamingPqEncode,
     "streaming_ann" -> streamingAnn,
     "negative_sample" -> negativeSample,
     "hard_negatives" -> hardNegatives,
@@ -514,6 +541,16 @@ object VecQueries {
         |SELECT d.anchor_id, d.j, p.nid AS neg_id,
         |  d.alab AS anchor_label, p.nlab AS neg_label
         |FROM d JOIN pool p ON p.alab = d.alab AND p.r = d.idx""".stripMargin,
+    // the ingest twin's cells and codes re-derive from the trained
+    // router (tasg) + trained codebook (pqcodes) chains directly
+    "streaming_pq_encode" ->
+      s"""WITH $qCte,
+         |$ivfTrainCtes,
+         |$pqCtes
+         |SELECT t.vec_id, CAST(t.cell AS BIGINT) AS cell,
+         |  CAST(p.s AS INT) AS s, CAST(p.cidx AS BIGINT) AS cidx
+         |FROM tasg t JOIN pqcodes p ON p.vec_id = t.vec_id
+         |WHERE t.vec_id < 50""".stripMargin,
     // the streaming twin probes the identical trained index with the
     // identical dials, so its oracle is the similarity_ivf_train SQL
     // verbatim — the streaming engine must land on the same rows

@@ -390,6 +390,34 @@ object StreamingPipeline {
       .parquet(dir)
   }
 
+  /** Streaming index INGEST — the other half of [[annStream]]'s
+    * lifecycle: freshly arrived vectors get their IVF cell and their
+    * PQ codes in ONE stateless projection (both kernels carry their
+    * trained tables driver-side — [[graft.functions.IvfRoute]] with
+    * probes = 1 for the home cell, [[graft.functions.PqCodec]] for the
+    * codes), so index maintenance is Append-mode with zero state and
+    * zero shuffle: each micro-batch writes straight to the
+    * cell-partitioned code table. Codes emit EXPLODED as (vec_id,
+    * cell, s, cidx) rows — the narrow layout the SQL oracle derives
+    * directly from its pqcodes/tasg CTEs.
+    */
+  def pqIngestStream(vectors: DataFrame,
+      cells: Array[Long], cents: Array[Array[Long]], cn2: Array[Long],
+      codebook: Array[Array[Long]], subspaces: Int, dsub: Int): DataFrame = {
+    import graft.operators.Dedup
+    vectors
+      .select(col("vec_id"), Dedup.quantize(col("embedding")).as("q"))
+      .withColumn("cell",
+        element_at(graft.functions.IvfRoute
+          .ivf_probe_cells(col("q"), cells, cents, cn2, probes = 1), 1))
+      .select(col("vec_id"), col("cell"),
+        posexplode(graft.functions.PqCodec
+          .pq_codes(col("q"), codebook, subspaces, dsub))
+          .as(Seq("s", "cidx")))
+      .select(col("vec_id"), col("cell"), col("s"),
+        col("cidx").cast("long").as("cidx"))
+  }
+
   /** The reference's cron job as a stream: each micro-batch of logs
     * refreshes the persistent geolocation cache (detect new IPs → fetch
     * → keep-newest upsert → atomic swap of the parquet path) via

@@ -304,6 +304,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming PQ ingest emits complete, in-range, deterministic codes") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.VecQueries.streamingPqEncode(spark, sf)
+      .orderBy("vec_id", "s").collect().toSeq
+    val byVec = out.groupBy(_.getLong(0))
+    assert(byVec.nonEmpty)
+    byVec.foreach { case (vid, rows) =>
+      assert(rows.length == 16, s"vec $vid must emit one row per subspace")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (0 until 16),
+        s"vec $vid subspaces must be dense")
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) < 16, "cell in [0,16)")
+        assert(r.getLong(3) >= 0 && r.getLong(3) < 256, "code in [0,256)")
+      }
+    }
+    // Append-mode ingest is stateless → re-running the stream emits
+    // the identical rows (the codebook/centroids are memoized session
+    // state, the kernels pure)
+    val again = graft.queries.VecQueries.streamingPqEncode(spark, sf)
+      .orderBy("vec_id", "s").collect().toSeq
+    assert(again == out)
+  }
+
   test("multimodal plumbing: synthesized payloads decode end-to-end through the engine") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.synthesizeMedia(docs, "doc_id")
