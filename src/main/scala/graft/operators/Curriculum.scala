@@ -64,4 +64,32 @@ object Curriculum {
       .withColumn("pos", row_number().over(wPos))
       .withColumn("curriculum_rank", row_number().over(wRank))
   }
+
+  /** Token-budget subsampling — the "X tokens per domain" selection a
+    * mixture-weighted pretraining corpus is actually built from (row
+    * fractions lie when document lengths differ; budgets are spent in
+    * TOKENS): per source, documents are taken in deterministic
+    * md5-shuffled order while the running token total stays within
+    * `tokensPerSource`; the first document over the line is dropped
+    * (documents are atomic — no partial takes).
+    *
+    * Shape: one shuffle on the source key for the cumulative-sum
+    * window, nothing else — the same cost as any per-group running
+    * total, skew-bounded by documents-per-source. Exact integer token
+    * counts and cumulative sums, the public md5 draw, id tie-breaks:
+    * identical selection on any engine at any parallelism.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tokensPerSource: Long,
+      salt: String = "tokbudget"): DataFrame = {
+    require(tokensPerSource > 0,
+      s"tokensPerSource must be positive, got $tokensPerSource")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.select(col(idCol), col(sourceCol),
+        TextAnalysis.bpeTokenCount(col(textCol)).cast("long").as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .where(col("cum_tokens") <= tokensPerSource)
+  }
 }

@@ -26,6 +26,22 @@ object Partitioning {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop a catalog table AND its orphaned warehouse directory — the
+    * in-memory catalog forgets tables between JVMs but warehouse dirs
+    * persist, and saveAsTable refuses a dirty location.
+    */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get(
+      "spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) rm(dir)
+  }
+
   /** Range-partitioned, sorted-within-partition parquet — the layout
     * for range-predicate-heavy readers (time-series scans): every file
     * covers a disjoint `sortCol` range and every row group's min/max

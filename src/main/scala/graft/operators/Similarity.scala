@@ -671,6 +671,77 @@ object Similarity {
   private val cbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
+  /** [[ivfPqTopK]] against a PERSISTED index — the full lifecycle the
+    * composed query path skips: the (id, cell, codes) table writes
+    * once, BUCKETED AND SORTED BY CELL, and each query batch then
+    * reads ONLY its probed cells' buckets (the `cell IN (…)` literal
+    * prunes at the file level — `SelectedBucketsCount` in the scan,
+    * asserted by PartitioningSpec). This is the claim "at 100 TB the
+    * static side is the cell-bucketed code table" made physical:
+    * index build pays one shuffle at write time; a query batch
+    * probing p/nCells of the cells reads ~p/nCells of the index
+    * files, forever, with no exchange on the index side (the query
+    * frame broadcasts).
+    *
+    * Results are row-for-row [[ivfPqTopK]]'s (same trained router,
+    * same codebook — both memoized — same ADC and tie order).
+    * The probed-cell literal COLLECTS ≤ nCentroids cell ids — bounded
+    * driver state, same class as the codebook itself.
+    */
+  def ivfPqBucketedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nCentroids: Int = 16, probes: Int = 12, trainRounds: Int = 2,
+      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
+      pqTrainRounds: Int = 1, table: String = "graft_ann_index",
+      buckets: Int = 16): DataFrame = {
+    require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
+    val dsub = dims / subspaces
+    val spark = corpus.sparkSession
+    val cents = Clustering
+      .lloydCentroids(corpus, idCol, embCol, nCentroids, trainRounds)
+      .select(col("cluster").cast("long"), col("cq"), col("cn2"))
+      .collect().sortBy(_.getLong(0))
+    val (cellIds, cellVecs, cellN2) = (cents.map(_.getLong(0)),
+      cents.map(_.getSeq[Long](1).toArray), cents.map(_.getLong(2)))
+    val cb = pqCodebook(prepared(corpus, idCol, embCol), idCol, subspaces,
+      dsub, codebookSize, pqTrainRounds)
+
+    // build + persist: one row per vector, bucketed/sorted by cell
+    Partitioning.dropTable(spark, table)
+    Partitioning.writeBucketed(
+      prepared(corpus, idCol, embCol)
+        .withColumn("cell", element_at(graft.functions.IvfRoute
+          .ivf_probe_cells(col("q"), cellIds, cellVecs, cellN2, 1), 1))
+        .select(col(idCol), col("cell"),
+          PqCodec.pq_codes(col("q"), cb, subspaces, dsub).as("codes")),
+      table, "cell", buckets)
+    val index = spark.table(table)
+
+    // query batch: probed cells + LUTs, broadcast; the distinct probed
+    // cells (≤ nCentroids) become the bucket-pruning literal
+    val qs = prepared(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"),
+        PqCodec.pq_lut(col("q"), cb, subspaces, dsub).as("_luts"),
+        explode(graft.functions.IvfRoute
+          .ivf_probe_cells(col("q"), cellIds, cellVecs, cellN2, probes))
+          .as("cell"))
+    val probedCells = qs.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = index
+      .where(col("cell").isin(probedCells: _*))
+      .join(broadcast(qs), index("cell") === qs("cell")
+        && col("query_id") =!= col(idCol))
+      .withColumn("adc_dist", PqCodec.pq_adc(col("codes"), col("_luts")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by(-col("adc_dist").cast("double"), col(idCol).cast("long"), k)
+        .as("topk"))
+    rankRows(scored, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("cosine")).cast("long").as("adc_dist"))
+  }
+
   /** Public handle on the (memoized) trained codebook — for callers
     * that run the PQ kernels OUTSIDE a top-k query, e.g. the streaming
     * index-ingest path ([[graft.streaming.StreamingPipeline

@@ -231,7 +231,16 @@ object TextQueries {
       Tables.distributed(spark, sfDir, "documents"),
       "doc_id", "text", "source")
 
+  /** 600-token-per-source deterministic budget draw — see
+    * [[graft.operators.Curriculum.tokenBudgetSample]].
+    */
+  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Curriculum.tokenBudgetSample(
+      Tables.distributed(spark, sfDir, "documents"),
+      "doc_id", "text", "source", tokensPerSource = 600L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_budget_sample" -> tokenBudgetSample,
     "curriculum_order" -> curriculumOrder,
     "text_lm_score" -> textLmScore,
     "phrase_search" -> phraseSearch,
@@ -392,6 +401,18 @@ object TextQueries {
        |FROM c""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "token_budget_sample" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tokens,
+        |    CAST(sum(tokens) OVER (PARTITION BY source
+        |      ORDER BY md5('tokbudget:' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, source, tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 600""".stripMargin,
     "curriculum_order" ->
       """WITH tk AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text,

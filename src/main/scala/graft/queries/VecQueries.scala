@@ -234,7 +234,20 @@ object VecQueries {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** [[topkIvfPq]] against the PERSISTED cell-bucketed index — same
+    * dials, so the oracle is the similarity_ivfpq SQL verbatim; see
+    * [[Similarity.ivfPqBucketedTopK]] for the bucket-pruning shape.
+    */
+  def annIndexPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Similarity.ivfPqBucketedTopK(c, c.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16, probes = 12,
+      trainRounds = 2, subspaces = 16, dims = 64, codebookSize = 256,
+      pqTrainRounds = 3, table = "graft_ann_index", buckets = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_pruned" -> annIndexPruned,
     "streaming_pq_encode" -> streamingPqEncode,
     "streaming_ann" -> streamingAnn,
     "negative_sample" -> negativeSample,
@@ -469,6 +482,27 @@ object VecQueries {
     (base +: steps).mkString(",\n") + "\n" + out.mkString("\nUNION ALL\n")
   }
 
+  private lazy val ivfPqOracle: String =
+    s"""WITH $qCte,
+       |$ivfTrainCtes,
+       |$pqCtes,
+       |cand AS (SELECT qp.vec_id AS query_id, cx.vec_id AS neighbor_id
+       |  FROM tasg cx JOIN tqasg qp ON qp.cell = cx.cell
+       |  WHERE qp.vec_id <> cx.vec_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id,
+       |    CAST(sum(qd.d) AS BIGINT) AS adc_dist
+       |  FROM cand c
+       |  JOIN pqcodes x ON x.vec_id = c.neighbor_id
+       |  JOIN pqd qd ON qd.vec_id = c.query_id
+       |    AND qd.s = x.s AND qd.cidx = x.cidx
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+       |  FROM adc) t
+       |WHERE rank <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mmr_diversify" -> mmrOracle(5, 20, 7),
     "similarity_pq" ->
@@ -485,26 +519,10 @@ object VecQueries {
          |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
          |  FROM adc) t
          |WHERE rank <= 5""".stripMargin,
-    "similarity_ivfpq" ->
-      s"""WITH $qCte,
-         |$ivfTrainCtes,
-         |$pqCtes,
-         |cand AS (SELECT qp.vec_id AS query_id, cx.vec_id AS neighbor_id
-         |  FROM tasg cx JOIN tqasg qp ON qp.cell = cx.cell
-         |  WHERE qp.vec_id <> cx.vec_id),
-         |adc AS (SELECT c.query_id, c.neighbor_id,
-         |    CAST(sum(qd.d) AS BIGINT) AS adc_dist
-         |  FROM cand c
-         |  JOIN pqcodes x ON x.vec_id = c.neighbor_id
-         |  JOIN pqd qd ON qd.vec_id = c.query_id
-         |    AND qd.s = x.s AND qd.cidx = x.cidx
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
-         |  SELECT query_id, neighbor_id, adc_dist,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
-         |  FROM adc) t
-         |WHERE rank <= 5""".stripMargin,
+    "similarity_ivfpq" -> ivfPqOracle,
+    // the persisted bucket-pruned index runs the identical dials, so
+    // its rows are the composed query's rows
+    "ann_index_pruned" -> ivfPqOracle,
     "hard_negatives" ->
       s"""WITH $qCte
          |SELECT query_id, anchor_label, neighbor_id, neg_label, rank, cosine

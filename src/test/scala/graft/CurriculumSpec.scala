@@ -49,6 +49,35 @@ class CurriculumSpec extends SparkSpec {
     assert(run(docs.repartition(1)) == run(docs.repartition(7)))
   }
 
+  test("tokenBudgetSample: budgets bind per source, documents are atomic") {
+    val out = Curriculum.tokenBudgetSample(docs, "doc_id", "text", "source",
+      tokensPerSource = 100L)
+    val bySource = out.groupBy("source")
+      .agg(max("cum_tokens").as("mx"), count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    assert(bySource.length == 2)
+    bySource.foreach { case (s, mx, c) =>
+      assert(mx <= 100L, s"source $s exceeded its token budget")
+      assert(c > 0, s"source $s must take at least one document")
+    }
+    // atomicity: each kept row's own tokens fit entirely inside cum
+    val rows = out.select("tokens", "cum_tokens").as[(Long, Long)].collect()
+    rows.foreach { case (t, cum) => assert(cum >= t) }
+    // the NEXT md5-ordered doc per source would have burst the budget
+    // (i.e. the selection is maximal): re-running with a budget one
+    // token higher never selects FEWER documents
+    val bigger = Curriculum.tokenBudgetSample(docs, "doc_id", "text",
+      "source", tokensPerSource = 101L).count()
+    assert(bigger >= out.count())
+  }
+
+  test("tokenBudgetSample is invariant under repartitioning") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curriculum.tokenBudgetSample(d, "doc_id", "text", "source", 100L)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(5)))
+  }
+
   test("rejects out-of-range stage counts") {
     intercept[IllegalArgumentException] {
       Curriculum.curriculumOrder(docs, "doc_id", "text", "source", stages = 1)

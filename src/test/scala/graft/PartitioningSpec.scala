@@ -39,6 +39,36 @@ class PartitioningSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted ANN index: bucket pruning selects only probed cells' " +
+      "buckets, rows equal the composed ivfpq path") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(73)
+    val df = (0L until 120L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val qs = df.where(col("vec_id") === 1L)
+    def run(fn: => org.apache.spark.sql.DataFrame) =
+      fn.orderBy("query_id", "rank").collect().toSeq
+    val bucketed = Similarity.ivfPqBucketedTopK(df, qs, "vec_id",
+      "embedding", k = 5, nCentroids = 16, probes = 4, trainRounds = 2,
+      subspaces = 16, codebookSize = 32, pqTrainRounds = 2,
+      table = "graft_ann_index_spec", buckets = 16)
+    // ONE query probing 4 of 16 cells: the index scan must read at
+    // most 4 of the 16 buckets (cells can collide in a bucket hash,
+    // so ≤ probes, and strictly fewer than all)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt <= 4 && sel.get.group(2).toInt == 16,
+      s"expected <=4 of 16 buckets, got ${sel.get.matched}")
+    // and the pruned path returns exactly the composed path's rows
+    val composed = Similarity.ivfPqTopK(df, qs, "vec_id", "embedding",
+      k = 5, nCentroids = 16, probes = 4, trainRounds = 2,
+      subspaces = 16, codebookSize = 32, pqTrainRounds = 2)
+    assert(run(bucketed) == run(composed))
+    graft.operators.Partitioning.dropTable(spark, "graft_ann_index_spec")
+  }
+
   test("range-sorted layout prunes scan rows for range predicates") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft-range").toFile
