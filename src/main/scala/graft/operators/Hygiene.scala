@@ -22,6 +22,52 @@ object Hygiene {
     * narrow projection inside whole-stage codegen: no shuffle, no UDF,
     * scales embarrassingly with input splits.
     */
+  /** Gopher-style document quality rules (Rae et al. 2021, App. A1.1 —
+    * the published heuristic suite behind MassiveText, reused by most
+    * pretraining pipelines since). Each rule is an exact integer count
+    * or a single integer-ratio divide (bit-identical on any engine);
+    * token membership is exact equality on lowercased whitespace
+    * tokens. Thresholds are the paper's: 50 ≤ words ≤ 100 000, mean
+    * word length in [3, 10], symbol(# or …)-to-word ratio ≤ 0.1,
+    * ≤ 10% bullet-started lines, ≤ 30% ellipsis-ended lines, ≥ 80% of
+    * words with an alphabetic char, ≥ 2 distinct of 8 English stop
+    * words. Pure narrow projection — at 100 TB this is a scan with
+    * zero shuffle, the cheapest filter in the pipeline.
+    */
+  def gopherColumns(text: Column): Seq[Column] = {
+    val words = split(trim(text), "\\s+")
+    val nWords = greatest(size(words), lit(1))
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val lower = transform(words, w => org.apache.spark.sql.functions.lower(w))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Seq(
+      size(words).as("n_words"),
+      TextAnalysis.avgWordLen(text).as("mean_word_len"),
+      (size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nWords).as("symbol_word_ratio"),
+      (size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+        .cast("double") / nLines).as("bullet_line_frac"),
+      (size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+        .cast("double") / nLines).as("ellipsis_line_frac"),
+      (size(filter(words, w => w.rlike("[a-zA-Z]")))
+        .cast("double") / nWords).as("alpha_word_frac"),
+      stops.map(s => when(array_contains(lower, s), 1).otherwise(0))
+        .reduce(_ + _).cast("int").as("stop_hits"))
+  }
+
+  /** `gopher_keep` — the conjunction of all seven Gopher rules over
+    * [[gopherColumns]]'s outputs (expects them as columns).
+    */
+  def gopherKeep: Column =
+    (col("n_words") >= 50 && col("n_words") <= 100000 &&
+      col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+      col("symbol_word_ratio") <= 0.1 &&
+      col("bullet_line_frac") <= 0.1 &&
+      col("ellipsis_line_frac") <= 0.3 &&
+      col("alpha_word_frac") >= 0.8 &&
+      col("stop_hits") >= 2).as("gopher_keep")
+
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(nfc_normalize(text)), "\\s+", " "))
 

@@ -239,7 +239,17 @@ object TextQueries {
       Tables.distributed(spark, sfDir, "documents"),
       "doc_id", "text", "source", tokensPerSource = 600L)
 
+  /** The published Gopher quality-rule suite per document — see
+    * [[graft.operators.Hygiene.gopherColumns]].
+    */
+  def qualityFilterGopher(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.distributed(spark, sfDir, "documents")
+      .select(col("doc_id") +:
+        graft.operators.Hygiene.gopherColumns(col("text")): _*)
+      .withColumn("gopher_keep", graft.operators.Hygiene.gopherKeep)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_filter_gopher" -> qualityFilterGopher,
     "token_budget_sample" -> tokenBudgetSample,
     "curriculum_order" -> curriculumOrder,
     "text_lm_score" -> textLmScore,
@@ -401,6 +411,33 @@ object TextQueries {
        |FROM c""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "quality_filter_gopher" ->
+      s"""WITH w AS (SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS words,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(words) AS INT) AS n_words,
+         |    $awl AS mean_word_len,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+         |      / greatest(len(words), 1) AS symbol_word_ratio,
+         |    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+         |      / greatest(len(lines), 1) AS bullet_line_frac,
+         |    len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$')))::DOUBLE
+         |      / greatest(len(lines), 1) AS ellipsis_line_frac,
+         |    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+         |      / greatest(len(words), 1) AS alpha_word_frac,
+         |    CAST(${Seq("the", "be", "to", "of", "and", "that", "have", "with")
+            .map(s => s"(CASE WHEN list_contains(list_transform(words, " +
+              s"x -> lower(x)), '$s') THEN 1 ELSE 0 END)").mkString(" + ")}
+         |      AS INT) AS stop_hits
+         |  FROM w)
+         |SELECT *, (n_words >= 50 AND n_words <= 100000
+         |  AND mean_word_len >= 3 AND mean_word_len <= 10
+         |  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.1
+         |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |  AND stop_hits >= 2) AS gopher_keep
+         |FROM s""".stripMargin,
     "token_budget_sample" ->
       """WITH tk AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text,

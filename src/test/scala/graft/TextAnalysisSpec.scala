@@ -33,6 +33,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("gopher filters: each rule fires on its designed violation") {
+    import graft.operators.Hygiene
+    // a passing document: 60 plain words incl. >=2 stop words
+    val good = (("the quick brown fox and the lazy dog went to of that " +
+      "have with ") * 6).trim
+    val cases = Seq(
+      (1L, good, true, "clean"),
+      (2L, "short text", false, "under 50 words"),
+      (3L, good.replace(" ", " ### "), false, "symbol ratio"),
+      (4L, good.split(" ").map(w => s"- $w").mkString("\n"), false, "bullets"),
+      (5L, good.split(" ").map(w => s"$w...").mkString("\n"), false, "ellipsis lines"),
+      (6L, (1 to 60).map(_.toString).mkString(" ") + " the of", false, "alpha fraction"),
+      (7L, ("zzz " * 60).trim, false, "no stop words"))
+    val out = cases.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      .select(col("doc_id") +: Hygiene.gopherColumns(col("text")): _*)
+      .withColumn("gopher_keep", Hygiene.gopherKeep)
+      .select("doc_id", "gopher_keep").as[(Long, Boolean)].collect().toMap
+    cases.foreach { case (id, _, keep, why) =>
+      assert(out(id) == keep, s"case '$why' (doc $id): got ${out(id)}")
+    }
+  }
+
   test("langId ties break to the earlier table row; no markers means und") {
     val und = Seq("xyzzy plugh 12345").toDF("text")
       .select(TextAnalysis.langId(col("text"))).head().getString(0)
