@@ -246,7 +246,35 @@ object VecQueries {
       pqTrainRounds = 3, table = "graft_ann_index", buckets = 16)
   }
 
+  /** Exact second-moment matrix of the embedding corpus — the
+    * covariance input of PCA/whitening, via the fixed-size
+    * [[graft.functions.VecOuterSum]] matrix aggregate (one ~17 KB
+    * buffer per task crosses the exchange; nothing row-shaped ever
+    * shuffles). One row per unordered dim pair (i ≤ j) with the exact
+    * integer sums and the covariance numerator
+    * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (= n²·cov, exact).
+    */
+  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 64
+    val prep = corpus(spark, sfDir)
+      .select(graft.operators.Dedup.quantize(col("embedding")).as("q"))
+    val iCol = (col("idx") / lit(d)).cast("int")
+    val jCol = (col("idx") % d).cast("int")
+    prep.agg(graft.functions.VecOuterSum.vec_outer_sum(col("q"), d).as("m"))
+      .select(col("m.n").as("n"), col("m.sums").as("sums"),
+        posexplode(col("m.xy")).as(Seq("idx", "sum_ij")))
+      .where(jCol >= iCol)
+      .select(iCol.as("i"), jCol.as("j"), col("n"),
+        element_at(col("sums"), iCol + 1).as("sum_i"),
+        element_at(col("sums"), jCol + 1).as("sum_j"),
+        col("sum_ij"),
+        (col("n") * col("sum_ij")
+          - element_at(col("sums"), iCol + 1)
+            * element_at(col("sums"), jCol + 1)).as("cov_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_covariance" -> embeddingCovariance,
     "ann_index_pruned" -> annIndexPruned,
     "streaming_pq_encode" -> streamingPqEncode,
     "streaming_ann" -> streamingAnn,
@@ -504,6 +532,21 @@ object VecQueries {
        |WHERE rank <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_covariance" ->
+      s"""WITH $qCte,
+         |dim AS (SELECT d.i, CAST(sum(qv[d.i+1]) AS BIGINT) AS s
+         |  FROM q, unnest(generate_series(0, 63)) d(i) GROUP BY d.i),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM q),
+         |xy AS (SELECT a.i, b.j,
+         |    CAST(sum(qv[a.i+1] * qv[b.j+1]) AS BIGINT) AS sxy
+         |  FROM q, unnest(generate_series(0, 63)) a(i),
+         |    unnest(generate_series(0, 63)) b(j)
+         |  WHERE b.j >= a.i GROUP BY 1, 2)
+         |SELECT CAST(xy.i AS INT) AS i, CAST(xy.j AS INT) AS j,
+         |  cnt.nv AS n, di.s AS sum_i, dj.s AS sum_j, xy.sxy AS sum_ij,
+         |  CAST(cnt.nv * xy.sxy - di.s * dj.s AS BIGINT) AS cov_num
+         |FROM xy, cnt, dim di, dim dj
+         |WHERE di.i = xy.i AND dj.i = xy.j""".stripMargin,
     "mmr_diversify" -> mmrOracle(5, 20, 7),
     "similarity_pq" ->
       s"""WITH $qCte,
