@@ -742,6 +742,35 @@ object Similarity {
         (-col("cosine")).cast("long").as("adc_dist"))
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions
+    * with the DETERMINISTIC ±1 matrix of [[planeSign]] (row j of the
+    * projection = plane j's sign vector — the same public md5 formula
+    * the LSH bucketer uses, so any engine regenerates the identical
+    * matrix from nothing). Each output coordinate is one exact integer
+    * dot of the quantized input against a constant sign literal —
+    * `outDims` codegen'd [[graft.functions.LongArrayDot]] columns, a
+    * pure narrow map (zero shuffle at any scale). JL distortion is the
+    * textbook bound; at 64→16 dims this is the cheap pre-filter in
+    * front of exact rescoring, and the integer output feeds every
+    * downstream operator that accepts quantized vectors.
+    *
+    * Output: (id, proj: array<bigint>[outDims], pnorm2) — pnorm2 the
+    * exact squared norm of the projection (cosine/L2 in the projected
+    * space without re-deriving it).
+    */
+  def randomProjection(df: DataFrame, idCol: String, embCol: String,
+      outDims: Int, dims: Int = 64): DataFrame = {
+    require(outDims >= 1 && outDims <= 256,
+      s"outDims in [1,256], got $outDims")
+    val prep = prepared(df, idCol, embCol)
+    val coords = (0 until outDims).map { j =>
+      val signs = typedLit((0 until dims).map(i => planeSign(j, i).toLong))
+      graft.functions.LongArrayDot.long_dot(col("q"), signs)
+    }
+    prep.select(col(idCol), array(coords: _*).as("proj"))
+      .withColumn("pnorm2", Dedup.squaredNorm(col("proj")))
+  }
+
   /** Public handle on the (memoized) trained codebook — for callers
     * that run the PQ kernels OUTSIDE a top-k query, e.g. the streaming
     * index-ingest path ([[graft.streaming.StreamingPipeline

@@ -273,7 +273,15 @@ object VecQueries {
             * element_at(col("sums"), jCol + 1)).as("cov_num"))
   }
 
+  /** 64→16-dim JL projection with the deterministic ±1 md5 matrix —
+    * see [[Similarity.randomProjection]].
+    */
+  def embeddingProjection(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.randomProjection(corpus(spark, sfDir), "vec_id",
+      "embedding", outDims = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_projection" -> embeddingProjection,
     "embedding_covariance" -> embeddingCovariance,
     "ann_index_pruned" -> annIndexPruned,
     "streaming_pq_encode" -> streamingPqEncode,
@@ -532,6 +540,22 @@ object VecQueries {
        |WHERE rank <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embedding_projection" -> {
+      val dots = (0 until 16).map { j =>
+        s"""CAST(list_dot_product(qv,
+           |      list_transform(generate_series(0, 63),
+           |        i -> CASE WHEN strpos('89abcdef',
+           |               substr(md5('$j:' || (i)), 1, 1)) > 0
+           |             THEN 1 ELSE -1 END)) AS BIGINT)""".stripMargin
+      }
+      s"""WITH $qCte,
+         |p AS (SELECT vec_id,
+         |    list_value(${dots.mkString(",\n")}) AS proj
+         |  FROM q)
+         |SELECT vec_id, proj,
+         |  CAST(list_dot_product(proj, proj) AS BIGINT) AS pnorm2
+         |FROM p""".stripMargin
+    },
     "embedding_covariance" ->
       s"""WITH $qCte,
          |dim AS (SELECT d.i, CAST(sum(qv[d.i+1]) AS BIGINT) AS s

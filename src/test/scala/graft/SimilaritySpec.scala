@@ -174,6 +174,23 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(1)) == out)
   }
 
+  test("randomProjection: basis vectors land on the exact planeSign " +
+      "matrix; projection is a linear map") {
+    def basis(i: Int) = Array.tabulate(64)(k => if (k == i) 1f else 0f)
+    val df = Seq((0L, basis(0)), (5L, basis(5)), (63L, basis(63)),
+      (100L, Array.tabulate(64)(k => if (k == 0 || k == 5) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", outDims = 4)
+      .select("vec_id", "proj").as[(Long, Seq[Long])].collect().toMap
+    for (i <- Seq(0, 5, 63); j <- 0 until 4) {
+      assert(out(i.toLong)(j) == Similarity.planeSign(j, i) * 10000L,
+        s"basis $i plane $j")
+    }
+    // linearity: proj(e0 + e5) = proj(e0) + proj(e5), exactly
+    (0 until 4).foreach(j =>
+      assert(out(100L)(j) == out(0L)(j) + out(5L)(j)))
+  }
+
   test("pqTopK rejects non-divisible subspace layouts") {
     val df = Seq((1L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
