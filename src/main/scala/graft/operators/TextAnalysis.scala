@@ -36,7 +36,36 @@ object TextAnalysis {
     "zh" -> "[一-鿿]",
     "ja" -> "[ぁ-ゖァ-ヺ]")
 
+  /** The marker table parsed for the single-pass
+    * [[graft.functions.MarkerCounts]] kernel: Latin rows become exact
+    * token sets, zh/ja become their literal char ranges.
+    */
+  private val markerKinds
+      : Seq[(String, Either[Set[String], (Char, Char, Option[(Char, Char)])])] =
+    markers.map {
+      case ("zh", _) => "zh" -> Right(('一', '鿿', None))
+      case ("ja", _) => "ja" -> Right(('ぁ', 'ゖ', Some(('ァ', 'ヺ'))))
+      case (l, pat) => l -> Left(
+        pat.stripPrefix("(^| )(").stripSuffix(")( |$)").split('|').toSet)
+    }
+
   def markerCount(text: Column, lang: String): Column = {
+    // since round 11: ONE lowercase + one walk for ALL languages via
+    // the MarkerCounts kernel (the 11 per-language calls in langId /
+    // stopwordRatio collapse to a single evaluation under codegen
+    // CSE), value-identical to the regexp formulation the SQL oracles
+    // keep — equivalence spec-pinned, including the non-overlap
+    // trailing-space consumption
+    val idx = markers.indexWhere(_._1 == lang)
+    require(idx >= 0, s"unknown marker language $lang")
+    element_at(
+      graft.functions.MarkerCounts.marker_counts(text, markerKinds), idx + 1)
+  }
+
+  /** The regexp formulation [[markerCount]] replaced — the oracle
+    * twin, kept for the equivalence spec.
+    */
+  private[graft] def markerCountRegexp(text: Column, lang: String): Column = {
     val pat = markers.toMap.apply(lang)
     // overlapping "( |$)(w)( |$)" matches don't overlap-count in either
     // engine; acceptable for a frequency heuristic
@@ -60,21 +89,49 @@ object TextAnalysis {
     expr.otherwise(lit(markers.last._1))
   }
 
-  def wordCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  // the four scan counts share ONE TextScanStats walk per row (CSE
+  // collapses the repeated deterministic kernel); each remains
+  // value-identical to its regexp twin below — equivalence spec-pinned
+  private def scan(text: Column): Column =
+    graft.functions.TextScanStats.text_scan_stats(text)
+
+  def wordCount(text: Column): Column = element_at(scan(text), 4)
+
+  private[graft] def wordCountRegexp(text: Column): Column =
+    size(split(trim(text), "\\s+"))
 
   /** BPE-style pre-tokenizer segment count (letters runs, digit runs,
     * punctuation runs, each with optional leading space — the shape of
-    * the GPT-2 pre-tokenizer, minus lookahead).
+    * the GPT-2 pre-tokenizer, minus lookahead). Since round 11 the
+    * codegen'd single-pass [[graft.functions.BpeSegmentCount]] byte
+    * walk, value-identical to the regexp formulation the SQL oracles
+    * keep (`regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+|
+    * ?[^a-zA-Z0-9 ]+')`) and ~10× its throughput — spec-pinned equal
+    * on random unicode inputs.
     */
   def bpeTokenCount(text: Column): Column =
+    graft.functions.BpeSegmentCount.bpe_segment_count(text)
+
+  /** The regexp formulation [[bpeTokenCount]] replaced — kept as the
+    * differential twin for the equivalence spec.
+    */
+  private[graft] def bpeTokenCountRegexp(text: Column): Column =
     size(regexp_extract_all(text,
       lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
 
   def punctRatio(text: Column): Column =
+    element_at(scan(text), 1).cast("double") /
+      greatest(length(text), lit(1))
+
+  private[graft] def punctRatioRegexp(text: Column): Column =
     size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
       greatest(length(text), lit(1))
 
   def digitRatio(text: Column): Column =
+    element_at(scan(text), 2).cast("double") /
+      greatest(length(text), lit(1))
+
+  private[graft] def digitRatioRegexp(text: Column): Column =
     size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") /
       greatest(length(text), lit(1))
 
@@ -85,8 +142,12 @@ object TextAnalysis {
   }
 
   def avgWordLen(text: Column): Column =
-    length(regexp_replace(text, "\\s+", "")).cast("double") /
+    element_at(scan(text), 3).cast("double") /
       greatest(wordCount(text), lit(1))
+
+  private[graft] def avgWordLenRegexp(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(wordCountRegexp(text), lit(1))
 
   /** Composite quality score in [0,1]-ish: rewards stopword presence and
     * mid-length words, penalizes punctuation/digit noise. Heuristic

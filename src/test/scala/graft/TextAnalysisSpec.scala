@@ -33,6 +33,76 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("BpeSegmentCount equals the regexp formulation on adversarial " +
+      "and random unicode inputs") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "ab A1 ##.éл語 \n\t-_ zz9"
+    val hand = Seq("", " ", "   ", "a", " a", "a  b", "ab12#x", "##ab",
+      "héllo wörld", "a#a", "1.5e-3", "... - •", "日本語 text",
+      "trailing space ", " leading", "tab\tsep", "nl\nsep")
+    val random = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    val df = (hand ++ random).toDF("text").select(
+      col("text"),
+      TextAnalysis.bpeTokenCount(col("text")).as("fast"),
+      graft.operators.TextAnalysis.bpeTokenCountRegexp(col("text")).as("slow"))
+    val bad = df.where(col("fast") =!= col("slow"))
+      .as[(String, Int, Int)].collect()
+    assert(bad.isEmpty, s"diverged on: ${bad.take(5).toSeq}")
+  }
+
+  test("MarkerCounts equals the regexp formulation per language on " +
+      "adversarial and random inputs") {
+    val rnd = new scala.util.Random(123)
+    val vocab = Seq("the", "and", "el", "der", "não", "się", "chto",
+      "xthe", "thex", "The", "AND", "a", "##", "一二三", "ひらがな",
+      "カタカナ", "mixed一ひ", "", " ", "  ")
+    val hand = Seq(
+      "the the the", "the  the", " the", "the ", " the ", "x the x",
+      "el la los las", "der und die das", "não são", "się nie",
+      "一二三 the 四五", "ひらがな と カタカナ", "chto eto kak",
+      "the,and the.and", "THE AND OF")
+    val random = (1 to 150).map(_ =>
+      (0 to rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    val langs = graft.operators.TextAnalysis.markers.map(_._1)
+    val df = (hand ++ random).toDF("text").select(
+      col("text") +:
+        langs.flatMap(l => Seq(
+          TextAnalysis.markerCount(col("text"), l).as(s"f_$l"),
+          graft.operators.TextAnalysis.markerCountRegexp(col("text"), l)
+            .as(s"s_$l"))): _*)
+    langs.foreach { l =>
+      val bad = df.where(col(s"f_$l") =!= col(s"s_$l"))
+        .select("text", s"f_$l", s"s_$l")
+        .as[(String, Int, Int)].collect()
+      assert(bad.isEmpty, s"lang $l diverged on: ${bad.take(5).toSeq}")
+    }
+  }
+
+  test("TextScanStats equals the four regexp formulations on " +
+      "adversarial whitespace/unicode inputs") {
+    val rnd = new scala.util.Random(321)
+    val alphabet = "ab 9# \t\né語\r\n  -"
+    val hand = Seq("", " ", "  ", "\t", " \t", "\ta", "a\t", "a  b",
+      "  a  ", "\t\n", "ab", "é語#9", "x.y,z", " .", ". ",
+      "tab\tand space", "end\n")
+    val random = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    val T = graft.operators.TextAnalysis
+    val df = (hand ++ random).toDF("text").select(col("text"),
+      T.punctRatio(col("text")).as("p1"), T.punctRatioRegexp(col("text")).as("p2"),
+      T.digitRatio(col("text")).as("d1"), T.digitRatioRegexp(col("text")).as("d2"),
+      T.avgWordLen(col("text")).as("a1"), T.avgWordLenRegexp(col("text")).as("a2"),
+      T.wordCount(col("text")).as("w1"), T.wordCountRegexp(col("text")).as("w2"))
+    val bad = df.where(col("p1") =!= col("p2") || col("d1") =!= col("d2") ||
+        col("a1") =!= col("a2") || col("w1") =!= col("w2"))
+      .collect()
+    assert(bad.isEmpty, s"diverged on: ${bad.take(5).toSeq}")
+  }
+
   test("gopher filters: each rule fires on its designed violation") {
     import graft.operators.Hygiene
     // a passing document: 60 plain words incl. >=2 stop words
