@@ -109,6 +109,34 @@ object VecQueries {
       .unionByName(recall(topkIvfPq(spark, sfDir), "ivfpq"))
   }
 
+  /** Reciprocal rank of each ANN method's FIRST true neighbor per
+    * query — the ranking-quality complement of [[similarityRecall]]'s
+    * set overlap (recall@5 can't see whether hits sit at rank 1 or 5;
+    * MRR is what a retrieval consumer feels). Methods: the shippable
+    * trained-IVF default, both PQ rungs, and LSH-MP. Same composition
+    * discipline as the recall ladder: checkpointed shared truth,
+    * memoized index state, exact integer ranks, one double divide.
+    */
+  def similarityMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = topkBrute(spark, sfDir).select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val qs = truth.select("query_id").distinct()
+    def mrr(approx: DataFrame, method: String): DataFrame = {
+      val firstHit = approx.select("query_id", "neighbor_id", "rank")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(min(col("rank")).as("first_hit_rank"))
+      qs.join(firstHit, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("first_hit_rank"), lit(0)).as("first_hit_rank"),
+          when(col("first_hit_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_hit_rank")).as("rr"))
+    }
+    mrr(topkIvfTrain(spark, sfDir), "ivf_train")
+      .unionByName(mrr(topkPq(spark, sfDir), "pq"))
+      .unionByName(mrr(topkIvfPq(spark, sfDir), "ivfpq"))
+      .unionByName(mrr(topkLshMp(spark, sfDir), "lsh_mp"))
+  }
+
   /** Reciprocal-rank fusion of the two multi-probe ANN rankings
     * (LSH-MP and IVF-MP) — the standard hybrid-retrieval finisher.
     * Both input rankings are the already-verified registered queries;
@@ -298,6 +326,7 @@ object VecQueries {
     "similarity_ivf_mp" -> topkIvfMp,
     "similarity_ivf_train" -> topkIvfTrain,
     "similarity_recall" -> similarityRecall,
+    "similarity_mrr" -> similarityMrr,
     "similarity_rrf" -> topkRrf,
     "embedding_quantize" -> ((s: SparkSession, dir: String) =>
       Quantize.int8(Tables.embeddings(s, dir), "embedding", Seq("vec_id"))),
@@ -587,6 +616,91 @@ object VecQueries {
          |  FROM adc) t
          |WHERE rank <= 5""".stripMargin,
     "similarity_ivfpq" -> ivfPqOracle,
+    "similarity_mrr" ->
+      s"""WITH $qCte,
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |qs AS (SELECT DISTINCT query_id FROM truth),
+         |$ivfTrainCtes,
+         |ivftr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM tqasg a JOIN tasg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |$pqCtes,
+         |pqadc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    CAST(sum(q.d) AS BIGINT) AS adc
+         |  FROM pqcodes x JOIN pqd q ON q.s = x.s AND q.cidx = x.cidx
+         |  WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id GROUP BY 1, 2),
+         |pqr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rank FROM pqadc)
+         |  WHERE rank <= 5),
+         |ipqcand AS (SELECT qp.vec_id AS query_id, cx.vec_id AS neighbor_id
+         |  FROM tasg cx JOIN tqasg qp ON qp.cell = cx.cell
+         |  WHERE qp.vec_id <> cx.vec_id),
+         |ipqadc AS (SELECT c.query_id, c.neighbor_id,
+         |    CAST(sum(qd.d) AS BIGINT) AS adc
+         |  FROM ipqcand c
+         |  JOIN pqcodes x ON x.vec_id = c.neighbor_id
+         |  JOIN pqd qd ON qd.vec_id = c.query_id
+         |    AND qd.s = x.s AND qd.cidx = x.cidx
+         |  GROUP BY 1, 2),
+         |ipqr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rank FROM ipqadc)
+         |  WHERE rank <= 5),
+         |bk AS (SELECT vec_id, qv, n2,
+         |         CAST(${bucketExpr("qv")} AS BIGINT) AS bucket FROM n),
+         |$mpCte,
+         |lshmpr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS rank
+         |  FROM mp a JOIN bk b ON b.bucket = a.pbucket AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |fh1 AS (SELECT r.query_id, min(r.rank) AS fh FROM ivftr r
+         |  JOIN truth t ON t.query_id = r.query_id
+         |    AND t.neighbor_id = r.neighbor_id GROUP BY 1),
+         |fh2 AS (SELECT r.query_id, min(r.rank) AS fh FROM pqr r
+         |  JOIN truth t ON t.query_id = r.query_id
+         |    AND t.neighbor_id = r.neighbor_id GROUP BY 1),
+         |fh3 AS (SELECT r.query_id, min(r.rank) AS fh FROM ipqr r
+         |  JOIN truth t ON t.query_id = r.query_id
+         |    AND t.neighbor_id = r.neighbor_id GROUP BY 1),
+         |fh4 AS (SELECT r.query_id, min(r.rank) AS fh FROM lshmpr r
+         |  JOIN truth t ON t.query_id = r.query_id
+         |    AND t.neighbor_id = r.neighbor_id GROUP BY 1)
+         |SELECT 'ivf_train' AS method, qs.query_id,
+         |  CAST(coalesce(fh, 0) AS INT) AS first_hit_rank,
+         |  CASE WHEN fh IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) / fh END AS rr
+         |FROM qs LEFT JOIN fh1 USING (query_id)
+         |UNION ALL
+         |SELECT 'pq', qs.query_id, CAST(coalesce(fh, 0) AS INT),
+         |  CASE WHEN fh IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) / fh END
+         |FROM qs LEFT JOIN fh2 USING (query_id)
+         |UNION ALL
+         |SELECT 'ivfpq', qs.query_id, CAST(coalesce(fh, 0) AS INT),
+         |  CASE WHEN fh IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) / fh END
+         |FROM qs LEFT JOIN fh3 USING (query_id)
+         |UNION ALL
+         |SELECT 'lsh_mp', qs.query_id, CAST(coalesce(fh, 0) AS INT),
+         |  CASE WHEN fh IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) / fh END
+         |FROM qs LEFT JOIN fh4 USING (query_id)""".stripMargin,
     // the persisted bucket-pruned index runs the identical dials, so
     // its rows are the composed query's rows
     "ann_index_pruned" -> ivfPqOracle,

@@ -217,6 +217,12 @@ class PlanSpec extends SparkSpec {
       "similarity_ivf_mp" -> "broadcast centroid table for multi-probe cell routing",
       "similarity_ivf_train" -> "broadcast trained-centroid table for cell routing",
       "similarity_recall" -> "broadcast query fan-outs of both top-k inputs",
+      // audited via PlanDump: all BNLJs are BuildRight Cross over
+      // IdentityBroadcastMode builds (trained-centroid routing for the
+      // ivf_train/ivfpq arms) plus the brute-force truth's broadcast
+      // |Q|-row theta-join — inherited from the method arms exactly
+      // like similarity_recall's
+      "similarity_mrr" -> "inherited broadcast centroid routing + truth query fan-out from the method arms",
       "similarity_rrf" -> "inherited from its ivf_mp input (broadcast centroid routing)",
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank",
       "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
