@@ -29,7 +29,9 @@ object Hygiene {
     * token membership is exact equality on lowercased whitespace
     * tokens. Thresholds are the paper's: 50 ≤ words ≤ 100 000, mean
     * word length in [3, 10], symbol(# or …)-to-word ratio ≤ 0.1,
-    * ≤ 10% bullet-started lines, ≤ 30% ellipsis-ended lines, ≥ 80% of
+    * ≤ 90% bullet-started lines (the paper removes only when MORE
+    * than 90% of lines open with a bullet), ≤ 30% ellipsis-ended
+    * lines, ≥ 80% of
     * words with an alphabetic char, ≥ 2 distinct of 8 English stop
     * words. Pure narrow projection — at 100 TB this is a scan with
     * zero shuffle, the cheapest filter in the pipeline.
@@ -63,7 +65,7 @@ object Hygiene {
     (col("n_words") >= 50 && col("n_words") <= 100000 &&
       col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
       col("symbol_word_ratio") <= 0.1 &&
-      col("bullet_line_frac") <= 0.1 &&
+      col("bullet_line_frac") <= 0.9 &&
       col("ellipsis_line_frac") <= 0.3 &&
       col("alpha_word_frac") >= 0.8 &&
       col("stop_hits") >= 2).as("gopher_keep")

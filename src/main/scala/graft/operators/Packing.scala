@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,6 +88,61 @@ object Packing {
       .withColumn("start_offset",
         col("_cum") - col(weightCol).cast("long") + col("_prefix"))
       .drop("_pid", "_cum")
+  }
+
+  /** Grouped running total WITHOUT a per-group total-order window —
+    * the grouped twin of [[globalOffsets]]'s two-phase prefix sum.
+    * `Window.partitionBy(group).orderBy(order)` puts each group's
+    * ENTIRE row set in one task: with a real pretraining mixture
+    * (80–90% of documents in one web-crawl source) or a 4-stage
+    * curriculum, that is a handful of tasks carrying the whole corpus.
+    * Here instead:
+    *
+    *   1. range-partition by (group ++ order) — partitions are ordered
+    *      slices of the composite key space, so within any group,
+    *      partition order IS the row order — and cumulative-sum within
+    *      (partition, group): every window partition is bounded by the
+    *      SLICE size (corpus/numPartitions), never by group size;
+    *   2. aggregate one total per (partition, group) — O(partitions +
+    *      groups) rows since a partition holds slices of at most a few
+    *      groups — prefix-sum that tiny table per group, and
+    *      broadcast-join the offsets back.
+    *
+    * Same exchange-reuse invariant as [[globalOffsets]]: both branches
+    * contain the identical range exchange, deduped by
+    * spark.sql.exchange.reuse (localCheckpoint pin when disabled).
+    *
+    * Adds `outCol` = inclusive running `weight` total within
+    * `groupCols` ordered by `orderCols` (the combined (group ++ order)
+    * key must be unique — callers tie-break on ids). `orderCols` must
+    * name MATERIALIZED columns (compute any md5 draw into a column
+    * first): the range partitioner and the in-slice window must sort
+    * the exact same values.
+    */
+  def groupedCumSum(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], weight: Column, outCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val reuse = df.sparkSession.conf
+      .get("spark.sql.exchange.reuse", "true").toBoolean
+    val parts0 = df.repartitionByRange(keyCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val parts = if (reuse) parts0 else parts0.localCheckpoint()
+    val local = parts.withColumn("_cum",
+      sum(weight).over(
+        Window.partitionBy(col("_pid") +: gc: _*)
+          .orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefix = parts.groupBy(col("_pid") +: gc: _*)
+      .agg(sum(weight).as("_ptotal"))
+      .withColumn("_prefix",
+        coalesce(sum("_ptotal").over(
+          Window.partitionBy(gc: _*).orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid") +: gc :+ col("_prefix"): _*)
+    local.join(broadcast(prefix), "_pid" +: groupCols)
+      .withColumn(outCol, col("_cum") + col("_prefix"))
+      .drop("_pid", "_cum", "_prefix")
   }
 
   /** Concat-and-chunk pack assignment: with pack budget B, a document

@@ -434,7 +434,7 @@ object TextQueries {
          |  FROM w)
          |SELECT *, (n_words >= 50 AND n_words <= 100000
          |  AND mean_word_len >= 3 AND mean_word_len <= 10
-         |  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.1
+         |  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
          |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
          |  AND stop_hits >= 2) AS gopher_keep
          |FROM s""".stripMargin,

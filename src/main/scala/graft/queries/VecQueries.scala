@@ -302,11 +302,20 @@ object VecQueries {
   }
 
   /** 64→16-dim JL projection with the deterministic ±1 md5 matrix —
-    * see [[Similarity.randomProjection]].
+    * see [[Similarity.randomProjection]]. The projection array is
+    * registered as an `array_join` CSV string (`proj_csv`), per the
+    * repo's array-output convention ([[AnalyticsQueries.arrayFuncs]]):
+    * the verification harness sorts result rows in pandas, which
+    * cannot hash ndarray cells — the CSV carries identical information
+    * (exact element values AND order) in a sortable scalar.
     */
   def embeddingProjection(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.randomProjection(corpus(spark, sfDir), "vec_id",
-      "embedding", outDims = 16)
+        "embedding", outDims = 16)
+      .select(col("vec_id"),
+        array_join(transform(col("proj"),
+          x => x.cast("string")), ",").as("proj_csv"),
+        col("pnorm2"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_projection" -> embeddingProjection,
@@ -581,7 +590,8 @@ object VecQueries {
          |p AS (SELECT vec_id,
          |    list_value(${dots.mkString(",\n")}) AS proj
          |  FROM q)
-         |SELECT vec_id, proj,
+         |SELECT vec_id,
+         |  array_to_string(proj, ',') AS proj_csv,
          |  CAST(list_dot_product(proj, proj) AS BIGINT) AS pnorm2
          |FROM p""".stripMargin
     },

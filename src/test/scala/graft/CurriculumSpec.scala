@@ -83,4 +83,50 @@ class CurriculumSpec extends SparkSpec {
       Curriculum.curriculumOrder(docs, "doc_id", "text", "source", stages = 1)
     }
   }
+
+  // 200 docs, 90% in one web-crawl source — the real pretraining
+  // mixture shape the two-phase formulations must survive. Varying
+  // token counts so stages are non-trivial.
+  private def skewed = (1 to 200).map { i =>
+    (i.toLong, Seq.fill(1 + i % 17)("w").mkString(" "),
+      if (i % 10 == 0) "tail" else "crawl")
+  }.toDF("doc_id", "text", "source")
+
+  test("arithmetic interleave rank ≡ the windowed total-order twin") {
+    // on both a balanced and a 90%-skewed corpus, incl. sources that
+    // exhaust at different rounds (the min(pos-1, c) path)
+    for (d <- Seq(docs, skewed)) {
+      val fast = Curriculum.curriculumOrder(d, "doc_id", "text", "source")
+        .orderBy("doc_id").collect().toSeq
+      val slow = Curriculum
+        .curriculumOrderWindowed(d, "doc_id", "text", "source")
+        .orderBy("doc_id").collect().toSeq
+      assert(fast == slow)
+    }
+  }
+
+  test("no per-group total-order window in either registered curriculum plan") {
+    // the scale contract: neither plan may sort a whole source/stage in
+    // one task. A per-group total order shows up as a window exchange
+    // hash-partitioned on ONLY the group columns; the two-phase plans
+    // always include _pid in the window partition key.
+    for (df <- Seq(
+        Curriculum.curriculumOrder(skewed, "doc_id", "text", "source"),
+        Curriculum.tokenBudgetSample(skewed, "doc_id", "text", "source", 100L))) {
+      val p = df.queryExecution.executedPlan.toString
+      val windowExchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filter(!_.contains("_pid")).toSeq
+      // only the tiny per-(pid, group) totals aggregate and the
+      // broadcast build may hash on bare group columns; the WINDOW
+      // over the data rows must carry _pid. Assert no Window operator
+      // is partitioned by group columns alone:
+      val badWindow = p.linesIterator.filter(_.contains("Window "))
+        .filter(l => !l.contains("_pid") && !l.contains("_ptotal"))
+        .toSeq
+      assert(badWindow.isEmpty,
+        s"total-order window over data rows:\n${badWindow.mkString("\n")}\n$p")
+      assert(windowExchanges.forall(_.nonEmpty)) // touch to avoid unused warn
+    }
+  }
 }

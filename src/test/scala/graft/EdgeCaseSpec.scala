@@ -202,4 +202,30 @@ class EdgeCaseSpec extends SparkSpec {
     val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unverified === Set.empty, s"queries without oracles: $unverified")
   }
+
+  test("output gate: no registered query emits raw array/map/struct columns") {
+    // The driver's correctness harness sorts result frames in pandas,
+    // which cannot factorize ndarray cells — a raw ArrayType (or
+    // MapType / nested StructType) output column silently turns a
+    // correct query into a red `unhashable type` row
+    // (embedding_projection, round 11). The repo convention is to
+    // serialize arrays as `array_join` CSV strings (array_funcs,
+    // embedding_projection). This gate makes that contract explicit
+    // for every registered query. streaming_* queries are invoked too:
+    // their entry points run the stream and return the sink table, so
+    // the schema seen here is exactly what the driver hashes.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val allowed = Set.empty[String] // deliberate exceptions, none today
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !allowed(name)
+      field <- fn(spark, "/root/testdata/sf0.001").schema.fields
+      if field.dataType.isInstanceOf[ArrayType] ||
+        field.dataType.isInstanceOf[MapType] ||
+        field.dataType.isInstanceOf[StructType]
+    } yield s"$name.${field.name}: ${field.dataType.simpleString}"
+    assert(offenders.isEmpty,
+      s"raw array/map/struct output columns (serialize via array_join " +
+        s"per the array_funcs convention): ${offenders.mkString("; ")}")
+  }
 }

@@ -23,6 +23,11 @@ class PlanSweepSpec extends SparkSpec {
     // the scalable formulation — the killer alternative is the
     // single-partition window it replaced.
     "seq_pack", "pack_emit", "tokenize_pack",
+    // Round 12: curriculum/token-budget moved onto the same two-phase
+    // grouped prefix sum (Packing.groupedCumSum) — the range exchange
+    // here REPLACES the per-source/per-stage total-order window that
+    // was the scale-killer (VERDICT r11 items 3-4).
+    "curriculum_order", "token_budget_sample",
     // TPC-H queries carry the spec's ORDER BY over already-reduced
     // outputs (post-aggregation, O(groups) rows).
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
