@@ -56,21 +56,26 @@ object Resample {
   }
 
   /** B bootstrap replicates of a weighted mean over `valueCol` (exact
-    * integer units, e.g. cents) in ONE aggregate pass: 2·B running sums
-    * (Σw, Σw·v) as columns — no row explosion — then an unpivot to B
-    * rows. mean = Σwv / Σw evaluated in double identically on both
-    * engines. Adding reps scales the MAP side only; the exchange always
-    * carries a single 2·B-long partial row per task.
+    * integer units, e.g. cents) in ONE aggregate pass: the
+    * [[graft.functions.BootSums]] fixed-buffer aggregate accumulates
+    * all 2·B running sums (Σw, Σw·v) in one 2·B-long buffer — no row
+    * explosion, one 512-byte partial per task across the exchange —
+    * then a posexplode of the single result row to B rows.
+    * mean = Σwv / Σw evaluated in double identically on both engines.
+    * (The previous 2·B-sum-columns formulation blew Janino's method
+    * limit at B = 32 and ran interpreted; the typed buffer is the
+    * codegen-immune shape.) Adding reps scales the MAP side only.
     */
-  /** `spread`: optional pre-projection round-robin repartition width.
-    * The draw costs `reps` md5s per row, so the projection is
-    * CPU-bound, and its parallelism is pinned to the SCAN's split
-    * count — a single local parquet file = one task doing every hash
-    * (measured: 3 tasks / 5.1 s single-core at reps=32, sf0.1). On a
-    * real multi-file/multi-block table the scan already fans out and
-    * `spread` should stay None (the extra shuffle of the 2-column
-    * (id, value) projection buys nothing); set it only when feeding
-    * from a source with fewer splits than cores.
+  /** `spread`: optional pre-aggregate round-robin repartition width.
+    * The draw costs `reps` md5s per row inside the aggregate's update
+    * loop, so the partial-agg stage is CPU-bound, and its parallelism
+    * is pinned to the SCAN's split count — a single local parquet
+    * file = one task doing every hash (measured: 3 tasks / 5.1 s
+    * single-core at reps=32, sf0.1). On a real multi-file/multi-block
+    * table the scan already fans out and `spread` should stay None
+    * (the extra shuffle of the 2-column (id, value) projection buys
+    * nothing); set it only when feeding from a source with fewer
+    * splits than cores.
     */
   def bootstrapMeans(df: DataFrame, idCol: Column, valueCol: Column,
       reps: Int, salt: String = "boot", spread: Option[Int] = None): DataFrame = {
@@ -80,23 +85,20 @@ object Resample {
     // subexpression elimination (measured 9.6 s → the weights-first
     // shape at reps=32/sf0.1), while a projection computes each hash
     // exactly once per (row, rep)
-    val narrow = df.select(idCol.as("_id"), valueCol.as("_v"))
+    val narrow = df.select(idCol.cast("string").as("_id"),
+      valueCol.cast("long").as("_v"))
     val base = spread.map(narrow.repartition(_)).getOrElse(narrow)
-    val projected = base.select(
-      col("_v") +:
-        (0 until reps).map(r => weight(col("_id"), r, salt).as(s"_w$r")): _*)
-    val aggs = (0 until reps).flatMap { r =>
-      Seq(sum(col(s"_w$r")).as(s"_w$r"),
-        sum(col(s"_w$r") * col("_v")).as(s"_wv$r"))
-    }
-    val one = projected.agg(aggs.head, aggs.tail: _*)
-    val stacked = one.select(expr(
-      s"stack($reps, ${(0 until reps)
-        .map(r => s"$r, _w$r, _wv$r").mkString(", ")}) AS (rep, n_eff, wsum)"))
+    val one = base.agg(graft.functions.BootSums
+      .boot_sums(col("_id"), col("_v"), reps, salt, cdfThresholds).as("m"))
+    val stacked = one
+      .select(posexplode(arrays_zip(col("m.n"), col("m.wv")))
+        .as(Seq("rep", "z")))
+      .select(col("rep").cast("int").as("rep"),
+        col("z.n").as("n_eff"), col("z.wv").as("wsum"))
     // explicit empty-replicate gate (every row drew weight 0 — P ≈ e⁻ⁿ,
     // only plausible on tiny inputs): NULL by decision, not by leaning
     // on either engine's double 0/0 behavior
-    stacked.select(col("rep").cast("int").as("rep"), col("n_eff"), col("wsum"),
+    stacked.select(col("rep"), col("n_eff"), col("wsum"),
       when(col("n_eff") === 0, lit(null).cast("double"))
         .otherwise(col("wsum").cast("double") / col("n_eff").cast("double"))
         .as("mean_rep"))

@@ -184,6 +184,25 @@ class ResampleSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r._3 - 49.5) < 1.5), out.mkString(","))
   }
 
+  test("BootSums' JVM draw is bit-identical to the Column md5 formulation") {
+    // the fixed-buffer aggregate computes md5(salt:id:rep) draws in
+    // plain JVM code (no 32-expression codegen span); this pins it to
+    // the public Column formula over ids incl. negatives and a
+    // string-ish numeric range, for several reps
+    val ids = ((-50L to 50L) ++ (1_000_000L to 1_000_100L)).toSeq
+    val fromCols = ids.toDF("id")
+      .select(col("id"),
+        Resample.weight(col("id"), rep = 0, salt = "t").as("w0"),
+        Resample.weight(col("id"), rep = 7, salt = "t").as("w7"))
+      .as[(Long, Int, Int)].collect().toSeq.sortBy(_._1)
+    fromCols.foreach { case (id, w0, w7) =>
+      assert(graft.functions.BootSums.jvmWeight("t", id.toString, 0,
+        Resample.cdfThresholds) === w0.toLong, s"id=$id rep=0")
+      assert(graft.functions.BootSums.jvmWeight("t", id.toString, 7,
+        Resample.cdfThresholds) === w7.toLong, s"id=$id rep=7")
+    }
+  }
+
   test("bootstrapMeans runs as ONE aggregate pass — no row explosion") {
     val df = (1L to 100L).toDF("id").withColumn("v", col("id"))
     val plan = Resample.bootstrapMeans(df, col("id"), col("v"), reps = 8)
