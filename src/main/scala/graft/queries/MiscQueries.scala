@@ -604,13 +604,9 @@ object MiscQueries {
          |    generate_series(1, len(words) - 2),
          |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
          |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-         |sigs AS (SELECT doc_id,
-         |    ${(0 until 9).map(s => s"min(md5('$s:' || sh)) AS sig_$s").mkString(", ")}
+         |sigs AS (SELECT doc_id, ${DocQueries.sigExprs}
          |  FROM shr GROUP BY doc_id),
-         |bands AS (${(0 until 3).map { b =>
-             val cat = (b * 3 until b * 3 + 3).map(s => s"sig_$s").mkString(" || ")
-             s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
-           }.mkString(" UNION ALL ")}),
+         |bands AS (${DocQueries.bandSelects}),
          |m AS (SELECT doc_id,
          |        md5('inc:' || CAST(doc_id AS VARCHAR))
          |          < '${graft.operators.Sampling.fractionThreshold(0.8)}' AS is_base
