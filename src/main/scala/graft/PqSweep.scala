@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.Similarity.ivfPqTopK]] probes): Σ_q Σ_{probed
   * cells} |cell| − self-hits.
   *
-  * Usage: tools/run.sh graft.PqSweep [sfDir] [nCells] [probesCsv]
+  * Usage: tools/run.sh graft.PqSweep [sfDir] [nCells] [probesCsv] [method]
+  * with method ∈ {ivfpq (default), ivf_train} — ivf_train sweeps the
+  * un-quantized trained-IVF rung (round-12: the √n-dial recall proof
+  * at sf1, BASELINE.md "Round-12 ANN dials").
   */
 object PqSweep {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,8 @@ object PqSweep {
     val probesList =
       if (args.length > 2) args(2).split(",").toSeq.map(_.toInt)
       else Seq(4, 8, 12)
+    val method = if (args.length > 3) args(3) else "ivfpq"
+    val corpusMode = if (args.length > 4) args(4) else "table"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -33,7 +38,29 @@ object PqSweep {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Clustering, Similarity}
 
-    val corpus = Tables.distributed(spark, sfDir, "embeddings")
+    // corpusMode "planted": a deterministic 20k-vector corpus with 90
+    // planted Gaussian-ish clusters (center spread ±1.0, point noise
+    // ±0.1). The driver fixtures are ISOTROPIC (within-label cosine ≈
+    // cross-label ≈ 0, measured in BASELINE.md "Round-12 ANN dials"),
+    // and no index can localize neighbors that aren't localized — the
+    // planted corpus is the recall proof for the REAL embedding shape
+    // (clustered), the table corpus the honest curve for the worst one.
+    val corpus = (if (corpusMode == "planted") {
+      val nVecs = 20000L
+      val kPlant = 90
+      def u01(saltCol: org.apache.spark.sql.Column) =
+        conv(substring(md5(saltCol), 1, 15), 16, 10).cast("long")
+          .cast("double") / lit(1.152921504606847e18)
+      spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => {
+          val cl = pmod(col("id"), lit(kPlant.toLong))
+          val center = u01(concat(lit("pc:"), cl.cast("string"),
+            lit(":"), i.cast("string"))) * 2.0 - 1.0
+          val noise = u01(concat(lit("pn:"), col("id").cast("string"),
+            lit(":"), i.cast("string"))) * 0.2 - 0.1
+          (center + noise).cast("float")
+        }).as("embedding"))
+    } else Tables.distributed(spark, sfDir, "embeddings"))
       .select("vec_id", "embedding")
     val queries = corpus.where(col("vec_id") < 10)
     val truth = Similarity
@@ -49,10 +76,16 @@ object PqSweep {
 
     probesList.foreach { probes =>
       val t0 = System.nanoTime()
-      val routed = Similarity.ivfPqTopK(corpus, queries, "vec_id",
-        "embedding", k = 5, nCentroids = nCells, probes = probes,
-        trainRounds = 2, subspaces = 16, dims = 64, codebookSize = 256,
-        pqTrainRounds = 3)
+      val approx =
+        if (method == "ivf_train")
+          Similarity.ivfTrainedTopK(corpus, queries, "vec_id", "embedding",
+            k = 5, nCentroids = nCells, probes = probes, trainRounds = 2)
+        else
+          Similarity.ivfPqTopK(corpus, queries, "vec_id",
+            "embedding", k = 5, nCentroids = nCells, probes = probes,
+            trainRounds = 2, subspaces = 16, dims = 64, codebookSize = 256,
+            pqTrainRounds = 3)
+      val routed = approx
         .select("query_id", "neighbor_id").localCheckpoint()
       val wall = (System.nanoTime() - t0) / 1e9
       val hits = truth.join(routed, Seq("query_id", "neighbor_id")).count()
@@ -67,7 +100,7 @@ object PqSweep {
       val scanned = ranked.join(cellSizes, "cluster")
         .agg(sum(col("n"))).head().getLong(0)
       val flatRows = corpus.count() * nQ
-      println(f"""{"n_cells":$nCells,"probes":$probes,"recall_at_5":${hits.toDouble / (nQ * 5)}%.3f,"scored_rows":$scanned,"flat_rows":$flatRows,"scan_fraction":${scanned.toDouble / flatRows}%.3f,"wall_sec":$wall%.2f}""")
+      println(f"""{"method":"$method%s","n_cells":$nCells,"probes":$probes,"recall_at_5":${hits.toDouble / (nQ * 5)}%.3f,"scored_rows":$scanned,"flat_rows":$flatRows,"scan_fraction":${scanned.toDouble / flatRows}%.3f,"wall_sec":$wall%.2f}""")
     }
     spark.stop()
   }

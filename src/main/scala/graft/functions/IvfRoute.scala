@@ -48,6 +48,16 @@ case class IvfProbeCells(child: Expression, cells: Array[Long],
     else if (probes < 1 || probes > cells.length)
       TypeCheckResult.TypeCheckFailure(
         s"probes must be in [1, ${cells.length}], got $probes")
+    // the batch router's packed-long contract (Clustering.assign):
+    // cell ids must fit the 20 low bits and ‖c‖² must leave dist² in
+    // the 43 high bits — caller-supplied arrays outside those bounds
+    // would silently overflow the packing and corrupt probe order
+    else if (cells.exists(c => c < 0L || c >= (1L << 20)))
+      TypeCheckResult.TypeCheckFailure(
+        "cell id overflows the 20 packed bits")
+    else if (cn2.exists(n2 => n2 < 0L || n2 > (1L << 41)))
+      TypeCheckResult.TypeCheckFailure(
+        "centroid squared norm too large for the packed-long ordering")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -63,6 +73,8 @@ case class IvfProbeCells(child: Expression, cells: Array[Long],
     var qn2 = 0L
     var i = 0
     while (i < dims) { val v = a.getLong(i); qn2 += v * v; i += 1 }
+    if (qn2 > (1L << 41)) throw new IllegalArgumentException(
+      s"IvfProbeCells: query squared norm $qn2 overflows the packed-long ordering (max ${1L << 41})")
     var c = 0
     while (c < n) {
       val cv = cents(c)
@@ -97,6 +109,11 @@ case class IvfProbeCells(child: Expression, cells: Array[Long],
          |  long $qn2 = 0L;
          |  for (int $i = 0; $i < $dims; $i++) {
          |    long $v = $a.getLong($i); $qn2 += $v * $v;
+         |  }
+         |  if ($qn2 > (1L << 41)) {
+         |    throw new IllegalArgumentException(
+         |      "IvfProbeCells: query squared norm " + $qn2 +
+         |      " overflows the packed-long ordering (max " + (1L << 41) + ")");
          |  }
          |  long[] $packed = new long[$n];
          |  for (int $c = 0; $c < $n; $c++) {

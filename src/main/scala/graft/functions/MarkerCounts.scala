@@ -9,8 +9,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All language-marker counts of
-  * [[graft.operators.TextAnalysis.markers]] in ONE lowercase + ONE
-  * text walk — value-identical to the per-language
+  * [[graft.operators.TextAnalysis.markers]] in one lowercase + one
+  * shared token walk (all word-set languages — each token extracted
+  * once, membership-checked per set, with per-language trailing-space
+  * consumption state) + one shared char walk (all char-class
+  * languages) — value-identical to the per-language
   * `regexp_extract_all(lower(text), '(^| )(w1|w2|…)( |$)')` counts the
   * SQL oracles keep (spec-pinned on adversarial inputs), but without
   * running 11 alternation regexes over every row. Used 11× per
@@ -55,53 +58,56 @@ case class MarkerCounts(child: Expression,
     val n = s.length
     val counts = new Array[Int](langKinds.length)
 
-    // word-set languages: one token walk per language over the shared
-    // lowercased string
-    var k = 0
-    while (k < wordLangs.length) {
-      val (idx, set) = wordLangs(k)
-      var resume = 0
-      var c = 0
-      while (c < n) {
-        // candidate starts: position 0 (the ^ branch, token at 0) or a
-        // not-yet-consumed space (the ' ' branch, token after it)
-        val tokenStart =
-          if (c == 0 && s.charAt(0) != ' ') 0
-          else if (s.charAt(c) == ' ' && c >= resume) c + 1
-          else -1
-        var advanced = false
-        if (tokenStart >= 0 && tokenStart < n) {
-          var tokenEnd = tokenStart
-          while (tokenEnd < n && s.charAt(tokenEnd) != ' ') tokenEnd += 1
-          if (tokenEnd > tokenStart &&
-              set.contains(s.substring(tokenStart, tokenEnd))) {
-            counts(idx) += 1
-            // the trailing ( |$) consumes the following space: the next
-            // match needs a LATER space (or none exists)
-            resume = tokenEnd + 1
-            c = tokenEnd + 1
-            advanced = true
+    // word-set languages: ONE shared token walk — tokenization
+    // (space-delimited) is language-independent, so each token is
+    // extracted once and membership-checked against every set; only
+    // the trailing-space CONSUMPTION is per-language state (a token
+    // counted for language k consumes its trailing space for k's
+    // scan: `resume(k)` gates whether the next token's leading space
+    // is still available to k — exactly the per-language walks'
+    // non-overlap semantics, now without re-walking the string per
+    // language).
+    val resume = new Array[Int](wordLangs.length)
+    var tokenStart = if (n > 0 && s.charAt(0) != ' ') 0 else -1
+    var gate = -1 // space position gating the current token; -1 = ^
+    var c = 0
+    while (c <= n) {
+      if (tokenStart >= 0) {
+        var tokenEnd = tokenStart
+        while (tokenEnd < n && s.charAt(tokenEnd) != ' ') tokenEnd += 1
+        if (tokenEnd > tokenStart) {
+          val token = s.substring(tokenStart, tokenEnd)
+          var k = 0
+          while (k < wordLangs.length) {
+            val (idx, set) = wordLangs(k)
+            if ((gate == -1 || gate >= resume(k)) && set.contains(token)) {
+              counts(idx) += 1
+              // the trailing ( |$) consumes the following space: k's
+              // next match needs a LATER space (or none exists)
+              resume(k) = tokenEnd + 1
+            }
+            k += 1
           }
         }
-        if (!advanced) c += 1
+        tokenStart = -1
       }
-      k += 1
+      if (c < n && s.charAt(c) == ' ') { gate = c; tokenStart = c + 1 }
+      c += 1
     }
 
-    // char-class languages: one pass each (cheap ranges)
-    var m = 0
-    while (m < classLangs.length) {
-      val (idx, lo, hi, extra) = classLangs(m)
-      var i = 0
-      var cnt = 0
-      while (i < n) {
-        val ch = s.charAt(i)
+    // char-class languages: one shared char walk, all ranges per char
+    var i = 0
+    while (i < n) {
+      val ch = s.charAt(i)
+      var m = 0
+      while (m < classLangs.length) {
+        val (idx, lo, hi, extra) = classLangs(m)
         if ((ch >= lo && ch <= hi) ||
-            extra.exists { case (lo2, hi2) => ch >= lo2 && ch <= hi2 }) cnt += 1
-        i += 1
+            extra.exists { case (lo2, hi2) => ch >= lo2 && ch <= hi2 })
+          counts(idx) += 1
+        m += 1
       }
-      counts(idx) = cnt
-      m += 1
+      i += 1
     }
     new GenericArrayData(counts)
   }

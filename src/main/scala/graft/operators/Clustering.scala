@@ -183,6 +183,15 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[String,
       Array[(Int, Array[Long], Long)]]()
 
+  /** STALENESS CONTRACT: the centroid memo keys on (session, analyzed
+    * plan semanticHash, dials) — rewriting the files behind an
+    * unchanged path mid-session leaves the hash unchanged and serves
+    * stale centroids. Harnesses that regenerate data in-session must
+    * call this (and [[Similarity.clearTrainedState]]) after the
+    * rewrite; see the memo rationale on [[lloydCentroids]].
+    */
+  def clearTrainedState(): Unit = centCache.clear()
+
   /** Exact integer squared L2 of EVERY (row, centroid) pair — the
     * un-argmin'd fan-out [[assign]] collapses. Diagnostics surface
     * (probe-curve sweeps need the full per-cell ranking); the corpus

@@ -29,16 +29,38 @@ object Partitioning {
   /** Drop a catalog table AND its orphaned warehouse directory — the
     * in-memory catalog forgets tables between JVMs but warehouse dirs
     * persist, and saveAsTable refuses a dirty location.
+    *
+    * Deletion targets the table's CATALOG-resolved storage location
+    * when the table exists (qualified/mixed-case names and custom
+    * LOCATIONs resolve wherever the catalog says, not to a guessed
+    * `warehouse/<name>` path); only for an already-forgotten table
+    * (the orphan-dir case this helper exists for) does it fall back to
+    * the default warehouse layout, with the name validated against
+    * path separators so a crafted name can never walk out of the
+    * warehouse directory.
     */
   def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get(
-      "spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
+    require(!table.contains("/") && !table.contains("\\") &&
+      !table.split('.').exists(p => p.isEmpty || p == "." || p == ".."),
+      s"dropTable: unsafe table name '$table'")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val dir = new java.io.File(wh, table)
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val resolved =
+      if (catalog.tableExists(ident))
+        Some(new java.io.File(new java.net.URI(
+          catalog.getTableMetadata(ident).location.toString).getPath))
+      else None
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = resolved.getOrElse {
+      val wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
+      // the default warehouse layout lower-cases the table part
+      new java.io.File(wh, ident.table.toLowerCase(java.util.Locale.ROOT))
+    }
     if (dir.exists()) rm(dir)
   }
 

@@ -671,6 +671,16 @@ object Similarity {
   private val cbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
+  /** STALENESS CONTRACT: the codebook memo keys on (session, analyzed
+    * plan semanticHash, dials) — if the FILES behind the same path are
+    * rewritten mid-session the hash is unchanged and stale index state
+    * would be served. Harnesses that regenerate data in-session must
+    * call this (and [[Clustering.clearTrainedState]]) after the
+    * rewrite; normal sessions never need it (index state is exactly as
+    * stale as any persisted ANN index over a mutated corpus).
+    */
+  def clearTrainedState(): Unit = cbCache.clear()
+
   /** [[ivfPqTopK]] against a PERSISTED index — the full lifecycle the
     * composed query path skips: the (id, cell, codes) table writes
     * once, BUCKETED AND SORTED BY CELL, and each query batch then
