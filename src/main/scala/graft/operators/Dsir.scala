@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+  * feature distribution resembles a TARGET corpus, by the
+  * log-likelihood ratio of two bag-of-hashed-ngrams models. The
+  * pretraining-curation step between "dedup everything" and "train":
+  * given 100 TB of crawl and a small high-quality target (Wikipedia,
+  * textbooks), keep the crawl slice that looks like the target.
+  *
+  * Determinism/parity discipline (the repo's rule: no float logs — a
+  * log-prob sum's rounding order can't be hash-verified across
+  * engines): the per-bucket log ratio is quantized to INTEGER BITS,
+  * `ilog2(x) = length(bin(x)) − 1` (exact in both engines), so a
+  * document's score is
+  *
+  *   Σ_grams [ilog2(c_t[b]+1) − ilog2(c_r[b]+1)] + n_grams·Δnorm,
+  *
+  * with Δnorm = ilog2(T_r+B) − ilog2(T_t+B) the totals correction
+  * (smoothed model: p[b] = (c[b]+1)/(T+B)). A 1-bit-quantized LLR
+  * ranks slightly coarser than the float LLR; it is exactly
+  * reproducible on any engine, which is what a 100 TB curation run
+  * must be to audit.
+  *
+  * Scale shape: features are word uni+bigrams hashed to `buckets`
+  * buckets (md5-prefix mod B — the public-draw idiom). The bucket
+  * count table is ≤B rows built by ONE map-side-combining aggregate
+  * with conditional counts (target vs raw in the same pass), then
+  * BROADCAST back onto the exploded gram rows — the corpus never
+  * shuffles on bucket; the only data-sized exchange is the final
+  * per-doc aggregate (~1 partial row per doc per task). Totals are two
+  * longs collected driver-side (broadcast-dim precedent:
+  * [[Curriculum]]'s threshold histogram).
+  */
+object Dsir {
+
+  /** Word uni+bigram feature buckets of a text column:
+    * array<long>, bucket = md5-prefix(gram) mod `buckets`.
+    */
+  private[operators] def featureBuckets(text: Column, buckets: Int): Column = {
+    val words = split(text, " ")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", slice(words, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(words, bigrams), g =>
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** floor(log2(x)) for x ≥ 1, exact on both engines. */
+  private def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
+  /** Per-document DSIR readout over `df`: (id, n_grams, dsir_score,
+    * selected), scored against the hashed-ngram model of the rows
+    * matching `targetPred` (the high-quality target slice) relative to
+    * the whole of `df` (the raw model). `selected` marks documents
+    * whose PER-GRAM score beats the corpus mean per-gram score —
+    * "more target-like than the average document", the relative
+    * threshold importance resampling actually keeps (an absolute
+    * score>0 cut is meaningless when target and raw vocabularies
+    * overlap: the smoothed LLR of in-distribution text is a negative
+    * constant and selection lives in the differences). The comparison
+    * is the exact integer cross-multiplication
+    * `lr · T_raw > n_grams · Σlr` carried out in DECIMAL(38,0)
+    * (HUGEINT in the oracle) so it never overflows at corpus scale;
+    * the normalization term cancels on both sides. Σlr and T_raw come
+    * off the ≤B-row bucket table driver-side, like any broadcast dim.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 16 && buckets <= (1 << 20),
+      s"buckets in [16, 2^20], got $buckets")
+    val grams = df.select(col(idCol), targetPred.as("_tgt"),
+        explode(featureBuckets(col(textCol), buckets)).as("_b"))
+    // ONE pass builds both models: B-bounded group count, map-side
+    // combined; the +1 smoothing lives in the score expression
+    val stats = grams.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    // totals + the corpus-wide bit-LLR mass: three longs, driver-side
+    // like any broadcast dim (Σlr = Σ_b cr·(ilog2(ct+1) − ilog2(cr+1))
+    // — every gram instance in bucket b contributes b's bit ratio)
+    val totRow = stats.agg(sum("_cr"), sum("_ct"),
+      sum(col("_cr") * (ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1))))
+      .head()
+    val (tRaw, tTgt, totLr) =
+      (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    require(tTgt > 0, "dsirSelect: target slice has no features")
+    val dNorm = (63 - java.lang.Long.numberOfLeadingZeros(tRaw + buckets)) -
+      (63 - java.lang.Long.numberOfLeadingZeros(tTgt + buckets))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored = grams
+      .join(broadcast(stats), "_b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1)).as("_lr"))
+      .select(col(idCol), col("n_grams"),
+        (col("_lr") + col("n_grams") * lit(dNorm.toLong)).as("dsir_score"),
+        (col("_lr").cast(dec) * lit(tRaw).cast(dec) >
+          col("n_grams").cast(dec) * lit(totLr).cast(dec)).as("selected"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+}

@@ -248,7 +248,18 @@ object TextQueries {
         graft.operators.Hygiene.gopherColumns(col("text")): _*)
       .withColumn("gopher_keep", graft.operators.Hygiene.gopherKeep)
 
+  /** DSIR importance selection: the crawl slice whose hashed-ngram
+    * distribution resembles the English target slice — see
+    * [[graft.operators.Dsir.dsirSelect]] (integer-bit-quantized LLR,
+    * broadcast bucket models, one data-sized exchange).
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dsir.dsirSelect(
+      Tables.distributed(spark, sfDir, "documents"),
+      "doc_id", "text", col("lang") === "en", buckets = 4096)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_select" -> dsirSelect,
     "quality_filter_gopher" -> qualityFilterGopher,
     "token_budget_sample" -> tokenBudgetSample,
     "curriculum_order" -> curriculumOrder,
@@ -438,6 +449,39 @@ object TextQueries {
          |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
          |  AND stop_hits >= 2) AS gopher_keep
          |FROM s""".stripMargin,
+    "dsir_select" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, tgt, unnest(words) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, tgt, words[i] || ' ' || words[i+1] AS gram
+        |  FROM (SELECT doc_id, tgt, words,
+        |          unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+        |b AS (SELECT doc_id, tgt,
+        |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 4096
+        |      AS bk FROM g),
+        |stats AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS traw,
+        |    CAST(sum(ct) AS BIGINT) AS ttgt FROM stats),
+        |dn AS (SELECT CAST((length(bin(traw + 4096)) - 1)
+        |    - (length(bin(ttgt + 4096)) - 1) AS BIGINT) AS d FROM tot),
+        |tlr AS (SELECT CAST(sum(cr * ((length(bin(ct + 1)) - 1)
+        |    - (length(bin(cr + 1)) - 1))) AS BIGINT) AS v FROM stats),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum((length(bin(ct + 1)) - 1)
+        |      - (length(bin(cr + 1)) - 1)) AS BIGINT) AS lr
+        |  FROM b JOIN stats USING (bk) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sc.n_grams, 0) AS n_grams,
+        |  CAST(coalesce(sc.lr + sc.n_grams * dn.d, 0) AS BIGINT)
+        |    AS dsir_score,
+        |  coalesce(CAST(sc.lr AS HUGEINT) * tot.traw
+        |    > CAST(sc.n_grams AS HUGEINT) * tlr.v, false) AS selected
+        |FROM documents d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |CROSS JOIN dn CROSS JOIN tot CROSS JOIN tlr""".stripMargin,
     "token_budget_sample" ->
       """WITH tk AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text,
