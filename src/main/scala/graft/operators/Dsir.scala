@@ -52,7 +52,54 @@ object Dsir {
   }
 
   /** floor(log2(x)) for x ≥ 1, exact on both engines. */
-  private def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+  private[graft] def ilog2(x: Column): Column =
+    (length(bin(x)) - 1).cast("long")
+
+  /** (id, _b) gram-bucket rows of a corpus — the stream-safe feature
+    * explode shared by the batch operator and the streaming twin.
+    */
+  private[graft] def gramRows(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    df.select(col(idCol),
+      explode(featureBuckets(col(textCol), buckets)).as("_b"))
+
+  /** The trained DSIR model of `df`: the ≤`buckets`-row conditional
+    * count table plus (T_raw, T_tgt, Σlr) driver-side totals — built
+    * once, broadcast by every scorer (batch or stream).
+    */
+  def bucketModel(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): (DataFrame, Long, Long, Long) = {
+    val grams = df.select(col(idCol), targetPred.as("_tgt"),
+        explode(featureBuckets(col(textCol), buckets)).as("_b"))
+    val stats = grams.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totRow = stats.agg(sum("_cr"), sum("_ct"),
+      sum(col("_cr") * (ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1))))
+      .head()
+    (stats, totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+  }
+
+  /** Score (id, _b) gram rows against a broadcast model: LEFT join (a
+    * gram the model never saw keeps its row with zero counts — the +1
+    * smoothing prices it as maximally rare), per-doc bit-LLR sum, and
+    * the exact cross-multiplied above-model-mean selection. Stream-safe:
+    * stateless narrow work plus ONE stateful per-doc aggregate.
+    */
+  private[graft] def scoreAgainst(grams: DataFrame, idCol: String,
+      stats: DataFrame, tRaw: Long, totLr: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    grams.join(broadcast(stats), Seq("_b"), "left")
+      .select(col(idCol),
+        coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_ct"), lit(0L)).as("_ct"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1)).as("dsir_lr"))
+      .select(col(idCol), col("n_grams"), col("dsir_lr"),
+        (col("dsir_lr").cast(dec) * lit(tRaw).cast(dec) >
+          col("n_grams").cast(dec) * lit(totLr).cast(dec)).as("selected"))
+  }
 
   /** Per-document DSIR readout over `df`: (id, n_grams, dsir_score,
     * selected), scored against the hashed-ngram model of the rows
@@ -74,34 +121,21 @@ object Dsir {
       targetPred: Column, buckets: Int = 4096): DataFrame = {
     require(buckets >= 16 && buckets <= (1 << 20),
       s"buckets in [16, 2^20], got $buckets")
-    val grams = df.select(col(idCol), targetPred.as("_tgt"),
-        explode(featureBuckets(col(textCol), buckets)).as("_b"))
-    // ONE pass builds both models: B-bounded group count, map-side
-    // combined; the +1 smoothing lives in the score expression
-    val stats = grams.groupBy(col("_b"))
-      .agg(count(lit(1)).as("_cr"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
-    // totals + the corpus-wide bit-LLR mass: three longs, driver-side
-    // like any broadcast dim (Σlr = Σ_b cr·(ilog2(ct+1) − ilog2(cr+1))
+    // ONE pass builds both models (B-bounded conditional counts,
+    // map-side combined); totals + the corpus-wide bit-LLR mass are
+    // three longs driver-side (Σlr = Σ_b cr·(ilog2(ct+1) − ilog2(cr+1))
     // — every gram instance in bucket b contributes b's bit ratio)
-    val totRow = stats.agg(sum("_cr"), sum("_ct"),
-      sum(col("_cr") * (ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1))))
-      .head()
-    val (tRaw, tTgt, totLr) =
-      (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    val (stats, tRaw, tTgt, totLr) =
+      bucketModel(df, idCol, textCol, targetPred, buckets)
     require(tTgt > 0, "dsirSelect: target slice has no features")
     val dNorm = (63 - java.lang.Long.numberOfLeadingZeros(tRaw + buckets)) -
       (63 - java.lang.Long.numberOfLeadingZeros(tTgt + buckets))
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val scored = grams
-      .join(broadcast(stats), "_b")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1)).as("_lr"))
+    val scored = scoreAgainst(gramRows(df, idCol, textCol, buckets),
+        idCol, stats, tRaw, totLr)
       .select(col(idCol), col("n_grams"),
-        (col("_lr") + col("n_grams") * lit(dNorm.toLong)).as("dsir_score"),
-        (col("_lr").cast(dec) * lit(tRaw).cast(dec) >
-          col("n_grams").cast(dec) * lit(totLr).cast(dec)).as("selected"))
+        (col("dsir_lr") + col("n_grams") * lit(dNorm.toLong))
+          .as("dsir_score"),
+        col("selected"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),

@@ -143,6 +143,32 @@ object MiscQueries {
     * smallest matching base id — the streaming twin of
     * `dedup_incremental`'s dup rows.
     */
+  /** Streaming DSIR scoring — the live-ingest half of importance
+    * selection: the 80% md5-split base corpus trains the hashed-ngram
+    * models ONCE ([[graft.operators.Dsir.bucketModel]] — ≤4096 rows +
+    * three driver-side totals, exactly an ANN index's lifecycle), and
+    * the fresh 20% STREAMS in, each micro-batch scoring via the
+    * broadcast model (stateless narrow work) + one stateful per-doc
+    * aggregate. Unseen buckets survive the LEFT join and price as
+    * maximally rare — the correct treatment of out-of-distribution
+    * vocabulary at ingest time.
+    */
+  def streamingDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dsir, Sampling}
+    val t80 = Sampling.fractionThreshold(0.8)
+    def isBase = md5(concat(lit("dsir:"), col("doc_id").cast("string"))) < lit(t80)
+    val docs = Tables.distributed(spark, sfDir, "documents")
+    val (stats, tRaw, tTgt, totLr) = Dsir.bucketModel(
+      docs.where(isBase), "doc_id", "text", col("lang") === "en", 4096)
+    require(tTgt > 0, "streamingDsir: base target slice has no features")
+    val fresh = StreamingPipeline.readDocuments(spark, sfDir)
+      .where(!isBase).select("doc_id", "text")
+    StreamingPipeline.runToMemory(
+      Dsir.scoreAgainst(Dsir.gramRows(fresh, "doc_id", "text", 4096),
+        "doc_id", stats, tRaw, totLr),
+      "graft_stream_dsir")
+  }
+
   def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{Dedup, Sampling}
     val t80 = Sampling.fractionThreshold(0.8)
@@ -400,6 +426,7 @@ object MiscQueries {
     "streaming_dedup" -> streamingDedup,
     "streaming_event_pairs" -> streamingEventPairs,
     "streaming_incremental_dedup" -> streamingIncrementalDedup,
+    "streaming_dsir" -> streamingDsir,
     "streaming_geo_cache" -> streamingGeoCache,
     "streaming_cms" -> streamingCms
   )
@@ -599,6 +626,39 @@ object MiscQueries {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000""".stripMargin,
+    "streaming_dsir" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    md5('dsir:' || CAST(doc_id AS VARCHAR))
+         |      < '${graft.operators.Sampling.fractionThreshold(0.8)}'
+         |      AS is_base
+         |  FROM documents),
+         |w AS (SELECT d.doc_id, m.is_base, d.lang = 'en' AS tgt,
+         |    string_split(d.text, ' ') AS words
+         |  FROM documents d JOIN m USING (doc_id)),
+         |g AS (SELECT doc_id, is_base, tgt, unnest(words) AS gram FROM w
+         |  UNION ALL
+         |  SELECT doc_id, is_base, tgt, words[i] || ' ' || words[i+1] AS gram
+         |  FROM (SELECT doc_id, is_base, tgt, words,
+         |          unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+         |b AS (SELECT doc_id, is_base, tgt,
+         |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 4096
+         |      AS bk FROM g),
+         |stats AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+         |  FROM b WHERE is_base GROUP BY bk),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS traw,
+         |    CAST(sum(cr * ((length(bin(ct + 1)) - 1)
+         |      - (length(bin(cr + 1)) - 1))) AS BIGINT) AS tlr FROM stats),
+         |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum((length(bin(coalesce(s.ct, 0) + 1)) - 1)
+         |      - (length(bin(coalesce(s.cr, 0) + 1)) - 1)) AS BIGINT)
+         |      AS dsir_lr
+         |  FROM b LEFT JOIN stats s USING (bk)
+         |  WHERE NOT b.is_base GROUP BY b.doc_id)
+         |SELECT sc.doc_id, sc.n_grams, sc.dsir_lr,
+         |  CAST(sc.dsir_lr AS HUGEINT) * tot.traw
+         |    > CAST(sc.n_grams AS HUGEINT) * tot.tlr AS selected
+         |FROM sc CROSS JOIN tot""".stripMargin,
     "streaming_incremental_dedup" ->
       s"""WITH shr AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |    generate_series(1, len(words) - 2),
