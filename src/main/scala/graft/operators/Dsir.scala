@@ -37,19 +37,31 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Word uni+bigram feature buckets of a text column:
-    * array<long>, bucket = md5-prefix(gram) mod `buckets`.
+  /** One-generator word uni+bigram explode: each doc emits 2n−1 gram
+    * rows (n unigrams + n−1 bigrams) from a single index explode with
+    * `element_at` lookups — EVERYTHING on the codegen row path. The
+    * obvious `transform(...)` bigram array costs ~10× here: HOF
+    * lambdas evaluate interpreted per element (the
+    * minhashSignatureTable lesson), and at 100 TB the gram pass IS the
+    * operator. `keep` columns ride alongside the grams.
     */
-  private[operators] def featureBuckets(text: Column, buckets: Int): Column = {
-    val words = split(text, " ")
-    val bigrams = when(size(words) >= 2,
-      transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", slice(words, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(words, bigrams), g =>
-      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-        lit(buckets.toLong)))
+  private def gramExplode(base: DataFrame, keep: Seq[String],
+      textCol: String): DataFrame = {
+    val ws = col("_ws")
+    val n = size(ws)
+    base.withColumn("_ws", split(col(textCol), " "))
+      .select(keep.map(col) :+ ws :+
+        explode(sequence(lit(0), n * 2 - 2)).as("_k"): _*)
+      .select(keep.map(col) :+
+        when(col("_k") < n, element_at(ws, col("_k") + 1))
+          .otherwise(concat(element_at(ws, col("_k") - n + 1), lit(" "),
+            element_at(ws, col("_k") - n + 2))).as("_g"): _*)
   }
+
+  /** bucket = md5-prefix(gram) mod `buckets`, on the codegen row path. */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
 
   /** floor(log2(x)) for x ≥ 1, exact on both engines. */
   private[graft] def ilog2(x: Column): Column =
@@ -60,24 +72,37 @@ object Dsir {
     */
   private[graft] def gramRows(df: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame =
-    df.select(col(idCol),
-      explode(featureBuckets(col(textCol), buckets)).as("_b"))
+    gramExplode(df, Seq(idCol), textCol)
+      .select(col(idCol), bucketOf(col("_g"), buckets).as("_b"))
 
   /** The trained DSIR model of `df`: the ≤`buckets`-row conditional
-    * count table plus (T_raw, T_tgt, Σlr) driver-side totals — built
-    * once, broadcast by every scorer (batch or stream).
+    * count table plus (T_raw, T_tgt, Σlr) driver-side totals. The
+    * count table is COLLECTED (≤B rows, a few KB) and rebuilt as a
+    * LocalRelation — the lloydCentroids index-state pattern — so the
+    * scorer's broadcast never re-executes the model subtree (leaving
+    * it lazy re-ran the whole corpus gram pass at broadcast-build
+    * time), and the three totals fall out of the collected rows with
+    * zero extra jobs.
     */
   def bucketModel(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): (DataFrame, Long, Long, Long) = {
-    val grams = df.select(col(idCol), targetPred.as("_tgt"),
-        explode(featureBuckets(col(textCol), buckets)).as("_b"))
-    val stats = grams.groupBy(col("_b"))
+    val spark = df.sparkSession
+    val rows = gramExplode(
+        df.select(col(idCol), targetPred.as("_tgt"), col(textCol)),
+        Seq(idCol, "_tgt"), textCol)
+      .select(col("_tgt"), bucketOf(col("_g"), buckets).as("_b"))
+      .groupBy(col("_b"))
       .agg(count(lit(1)).as("_cr"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
-    val totRow = stats.agg(sum("_cr"), sum("_ct"),
-      sum(col("_cr") * (ilog2(col("_ct") + 1) - ilog2(col("_cr") + 1))))
-      .head()
-    (stats, totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bits(x: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val tRaw = rows.map(_._2).sum
+    val tTgt = rows.map(_._3).sum
+    val totLr = rows.map { case (_, cr, ct) =>
+      cr * (bits(ct + 1) - bits(cr + 1)) }.sum
+    import spark.implicits._
+    (rows.toSeq.toDF("_b", "_cr", "_ct"), tRaw, tTgt, totLr)
   }
 
   /** Score (id, _b) gram rows against a broadcast model: LEFT join (a
