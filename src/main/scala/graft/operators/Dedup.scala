@@ -745,11 +745,21 @@ object Dedup {
     *
     * Scale posture: the df table and per-doc prefix windows are one
     * keyed exchange each; the candidate join shuffles only prefix
-    * rows (≈ (1−τ)·corpus shingle mass); the verify join re-keys the
-    * shingle table by doc id. Residual skew exposure: a document
-    * made ENTIRELY of corpus-common shingles still puts a common
-    * token in its prefix — bucket-cap with [[bucketSkewGuard]] if a
-    * real corpus shows it.
+    * rows (≈ (1−τ)·corpus shingle mass); verification attaches each
+    * doc's SORTED 60-bit shingle-hash array to the candidate pair
+    * (two hash joins, one array per candidate crossing the wire) and
+    * counts the intersection per row — the round-12 rewrite of a
+    * formulation that expanded every candidate into |doc| shingle
+    * rows and pushed them through two shuffles + a 10⁹-row aggregate
+    * (measured superlinear: 3.6 s sf0.1 → 17–34 s sf1 → killed at
+    * 15+ min sf10; now 3.6 s → 7.9 s warm → 66 s, linear in the
+    * 312 k → 3.1 M candidate count). Equality is on
+    * md5-prefix hashes: a 60-bit collision could merge two shingles
+    * (per-pair probability < 2⁻⁴⁰; the string-exact DuckDB brute
+    * force stays the oracle and has never diverged). Residual skew
+    * exposure: a document made ENTIRELY of corpus-common shingles
+    * still puts a common token in its prefix — bucket-cap with
+    * [[bucketSkewGuard]] if a real corpus shows it.
     */
   def prefixFilterJoin(
       df: DataFrame, textCol: String, idCol: String,
@@ -757,34 +767,46 @@ object Dedup {
     require(tauNum >= 1 && tauNum < tauDen,
       s"threshold must satisfy 0 < tauNum/tauDen < 1, got $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
-    // WordShingles emits DISTINCT shingles, so (doc, sh) is unique
+    // WordShingles emits DISTINCT shingles, so (doc, u) is unique
+    // (up to the 2⁻⁴⁰ collision caveat above); one md5 per shingle,
+    // longs everywhere downstream
     val sh = df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), k)).as("sh")).persist()
+        explode(shingles(col(textCol), k)).as("sh"))
+      .select(col("doc"), shingleU(col("sh")).as("u"))
+      .persist()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("tdf"))
-    val byRarity = Window.partitionBy("doc").orderBy("tdf", "sh")
-    val prefix = sh.join(dfreq, "sh")
+    val dfreq = sh.groupBy("u").agg(count(lit(1)).as("tdf"))
+    // any ONE fixed global total order satisfies the prefix theorem;
+    // (df asc, hash asc) keeps the rare-token-first property
+    val byRarity = Window.partitionBy("doc").orderBy("tdf", "u")
+    val prefix = sh.join(dfreq, "u")
       .withColumn("rn", row_number().over(byRarity))
       .join(sizes, "doc")
       .where(expr(s"rn <= sz - (($tauNum * sz + ${tauDen - 1}) DIV $tauDen) + 1"))
-      .select(col("sh"), col("doc"), col("sz"))
-    val cand = prefix.select(col("sh"), col("doc").as("doc_a"), col("sz").as("sz_a"))
-      .join(prefix.select(col("sh"), col("doc").as("doc_b"), col("sz").as("sz_b")), "sh")
+      .select(col("u"), col("doc"), col("sz"))
+    val cand = prefix.select(col("u"), col("doc").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("u"), col("doc").as("doc_b"), col("sz").as("sz_b")), "u")
       .where(col("doc_a") < col("doc_b") &&
         lit(tauDen) * col("sz_b") >= lit(tauNum) * col("sz_a") &&
         lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b"))
       .select("doc_a", "doc_b").distinct()
-    val inter = cand
-      .join(sh.select(col("doc").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("size_b")), "doc_b")
+    // per-doc sorted hash arrays: ONE array per candidate side crosses
+    // the exchange; the intersection count is a per-row O(|a|+|b|)
+    // array op — no pair×shingle row expansion, no billion-row agg
+    val arr = sh.groupBy("doc")
+      .agg(sort_array(collect_list(col("u"))).as("us"),
+        count(lit(1)).as("sz"))
+    val out = cand
+      .join(arr.select(col("doc").as("doc_a"), col("us").as("us_a"),
+        col("sz").as("size_a")), "doc_a")
+      .join(arr.select(col("doc").as("doc_b"), col("us").as("us_b"),
+        col("sz").as("size_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("us_a"), col("us_b"))).cast("long")
+          .as("inter"),
+        col("size_a"), col("size_b"))
       .where(lit(tauNum + tauDen) * col("inter") >=
         lit(tauNum) * (col("size_a") + col("size_b")))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        col("size_a"), col("size_b"))
       .localCheckpoint()
     sh.unpersist()
     out
