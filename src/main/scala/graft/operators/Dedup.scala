@@ -918,33 +918,80 @@ object Dedup {
     * partial mirrors, truncated re-crawls), which symmetric Jaccard
     * misses because the size imbalance dilutes the union.
     *
-    * Relational shape: one inverted-index self-join on the distinct
-    * shingle (the exploded shingle table is persisted — it feeds both
-    * join sides and the per-doc size aggregate), map-side-partial
-    * count per ordered pair, then the size re-attach. The shared-
-    * shingle join is exact, so containment values are exact integer
-    * ratios. At extreme corpus scale the candidate join would add a
-    * shingle-frequency prefix filter (see [[prefixFilterJoin]]); the
-    * exact join keeps this operator lossless.
+    * Relational shape (round 12 — the full inverted-index self-join
+    * whose candidate mass is Σ_t df(t)² is gone; it held 122 s at
+    * sf10): a containment-prefix filter on the CONTAINED side. Under
+    * any one fixed global shingle order, if |A∩B| ≥ ⌈τ·|A|⌉ then A
+    * misses at most |A|−⌈τ·|A|⌉ of its shingles from B, so among A's
+    * first |A|−⌈τ·|A|⌉+1 shingles at least one is in B — candidates
+    * come from prefix(a) ⋈ FULL index(b), lossless. Ordering by
+    * (global df asc, hash asc) makes prefixes the RARE shingles:
+    * bucket mass is Σ_t prefixCount(t)·df(t), where common t have
+    * tiny prefixCount and rare t tiny df. A length filter
+    * (τ·|A| ≤ |B|, since |A∩B| ≤ |B|) prunes before verification,
+    * which attaches each side's sorted 60-bit shingle-hash array
+    * (one md5 per shingle) and counts `array_intersect` per pair —
+    * no pair×shingle row expansion (same device, same 2⁻⁴⁰
+    * hash-collision caveat, and same string-exact DuckDB oracle as
+    * [[prefixFilterJoin]]). Measured sf10: 122 → see BASELINE.md.
+    * Residual skew: a document made entirely of corpus-common
+    * shingles still puts a common token in its prefix —
+    * [[bucketSkewGuard]] if a real corpus shows it.
+    *
+    * `tau` = tauNum/tauDen keeps the prefix length and length filter
+    * in exact integer arithmetic (the repo's no-float-thresholds
+    * rule); the output `containment` ratio and its filter stay the
+    * double division the oracle uses (equivalent below 10¹⁶ sizes).
     *
     * Output: (doc_a — contained, doc_b — container, n_shared, size_a,
     * containment), both orientations when mutual.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, tau: Double): DataFrame = {
+      shingleK: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum >= 1 && tauNum < tauDen,
+      s"threshold must satisfy 0 < tauNum/tauDen < 1, got $tauNum/$tauDen")
+    import org.apache.spark.sql.expressions.Window
+    val tau = tauNum.toDouble / tauDen
     val sh = df
       .select(col(idCol).as("_doc"),
         explode(shingles(col(textCol), shingleK)).as("_sh"))
+      .select(col("_doc"), shingleU(col("_sh")).as("_u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("_doc")).agg(count(lit(1)).as("size_a"))
-    val inter = sh.select(col("_doc").as("doc_a"), col("_sh"))
-      .join(sh.select(col("_doc").as("doc_b"), col("_sh")), "_sh")
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    inter.join(sizes, col("doc_a") === col("_doc"))
+    val arr = sh.groupBy(col("_doc"))
+      .agg(sort_array(collect_list(col("_u"))).as("_us"),
+        count(lit(1)).as("_sz"))
+    val dfreq = sh.groupBy("_u").agg(count(lit(1)).as("_tdf"))
+    val byRarity = Window.partitionBy("_doc").orderBy("_tdf", "_u")
+    // prefix length = sz − ⌈τ·sz⌉ + 1, all-integer. (A round-12
+    // variant fused the rank window and the array aggregate into one
+    // struct-array groupBy — it benched 120 vs 89 s at sf10: the
+    // persisted struct arrays spill and the per-side re-sorts cost
+    // more than the window they removed. Kept the simpler shape.)
+    val prefix = sh.join(dfreq, "_u")
+      .withColumn("_rn", row_number().over(byRarity))
+      .join(arr.select(col("_doc"), col("_sz")), "_doc")
+      .where(expr(
+        s"_rn <= _sz - (($tauNum * _sz + ${tauDen - 1}) DIV $tauDen) + 1"))
+      .select(col("_u"), col("_doc").as("doc_a"))
+    val cand = prefix
+      .join(sh.select(col("_u"), col("_doc").as("doc_b")), "_u")
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val out = cand
+      .join(arr.select(col("_doc").as("doc_a"), col("_us").as("_us_a"),
+        col("_sz").as("size_a")), "doc_a")
+      .join(arr.select(col("_doc").as("doc_b"), col("_us").as("_us_b"),
+        col("_sz").as("_sz_b")), "doc_b")
+      .where(lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("size_a"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("_us_a"), col("_us_b"))).cast("long")
+          .as("n_shared"),
+        col("size_a"))
       .filter(col("n_shared").cast("double") / col("size_a") >= tau)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"),
         (col("n_shared").cast("double") / col("size_a")).as("containment"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
   }
 }

@@ -21,24 +21,32 @@ object Robust {
 
   /** Exact weighted (lower) median per key: the smallest value whose
     * cumulative weight reaches half the group's total weight —
-    * `min{ v : 2·cumw(v) >= W }`. Ties in `valueCol` are broken by
-    * `tieCols` so the cumulative sum is deterministic.
+    * `min{ v : 2·cumw(v) >= W }`.
     *
-    * One window exchange on `keyCol`; the running and total weight
-    * sums stack as two Window operators over the same partition, and
-    * the final min/max collapse reuses the partitioning.
+    * Round 12 re-shape: the cumulative weight runs over the per-key
+    * VALUE HISTOGRAM (weight summed per (key, value) by a
+    * map-combining hash aggregate), not over raw rows. The old
+    * raw-row window partitioned by a low-cardinality key (return
+    * flags, event types) was |keys| straggler tasks each sorting its
+    * whole group — 70 s at sf10 with 3 flags. The histogram cumsum is
+    * value-deterministic by construction (no tie columns needed — ties
+    * in `valueCol` land in one histogram row), and the weighted lower
+    * median over the histogram is IDENTICAL to the row formulation.
+    * Window tasks are bounded by the value domain, not the row count
+    * — the madOutliers/auc/feature_bins distinct-value discipline.
     *
     * Output: (key, med — long, total_w — long).
     */
   def weightedMedian(df: DataFrame, keyCol: String, valueCol: String,
-      weightCol: String, tieCols: Seq[String]): DataFrame = {
-    val ord: Seq[Column] = col(valueCol) +: tieCols.map(col)
-    val run = Window.partitionBy(keyCol).orderBy(ord: _*)
+      weightCol: String): DataFrame = {
+    val h = df.groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("_w"))
+    val run = Window.partitionBy(keyCol).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(keyCol)
-    df
-      .withColumn("_cw", sum(col(weightCol)).over(run))
-      .withColumn("_tw", sum(col(weightCol)).over(all))
+    h
+      .withColumn("_cw", sum(col("_w")).over(run))
+      .withColumn("_tw", sum(col("_w")).over(all))
       .groupBy(col(keyCol))
       .agg(
         min(when(lit(2L) * col("_cw") >= col("_tw"), col(valueCol)))

@@ -237,7 +237,7 @@ object DocQueries {
       expr("array_join(slice(split(text, ' '), 1, " +
         "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')").as("text"))
     Dedup.containmentPairs(docs.unionByName(truncated),
-      "doc_id", "text", shingleK = 3, tau = 0.9)
+      "doc_id", "text", shingleK = 3, tauNum = 9, tauDen = 10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -21,12 +21,11 @@ object RobustQueries {
   def weightedMedian(spark: SparkSession, sfDir: String): DataFrame =
     Robust.weightedMedian(
       Tables.lineitem(spark, sfDir).select(
-        col("l_returnflag").as("flag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("flag"),
         (col("l_extendedprice").cast("decimal(14,2)") * 100)
           .cast("bigint").as("cents"),
         round(col("l_quantity")).cast("bigint").as("w")),
-      keyCol = "flag", valueCol = "cents", weightCol = "w",
-      tieCols = Seq("l_orderkey", "l_linenumber"))
+      keyCol = "flag", valueCol = "cents", weightCol = "w")
       .select(col("flag"), col("med").as("med_cents"),
         (col("med").cast("double") / 100).as("w_median"), col("total_w"))
 

@@ -306,7 +306,7 @@ class DedupSpec extends SparkSpec {
       (2L, words.take(5).mkString(" ")),    // 3 shingles, all in doc 1
       (3L, "x1 x2 x3 x4 x5 x6")             // unrelated
     ).toDF("doc_id", "text")
-    val r = Dedup.containmentPairs(df, "doc_id", "text", shingleK = 3, tau = 0.9)
+    val r = Dedup.containmentPairs(df, "doc_id", "text", shingleK = 3, tauNum = 9, tauDen = 10)
       .collect()
     assert(r.length === 1)
     val p = r.head
@@ -320,7 +320,7 @@ class DedupSpec extends SparkSpec {
       (1L, "a b c d e f"),
       (2L, "a b c d e f")
     ).toDF("doc_id", "text")
-    val r = Dedup.containmentPairs(df, "doc_id", "text", shingleK = 3, tau = 0.9)
+    val r = Dedup.containmentPairs(df, "doc_id", "text", shingleK = 3, tauNum = 9, tauDen = 10)
       .collect().map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet
     assert(r === Set((1L, 2L), (2L, 1L)))
   }

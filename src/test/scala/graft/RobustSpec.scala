@@ -12,7 +12,7 @@ class RobustSpec extends SparkSpec {
       ("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L), ("a", 3L, 30L, 1L),
       ("b", 1L, 10L, 1L), ("b", 2L, 20L, 1L)
     ).toDF("k", "id", "v", "w")
-    val r = Robust.weightedMedian(df, "k", "v", "w", Seq("id"))
+    val r = Robust.weightedMedian(df, "k", "v", "w")
       .collect().map(x => x.getAs[String]("k") ->
         (x.getAs[Long]("med"), x.getAs[Long]("total_w"))).toMap
     // a: W=4; cum 10->1, 20->3 (2*3>=4) -> 20
@@ -28,8 +28,7 @@ class RobustSpec extends SparkSpec {
         .cast("bigint").as("cents"),
       round(col("l_quantity")).cast("bigint").as("w"))
     def run(d: org.apache.spark.sql.DataFrame) =
-      Robust.weightedMedian(d, "flag", "cents", "w",
-        Seq("l_orderkey", "l_linenumber"))
+      Robust.weightedMedian(d, "flag", "cents", "w")
         .collect().map(_.toSeq).toSet
     assert(run(df) === run(df.repartition(7)))
   }
