@@ -89,17 +89,26 @@ object ClusterQueries {
 
   /** Quantize → seed draw → exact integer distances → argmin; ends with
     * CTEs `q` (quantized vectors) and `a(vec_id, cluster, dist2)`.
+    * `seedLimit` is the seed-count SQL expression: the kmeans demo
+    * queries pin the constant `$K`; dedup_semantic passes the
+    * √n-scaled scalar subquery (the rank filter is row-for-row the
+    * old `ORDER BY mk, vec_id LIMIT k`).
     */
-  private[queries] val assignCte: String =
+  private def assignCteFor(seedLimit: String): String =
     s"""WITH q AS (SELECT vec_id,
        |        list_transform(embedding,
        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
        |      FROM embeddings),
        |n AS (SELECT vec_id, qv,
        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q),
-       |seeds AS (SELECT vec_id, qv, n2,
-       |            md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS mk
-       |          FROM n ORDER BY mk, vec_id LIMIT $K),
+       |seeds AS (SELECT vec_id, qv, n2, mk FROM (
+       |            SELECT vec_id, qv, n2,
+       |              md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS mk,
+       |              row_number() OVER (ORDER BY
+       |                md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id)
+       |                AS _srn
+       |            FROM n) s
+       |          WHERE _srn <= $seedLimit),
        |c AS (SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INT)
        |          AS cluster,
        |        qv AS cv, n2 AS cn2 FROM seeds),
@@ -112,6 +121,15 @@ object ClusterQueries {
        |          ORDER BY dist2, cluster) AS rn FROM d),
        |a AS (SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
        |      FROM r WHERE rn = 1)""".stripMargin
+
+  private[queries] val assignCte: String = assignCteFor(s"$K")
+
+  /** [[assignCte]] with the SemDeDup √n cluster-count dial:
+    * k = greatest(8, ⌈√n⌉) computed from the corpus itself, mirroring
+    * the engine's `dedup_semantic` registration. */
+  private[queries] val assignCteSqrtK: String = assignCteFor(
+    "(SELECT greatest(8, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))" +
+      " AS BIGINT)) FROM n)")
 
   /** Extends [[assignCte]] with the Lloyd round-2 chain, ending with
     * CTE `a2(vec_id, cluster, dist2)` — the re-assignment against the

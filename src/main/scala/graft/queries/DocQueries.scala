@@ -218,11 +218,18 @@ object DocQueries {
 
   /** SemDeDup over the embedding corpus: k-means buckets (the same
     * seeded assignment as `kmeans_assign`), then lower-id-wins cosine
-    * dedup within each cluster at τ=0.4.
+    * dedup within each cluster at τ=0.4. The cluster count is the
+    * operator's own scale dial — k = max(8, ⌈√n⌉), so per-cluster
+    * pairwise mass stays ~n instead of (n/k)²·k. The frozen k=8 of
+    * rounds ≤11 was quadratic: 255 s at sf10 (200 k vectors → 2.5 G
+    * in-cluster pairs) vs ~n pairs at √n clusters. The count() that
+    * sizes k is a parquet-metadata action, not a data scan.
     */
-  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.semanticDedup(Tables.embeddings(spark, sfDir),
-      "vec_id", "embedding", k = 8, tau = 0.4)
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    Dedup.semanticDedup(emb, "vec_id", "embedding", k = k, tau = 0.4)
+  }
 
   /** Containment near-dups over a corpus that provably has them: each
     * document plus its half-length truncation (id + 100000) — the
@@ -630,7 +637,7 @@ object DocQueries {
         |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
         |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin,
     "dedup_semantic" ->
-      s"""${ClusterQueries.assignCte},
+      s"""${ClusterQueries.assignCteSqrtK},
          |m AS (SELECT a.vec_id, a.cluster, n.qv, n.n2
          |      FROM a JOIN n USING (vec_id)),
          |pair AS (
