@@ -46,7 +46,16 @@ object ScaleGen {
 
     // single FILE per table (driver layout): the streaming twins list
     // the sf dir with pathGlobFilter=<table>.parquet, which must match
-    // a file name, not a directory of part files
+    // a file name, not a directory of part files.
+    // SMALL ROW GROUPS (8 MB, vs the 128 MB default): a coalesce(1)'d
+    // 159 MB events file holds 1-2 row groups, and parquet splits can
+    // only attach to row-group boundaries — so every CPU-bound scan of
+    // the scaled fixture ran on 1-2 of 32 cores (measured: the
+    // url_normalize scan stage at sf10 had task_time ≈ wall). At
+    // 100 TB a table is thousands of row groups/files; 8 MB groups
+    // give the local fixture the same scan fan-out.
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 8 * 1024 * 1024)
     def write(df: DataFrame, name: String): Unit = {
       val hconf = spark.sparkContext.hadoopConfiguration
       val tmp = new org.apache.hadoop.fs.Path(s"$out/_tmp_$name")

@@ -23,8 +23,22 @@ object Urls {
   /** Canonical form of a `scheme://Host[:port]/path[?query][#frag]`
     * URL column. Malformed inputs degrade per-rule (a URL with no `?`
     * simply has no parameters) rather than nulling the row.
+    *
+    * Round 12: evaluates through the one-walk codegen kernel
+    * ([[graft.functions.CanonicalUrl]]) — the builtin chain below
+    * ([[canonicalUrlColumns]]) runs its `filter`/`sort_array` HOFs
+    * interpreted per query parameter and held url_normalize at
+    * ~12 µs/row; UrlSpec pins kernel ≡ chain on the adversarial
+    * cases.
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column =
+    graft.functions.CanonicalUrl.canonical_url(url)
+
+  /** The builtin-column formulation of [[canonicalUrl]] — kept as the
+    * executable spec the kernel is property-tested against (and the
+    * shape the DuckDB oracle mirrors).
+    */
+  def canonicalUrlColumns(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = substring_index(noFrag, "://", -1)

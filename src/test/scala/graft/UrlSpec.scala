@@ -37,4 +37,32 @@ class UrlSpec extends SparkSpec {
     assert(canon("https://a.com/", "https://a.com", "https://a.com/p/") ===
       Seq("https://a.com", "https://a.com", "https://a.com/p"))
   }
+
+  test("kernel matches the builtin-column twin on adversarial inputs") {
+    // every substring_index / split / sort edge the kernel re-implements:
+    // missing scheme, double ://, multi-colon authority, ?? and ##,
+    // empty/utm-only/duplicated params, trailing & and leading &,
+    // unicode case, CJK path, all-slash path, empty string
+    val urls = Seq(
+      "no-scheme-at-all",
+      "", "#", "?", "://", "a://b://c/d?x=1",
+      "https://h:1:2/p",                    // port = after LAST ':'
+      "https://h/p??a=1&b=2",               // rawQ = after LAST '?'
+      "https://h/p?a=1#f1#f2",              // frag = after FIRST '#'
+      "https://h/p?&&a=1&",                 // empty params dropped
+      "https://h/p?utm_a=1&utm_b=2",        // all dropped -> no '?'
+      "https://h/p?z=1&z=1&a=2",            // duplicates kept, sorted
+      "HTTPS://ÄÖÜ.example/Straße/?x=1",    // unicode lowercase
+      "http://例え.jp/パス/?b=2&a=1",
+      "https://h/////",
+      "http://h:80/p?a", "https://h:443/p?a", "http://h:443/p",
+      "ftp://H:21/Dir/")
+    val df = urls.toDF("url")
+    val both = df.select(
+      Urls.canonicalUrl(col("url")).as("k"),
+      Urls.canonicalUrlColumns(col("url")).as("c")).collect()
+    both.zip(urls).foreach { case (r, u) =>
+      assert(r.getString(0) === r.getString(1), s"input: $u")
+    }
+  }
 }
