@@ -14,12 +14,6 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // the bench fixtures are ONE parquet file per table (driver
-      // layout): at the default 128 MB split size the sf10 events file
-      // (159 MB) scans as TWO tasks, so every CPU-bound kernel ran on
-      // 2 of 32 cores. 4 MB emulates the many-file split fan-out a
-      // real cluster gets for free.
-      .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
