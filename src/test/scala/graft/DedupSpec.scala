@@ -299,6 +299,45 @@ class DedupSpec extends SparkSpec {
     assert(run(df) === run(df.repartition(9)))
   }
 
+  test("containmentPairs is lossless: equals brute force on a random corpus") {
+    // same discipline as the prefixFilterJoin losslessness case: the
+    // round-12 containment-prefix candidate filter must find EVERY
+    // pair the full inverted-index self-join finds
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (1L to 40L).map(i => (i, doc(12 + rnd.nextInt(30))))
+    // planted containments: a long prefix of the base doc
+    val trunc = bases.take(10).map { case (i, t) =>
+      (i + 100L, t.split(" ").dropRight(1).mkString(" "))
+    }
+    val docs = (bases ++ trunc).toDF("doc_id", "text")
+
+    val fast = Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleK = 3,
+        tauNum = 9, tauDen = 10)
+      .select("doc_a", "doc_b", "n_shared", "size_a")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id").as("doc"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val brute = sh.select(col("doc").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh")), "sh")
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .where(lit(10) * col("n_shared") >= lit(9) * col("size_a"))
+      .select("doc_a", "doc_b", "n_shared", "size_a")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast === brute)
+    // every planted truncation is flagged as contained in its base
+    val pairs = fast.map(p => (p._1, p._2))
+    for (i <- 1L to 10L)
+      assert(pairs.contains((i + 100L, i)), s"missing planted $i")
+  }
+
   test("containmentPairs flags the contained side only") {
     val words = (1 to 10).map(i => s"w$i")
     val df = Seq(
