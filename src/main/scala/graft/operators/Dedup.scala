@@ -752,7 +752,8 @@ object Dedup {
     * formulation that expanded every candidate into |doc| shingle
     * rows and pushed them through two shuffles + a 10⁹-row aggregate
     * (measured superlinear: 3.6 s sf0.1 → 17–34 s sf1 → killed at
-    * 15+ min sf10; now 3.6 s → 7.9 s warm → 66 s, linear in the
+    * 15+ min sf10; now 3.6 s → 7.9 s warm → 66 s — 29 s once the
+    * fixture row-group fix restored scan fan-out — linear in the
     * 312 k → 3.1 M candidate count). Equality is on
     * md5-prefix hashes: a 60-bit collision could merge two shingles
     * (per-pair probability < 2⁻⁴⁰; the string-exact DuckDB brute
