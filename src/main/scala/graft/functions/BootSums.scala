@@ -57,6 +57,22 @@ case class BootSums(
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
+  // update() reads left.toString for the draw key and casts right to
+  // Long — enforce the documented (string id, bigint value) contract
+  // at analysis time, not as an executor-side ClassCastException
+  // mid-job (the Column API is public; only the internal call site
+  // happens to cast)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"boot_sums id column must be string, got ${left.dataType}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"boot_sums value column must be bigint, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def dataType: DataType = StructType(Seq(
     StructField("n", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("wv", ArrayType(LongType, containsNull = false), nullable = false)))

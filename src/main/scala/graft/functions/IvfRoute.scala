@@ -51,11 +51,14 @@ case class IvfProbeCells(child: Expression, cells: Array[Long],
     // the batch router's packed-long contract (Clustering.assign):
     // cell ids must fit the 20 low bits and ‖c‖² must leave dist² in
     // the 43 high bits — caller-supplied arrays outside those bounds
-    // would silently overflow the packing and corrupt probe order
+    // would silently overflow the packing and corrupt probe order.
+    // Bounds are STRICT (< 2⁴¹): norms of exactly 2⁴¹ admit an
+    // antipodal dist² of exactly 2⁴³, whose ·2²⁰ packing hits 2⁶³
+    // and flips the sign — the precise corruption being guarded.
     else if (cells.exists(c => c < 0L || c >= (1L << 20)))
       TypeCheckResult.TypeCheckFailure(
         "cell id overflows the 20 packed bits")
-    else if (cn2.exists(n2 => n2 < 0L || n2 > (1L << 41)))
+    else if (cn2.exists(n2 => n2 < 0L || n2 >= (1L << 41)))
       TypeCheckResult.TypeCheckFailure(
         "centroid squared norm too large for the packed-long ordering")
     else TypeCheckResult.TypeCheckSuccess
@@ -73,8 +76,8 @@ case class IvfProbeCells(child: Expression, cells: Array[Long],
     var qn2 = 0L
     var i = 0
     while (i < dims) { val v = a.getLong(i); qn2 += v * v; i += 1 }
-    if (qn2 > (1L << 41)) throw new IllegalArgumentException(
-      s"IvfProbeCells: query squared norm $qn2 overflows the packed-long ordering (max ${1L << 41})")
+    if (qn2 >= (1L << 41)) throw new IllegalArgumentException(
+      s"IvfProbeCells: query squared norm $qn2 overflows the packed-long ordering (max ${(1L << 41) - 1})")
     var c = 0
     while (c < n) {
       val cv = cents(c)
@@ -110,10 +113,10 @@ case class IvfProbeCells(child: Expression, cells: Array[Long],
          |  for (int $i = 0; $i < $dims; $i++) {
          |    long $v = $a.getLong($i); $qn2 += $v * $v;
          |  }
-         |  if ($qn2 > (1L << 41)) {
+         |  if ($qn2 >= (1L << 41)) {
          |    throw new IllegalArgumentException(
          |      "IvfProbeCells: query squared norm " + $qn2 +
-         |      " overflows the packed-long ordering (max " + (1L << 41) + ")");
+         |      " overflows the packed-long ordering (max " + ((1L << 41) - 1L) + ")");
          |  }
          |  long[] $packed = new long[$n];
          |  for (int $c = 0; $c < $n; $c++) {

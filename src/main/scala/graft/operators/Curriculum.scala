@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * [[Packing.groupedCumSum]]'s two-phase prefix sum (tasks bounded by
   * the range-partition slice, never by group size), and the
   * interleaved rank is ARITHMETIC: given the tiny per-(stage, source)
-  * count table (stages × sources rows, broadcast like a dim), the
+  * count table (stages × sources rows, collected driver-side like the
+  * stage-threshold histogram and baked into the
+  * [[graft.functions.CurriculumRank]] codegen kernel), the
   * round-robin rank of (pos, source) within its stage is
   *
   *   Σ_{s'} min(pos−1, c_{s'})  +  |{s' ≤ source : c_{s'} ≥ pos}|
@@ -45,34 +47,47 @@ object Curriculum {
   def curriculumOrder(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, stages: Int = 4,
       salt: String = "curr"): DataFrame = {
-    val staged = stagedPositions(df, idCol, textCol, sourceCol, stages, salt)
-    // tiny per-(stage, source) count table → one sorted struct array
-    // per stage (sources are a dim-sized domain), broadcast-hash-joined
-    // back on `stage`; the interleave rank is then pure row-local
-    // arithmetic over that ≤|sources| array — no per-stage total order.
-    val cnts = staged.groupBy(col("stage"), col(sourceCol))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("stage"))
-      .agg(array_sort(collect_list(struct(col(sourceCol).as("s"),
-        col("c")))).as("_cnts"))
-    val pos = col("pos").cast("long")
-    val earlierRounds = aggregate(col("_cnts"), lit(0L),
-      (acc, x) => acc + least(pos - 1L, x.getField("c")))
-    val thisRound = aggregate(col("_cnts"), lit(0L),
-      (acc, x) => acc + when(x.getField("c") >= pos &&
-        x.getField("s") <= col(sourceCol), 1L).otherwise(0L))
-    staged.join(broadcast(cnts), "stage")
+    import org.apache.spark.unsafe.types.UTF8String
+    val labeled = labeledTokens(df, idCol, textCol, sourceCol, stages, salt)
+    // tiny per-(stage, source) count table (stages × sources rows),
+    // COLLECTED like the stage-threshold histogram above it and baked
+    // into a codegen kernel ([[graft.functions.CurriculumRank]] — the
+    // IvfProbeCells pattern): the interleave rank is then one tight
+    // primitive loop per row. The round-12 shape broadcast-joined the
+    // table back and folded it with two interpreted `aggregate` HOF
+    // lambdas per row — O(|sources|) interpreted Column evaluation on
+    // every corpus row, and the broadcast build re-ran the whole
+    // prefix-sum subtree; the count table only needs the LABELED rows
+    // (counts don't depend on pos), so the collect pass is strictly
+    // cheaper than that broadcast build was.
+    val cntRows = labeled.groupBy(col("stage"), col(sourceCol))
+      .agg(count(lit(1)).as("c")).collect()
+    // sources in Spark's BINARY string order — what `s' <= source`
+    // compares in the windowed twin (UTF8 byte order, not Java's
+    // UTF-16 char order; they diverge past the BMP)
+    val sources = cntRows.map(_.getString(1)).distinct
+      .sortWith((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    val srcIdx = sources.zipWithIndex.toMap
+    val counts = Array.fill(stages, sources.length)(0L)
+    cntRows.foreach { r =>
+      counts(r.getInt(0) - 1)(srcIdx(r.getString(1))) = r.getLong(2)
+    }
+    positionsOf(labeled, idCol, sourceCol)
       .withColumn("curriculum_rank",
-        (earlierRounds + thisRound).cast("int"))
+        graft.functions.CurriculumRank.curriculum_rank(
+          col("stage"), col("pos"), col(sourceCol), sources, counts)
+          .cast("int"))
       .select(col(idCol), col(sourceCol), col("tokens"), col("stage"),
         col("pos"), col("curriculum_rank"))
   }
 
-  /** Shared front half of both curriculum formulations: token counts,
-    * histogram-derived stage labels, and the deterministic
-    * within-(stage, source) position via the two-phase prefix sum.
+  /** Token counts + histogram-derived stage labels + the deterministic
+    * md5 shuffle draw — the pre-position half of the curriculum, from
+    * which BOTH the per-(stage, source) count table and the positioned
+    * rows derive.
     */
-  private def stagedPositions(df: DataFrame, idCol: String,
+  private def labeledTokens(df: DataFrame, idCol: String,
       textCol: String, sourceCol: String, stages: Int,
       salt: String): DataFrame = {
     require(stages >= 2 && stages <= 64, s"stages in [2,64], got $stages")
@@ -94,14 +109,30 @@ object Curriculum {
     val stageCol = thresholds.foldLeft(lit(1)) { (acc, t) =>
       acc + when(col("tokens") > t, 1).otherwise(0)
     }
-    val labeled = toks.withColumn("stage", stageCol.cast("int"))
+    toks.withColumn("stage", stageCol.cast("int"))
       .withColumn("_draw",
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+  }
+
+  /** The deterministic within-(stage, source) position via the
+    * two-phase prefix sum.
+    */
+  private def positionsOf(labeled: DataFrame, idCol: String,
+      sourceCol: String): DataFrame =
     Packing.groupedCumSum(labeled, Seq("stage", sourceCol),
         Seq("_draw", idCol), lit(1L), "_pos")
       .withColumn("pos", col("_pos").cast("int"))
       .drop("_pos", "_draw")
-  }
+
+  /** Shared front half of both curriculum formulations: token counts,
+    * histogram-derived stage labels, and the deterministic
+    * within-(stage, source) position via the two-phase prefix sum.
+    */
+  private def stagedPositions(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, stages: Int,
+      salt: String): DataFrame =
+    positionsOf(labeledTokens(df, idCol, textCol, sourceCol, stages, salt),
+      idCol, sourceCol)
 
   /** The windowed twin of [[curriculumOrder]] — per-stage
     * `row_number()` total order, O(stages) tasks carrying the whole

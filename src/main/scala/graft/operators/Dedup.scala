@@ -80,8 +80,14 @@ object Dedup {
     (t1m + shiftleft(t2, 24) + lit(b)).bitwiseAND(lit(m48))
   }
 
-  /** The 60-bit md5-prefix draw of a shingle, as a Column. */
-  private def shingleU(sh: Column): Column =
+  /** The 60-bit md5-prefix draw of a shingle, as a Column.
+    * `private[graft]` so DedupSpec's collision soft-assert can verify
+    * that a fixture has no 60-bit collision (a collision would make
+    * the hash-equality intersection counts off-by-one vs the
+    * string-exact brute force — surface it as a named failure, not a
+    * silent set diff).
+    */
+  private[graft] def shingleU(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature columns `sig_0 … sig_{n-1}`: per hash-family
@@ -780,20 +786,35 @@ object Dedup {
     // any ONE fixed global total order satisfies the prefix theorem;
     // (df asc, hash asc) keeps the rare-token-first property
     val byRarity = Window.partitionBy("doc").orderBy("tdf", "u")
+    // Round 13: PPJoin's positional filter rides along — each prefix
+    // row keeps its rarity rank, and a match at ranks (rnA, rnB) bounds
+    // the overlap by 1 + min(szA − rnA, szB − rnB) (all shared tokens
+    // sit at-or-after the pair's first common token in both orders).
+    // A qualifying pair needs overlap ≥ ⌈τ/(1+τ)·(szA+szB)⌉ =
+    // ⌈n·(szA+szB)/(n+d)⌉, and its first common token row passes the
+    // bound — lossless — while late-rank matches on common tokens die
+    // before the distinct.
     val prefix = sh.join(dfreq, "u")
       .withColumn("rn", row_number().over(byRarity))
       .join(sizes, "doc")
       .where(expr(s"rn <= sz - (($tauNum * sz + ${tauDen - 1}) DIV $tauDen) + 1"))
-      .select(col("u"), col("doc"), col("sz"))
-    val cand = prefix.select(col("u"), col("doc").as("doc_a"), col("sz").as("sz_a"))
-      .join(prefix.select(col("u"), col("doc").as("doc_b"), col("sz").as("sz_b")), "u")
+      .select(col("u"), col("doc"), col("sz"), col("rn"))
+    val cand = prefix.select(col("u"), col("doc").as("doc_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(prefix.select(col("u"), col("doc").as("doc_b"),
+        col("sz").as("sz_b"), col("rn").as("rn_b")), "u")
       .where(col("doc_a") < col("doc_b") &&
         lit(tauDen) * col("sz_b") >= lit(tauNum) * col("sz_a") &&
-        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b"))
+        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b") &&
+        lit(tauNum + tauDen) * (lit(1L) +
+          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) >=
+          lit(tauNum) * (col("sz_a") + col("sz_b")))
       .select("doc_a", "doc_b").distinct()
     // per-doc sorted hash arrays: ONE array per candidate side crosses
-    // the exchange; the intersection count is a per-row O(|a|+|b|)
-    // array op — no pair×shingle row expansion, no billion-row agg
+    // the exchange; the intersection count is a per-row two-pointer
+    // merge ([[graft.functions.SortedIntersectCount]] — no per-pair
+    // hash set, no boxing) — no pair×shingle row expansion, no
+    // billion-row agg
     val arr = sh.groupBy("doc")
       .agg(sort_array(collect_list(col("u"))).as("us"),
         count(lit(1)).as("sz"))
@@ -803,8 +824,8 @@ object Dedup {
       .join(arr.select(col("doc").as("doc_b"), col("us").as("us_b"),
         col("sz").as("size_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("us_a"), col("us_b"))).cast("long")
-          .as("inter"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("us_a"), col("us_b")).as("inter"),
         col("size_a"), col("size_b"))
       .where(lit(tauNum + tauDen) * col("inter") >=
         lit(tauNum) * (col("size_a") + col("size_b")))
@@ -968,31 +989,58 @@ object Dedup {
     // struct-array groupBy — it benched 120 vs 89 s at sf10: the
     // persisted struct arrays spill and the per-side re-sorts cost
     // more than the window they removed. Kept the simpler shape.)
-    val prefix = sh.join(dfreq, "_u")
-      .withColumn("_rn", row_number().over(byRarity))
+    //
+    // Round 13 adds PPJoin's positional filter (Xiao et al. ICDE'08):
+    // the full ranked table — every shingle with its rarity rank —
+    // feeds BOTH candidate-join sides, so each match knows how much of
+    // either document remains past it. Take the pair's FIRST common
+    // shingle in the global order, at ranks (rnA, rnB): every shared
+    // shingle sits at or after it in both orders, so
+    // |A∩B| ≤ 1 + min(szA − rnA, szB − rnB). A qualifying pair
+    // (|A∩B| ≥ ⌈τ·szA⌉) therefore has SOME surviving match row —
+    // lossless — while matches on late-rank occurrences (the bulk of
+    // a common token's df) die before the distinct and the array
+    // attach. The length filter (τ·szA ≤ szB, since |A∩B| ≤ szB)
+    // moves up here too — round 12 applied it only at verify, after
+    // both array joins had already paid for the doomed pairs.
+    val ranked = sh.join(dfreq, "_u")
       .join(arr.select(col("_doc"), col("_sz")), "_doc")
+      .withColumn("_rn", row_number().over(byRarity))
+      .select(col("_u"), col("_doc"), col("_sz"), col("_rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = ranked
       .where(expr(
         s"_rn <= _sz - (($tauNum * _sz + ${tauDen - 1}) DIV $tauDen) + 1"))
-      .select(col("_u"), col("_doc").as("doc_a"))
+      .select(col("_u"), col("_doc").as("doc_a"), col("_sz").as("_sz_a"),
+        col("_rn").as("_rn_a"))
     val cand = prefix
-      .join(sh.select(col("_u"), col("_doc").as("doc_b")), "_u")
-      .where(col("doc_a") =!= col("doc_b"))
+      .join(ranked.select(col("_u"), col("_doc").as("doc_b"),
+        col("_sz").as("_sz_b"), col("_rn").as("_rn_b")), "_u")
+      .where(col("doc_a") =!= col("doc_b") &&
+        lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("_sz_a") &&
+        lit(tauDen) * (lit(1L) +
+          least(col("_sz_a") - col("_rn_a"), col("_sz_b") - col("_rn_b"))) >=
+          lit(tauNum) * col("_sz_a"))
       .select("doc_a", "doc_b").distinct()
+    // verify: two-pointer merge count over the sorted hash arrays
+    // ([[graft.functions.SortedIntersectCount]]) — size(array_intersect)
+    // boxes every long through a per-row OpenHashSet and was the top
+    // CPU stage of the whole suite's sf10 profile
     val out = cand
       .join(arr.select(col("_doc").as("doc_a"), col("_us").as("_us_a"),
         col("_sz").as("size_a")), "doc_a")
-      .join(arr.select(col("_doc").as("doc_b"), col("_us").as("_us_b"),
-        col("_sz").as("_sz_b")), "doc_b")
-      .where(lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("size_a"))
+      .join(arr.select(col("_doc").as("doc_b"), col("_us").as("_us_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("_us_a"), col("_us_b"))).cast("long")
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("_us_a"), col("_us_b"))
           .as("n_shared"),
         col("size_a"))
       .filter(col("n_shared").cast("double") / col("size_a") >= tau)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"),
         (col("n_shared").cast("double") / col("size_a")).as("containment"))
       .localCheckpoint()
-    sh.unpersist()
+    sh.unpersist(); ranked.unpersist()
     out
   }
 }

@@ -168,4 +168,58 @@ object Dsir {
         coalesce(col("dsir_score"), lit(0L)).as("dsir_score"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** Fixed-budget DSIR importance draw — the actual RESAMPLING step of
+    * Xie et al. 2023 §2.3: where [[dsirSelect]]'s above-mean cut keeps
+    * a data-dependent fraction, the paper's pipeline draws exactly
+    * `budgetDocs` documents without replacement with probability ∝
+    * exp(score) — equivalently (Gumbel-top-k) the budget-largest
+    * values of score + Gumbelᵢ. The repo's no-float-logs discipline
+    * quantizes BOTH terms to integer bits:
+    *
+    *   - score is already the integer bit-LLR of [[dsirSelect]];
+    *   - Gumbel(0,1)/ln2 = −log2 E, E ~ Exp(ln2): from the public
+    *     60-bit draw u = md5₆₀(salt:id), the quantized −log2 U is
+    *     z = max(59 − ilog2(u+1), 0) (z is geometric — EXACTLY
+    *     ⌊−log2 U⌋ for U = (u+1)/2⁶⁰), the 20 low bits of u append a
+    *     uniform fraction, and the bit-quantized Gumbel is
+    *     g = 20 − ilog2(z·2²⁰ + (u mod 2²⁰) + 1) ∈ [−6, 20].
+    *
+    * The 1-bit quantization coarsens the draw exactly like the score
+    * quantization coarsens the LLR — documented, deterministic, and
+    * bit-reproducible on any engine (ties broken by (u, id)).
+    *
+    * Scale shape: scoring is [[dsirSelect]] (broadcast model, one
+    * data-sized exchange); the top-budget selection is
+    * [[Packing.groupedCumSum]]'s two-phase prefix sum over
+    * (−key, u, id) — a RANGE-partitioned global order (every task
+    * bounded by its slice; the audited global-sort shape, not a
+    * single-task window).
+    *
+    * Output: the `budgetDocs` drawn docs as (id, n_grams, dsir_score,
+    * gumbel_key, rank), rank 1-based in (key desc, u asc, id asc)
+    * order. Fewer than `budgetDocs` rows iff the corpus is smaller
+    * than the budget.
+    */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, budgetDocs: Long, buckets: Int = 4096,
+      salt: String = "dsirg"): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    val scored = dsirSelect(df, idCol, textCol, targetPred, buckets)
+    val u = conv(substring(md5(concat(lit(s"$salt:"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val keyed = scored
+      .withColumn("_u", u)
+      .withColumn("_z", greatest(lit(59L) - ilog2(col("_u") + 1), lit(0L)))
+      .withColumn("_eq",
+        col("_z") * lit(1048576L) + pmod(col("_u"), lit(1048576L)) + 1L)
+      .withColumn("gumbel_key",
+        col("dsir_score") + lit(20L) - ilog2(col("_eq")))
+      .withColumn("_nk", -col("gumbel_key"))
+    Packing.groupedCumSum(keyed, Seq.empty, Seq("_nk", "_u", idCol),
+        lit(1L), "rank")
+      .where(col("rank") <= budgetDocs)
+      .select(col(idCol), col("n_grams"), col("dsir_score"),
+        col("gumbel_key"), col("rank"))
+  }
 }

@@ -93,15 +93,21 @@ object Profiling {
         Seq(col(s"_nn_$name"), col(s"_min_$name"), col(s"_max_$name"),
           when(col(s"_kmv_$name.n_kept") < k, col(s"_kmv_$name.n_kept"))
             .otherwise(overflow)
-            .as(s"_nd_$name"))
+            .as(s"_nd_$name"),
+          // the exact→estimate switch made legible per row: a larger
+          // fixture that crosses the sketch fill flips this to false,
+          // so an oracle mismatch reads as "estimated" instead of a
+          // bare hash diff (the oracle computes count(DISTINCT) < k)
+          (col(s"_kmv_$name.n_kept") < k).as(s"_ex_$name"))
       }: _*)
     val stackExpr = cols.map { c =>
-      s"'$c', `_nn_$c`, `_nd_$c`, `_min_$c`, `_max_$c`"
+      s"'$c', `_nn_$c`, `_nd_$c`, `_min_$c`, `_max_$c`, `_ex_$c`"
     }.mkString(s"stack(${cols.size}, ", ", ", ")")
     one.select(col("_rows").as("n_rows"),
-        expr(s"$stackExpr AS (col_name, n_non_null, n_distinct, min_value, max_value)"))
+        expr(s"$stackExpr AS (col_name, n_non_null, n_distinct, min_value, max_value, is_exact)"))
       .select(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_non_null")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+        col("n_distinct"), col("min_value"), col("max_value"),
+        col("is_exact"))
   }
 }

@@ -620,7 +620,9 @@ object MiscQueries {
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
            |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  $mn AS min_value, $mx AS max_value FROM orders""".stripMargin
+           |  $mn AS min_value, $mx AS max_value,
+           |  count(DISTINCT $c) < ${graft.operators.Profiling.kmvK} AS is_exact
+           |FROM orders""".stripMargin
       }
       Seq(one("o_orderkey", false), one("o_custkey", false),
         one("o_orderstatus", false), one("o_totalprice", true),

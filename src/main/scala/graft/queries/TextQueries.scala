@@ -258,8 +258,18 @@ object TextQueries {
       Tables.distributed(spark, sfDir, "documents"),
       "doc_id", "text", col("lang") === "en", buckets = 4096)
 
+  /** Fixed-budget DSIR importance draw (Gumbel-top-k over the
+    * bit-quantized LLR) — see [[graft.operators.Dsir.dsirResample]].
+    */
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dsir.dsirResample(
+      Tables.distributed(spark, sfDir, "documents"),
+      "doc_id", "text", col("lang") === "en", budgetDocs = 200L,
+      buckets = 4096)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_select" -> dsirSelect,
+    "dsir_resample" -> dsirResample,
     "quality_filter_gopher" -> qualityFilterGopher,
     "token_budget_sample" -> tokenBudgetSample,
     "curriculum_order" -> curriculumOrder,
@@ -482,6 +492,48 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id
         |CROSS JOIN dn CROSS JOIN tot CROSS JOIN tlr""".stripMargin,
+    "dsir_resample" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, tgt, unnest(words) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, tgt, words[i] || ' ' || words[i+1] AS gram
+        |  FROM (SELECT doc_id, tgt, words,
+        |          unnest(generate_series(1, len(words) - 1)) AS i FROM w)),
+        |b AS (SELECT doc_id, tgt,
+        |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 4096
+        |      AS bk FROM g),
+        |stats AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS traw,
+        |    CAST(sum(ct) AS BIGINT) AS ttgt FROM stats),
+        |dn AS (SELECT CAST((length(bin(traw + 4096)) - 1)
+        |    - (length(bin(ttgt + 4096)) - 1) AS BIGINT) AS d FROM tot),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum((length(bin(ct + 1)) - 1)
+        |      - (length(bin(cr + 1)) - 1)) AS BIGINT) AS lr
+        |  FROM b JOIN stats USING (bk) GROUP BY b.doc_id),
+        |scored AS (SELECT d.doc_id,
+        |    coalesce(sc.n_grams, 0) AS n_grams,
+        |    CAST(coalesce(sc.lr + sc.n_grams * dn.d, 0) AS BIGINT)
+        |      AS dsir_score
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |  CROSS JOIN dn),
+        |keyed AS (SELECT *,
+        |    CAST(concat('0x', substr(md5('dsirg:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        |  FROM scored),
+        |gk AS (SELECT doc_id, n_grams, dsir_score, u,
+        |    dsir_score + 20 - (length(bin(
+        |      greatest(59 - (length(bin(u + 1)) - 1), 0) * 1048576
+        |        + (u % 1048576) + 1)) - 1) AS gumbel_key
+        |  FROM keyed)
+        |SELECT doc_id, n_grams, dsir_score, gumbel_key,
+        |  CAST(row_number() OVER (ORDER BY gumbel_key DESC, u, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM gk
+        |QUALIFY rank <= 200""".stripMargin,
     "token_budget_sample" ->
       """WITH tk AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text,

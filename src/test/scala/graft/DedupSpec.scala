@@ -233,6 +233,14 @@ class DedupSpec extends SparkSpec {
     // every planted pair is found (small suffix edit keeps J >= 0.6)
     val pairs = fast.map(p => (p._1, p._2))
     for (i <- 1L to 8L) assert(pairs.contains((i, i + 100L)), s"missing planted $i")
+    // collision soft-assert (round-13 ADVICE): the engine counts
+    // intersections on 60-bit md5-prefix hashes; a corpus-wide
+    // collision would skew those counts vs the string-exact brute
+    // force — make that failure mode loud and named
+    val collisions = sh.select(col("sh"), Dedup.shingleU(col("sh")).as("u"))
+      .distinct().groupBy("u").agg(countDistinct(col("sh")).as("n"))
+      .where(col("n") > 1).count()
+    assert(collisions === 0L, "60-bit shingle-hash collision in fixture")
   }
 
   test("duplicated spans: cross-doc and within-doc repeats merge into maximal spans") {
@@ -336,6 +344,12 @@ class DedupSpec extends SparkSpec {
     val pairs = fast.map(p => (p._1, p._2))
     for (i <- 1L to 10L)
       assert(pairs.contains((i + 100L, i)), s"missing planted $i")
+    // collision soft-assert (round-13 ADVICE): see the
+    // prefixFilterJoin losslessness case
+    val collisions = sh.select(col("sh"), Dedup.shingleU(col("sh")).as("u"))
+      .distinct().groupBy("u").agg(countDistinct(col("sh")).as("n"))
+      .where(col("n") > 1).count()
+    assert(collisions === 0L, "60-bit shingle-hash collision in fixture")
   }
 
   test("containmentPairs flags the contained side only") {

@@ -62,4 +62,48 @@ class DsirSpec extends SparkSpec {
       Dsir.dsirSelect(docs, "doc_id", "text", lit(false)).collect()
     }
   }
+
+  test("dsirResample draws exactly the budget, ranked contiguously") {
+    val out = Dsir.dsirResample(docs, "doc_id", "text",
+      col("doc_id") <= 3, budgetDocs = 4L).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // a budget past the corpus size returns the whole corpus
+    val all = Dsir.dsirResample(docs, "doc_id", "text",
+      col("doc_id") <= 3, budgetDocs = 100L).collect()
+    assert(all.length === 7)
+  }
+
+  test("dsirResample is deterministic and partitioning-invariant") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dsir.dsirResample(d, "doc_id", "text", col("doc_id") <= 3,
+          budgetDocs = 4L)
+        .orderBy("rank").collect().toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(7)))
+  }
+
+  test("dsirResample key = bit-quantized Gumbel + score, replayed row-by-row") {
+    // replay the documented draw in plain Scala and pin the engine's
+    // gumbel_key to it — the oracle-parity formula, spelled out
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u60(key: String): Long = {
+      val d = md.digest(key.getBytes("UTF-8"))
+      var u = 0L
+      var i = 0
+      while (i < 7) { u = (u << 8) | (d(i) & 0xffL); i += 1 }
+      (u << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val scores = Dsir.dsirSelect(docs, "doc_id", "text", col("doc_id") <= 3)
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect().toMap
+    val keys = Dsir.dsirResample(docs, "doc_id", "text",
+        col("doc_id") <= 3, budgetDocs = 100L)
+      .select("doc_id", "gumbel_key").as[(Long, Long)].collect().toMap
+    for ((id, score) <- scores) {
+      val u = u60(s"dsirg:$id")
+      val z = math.max(59L - ilog2(u + 1), 0L)
+      val g = 20L - ilog2(z * 1048576L + (u % 1048576L) + 1L)
+      assert(keys(id) === score + g, s"doc $id")
+    }
+  }
 }

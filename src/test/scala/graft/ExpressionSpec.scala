@@ -111,6 +111,23 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on random sorted distinct arrays") {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val rnd = new scala.util.Random(13)
+    def arr() = rnd.shuffle((0L to 200L).toVector).take(rnd.nextInt(40))
+      .distinct.sorted
+    val rows = Seq.fill(200)((arr(), arr())) ++ Seq(
+      (Vector.empty[Long], Vector(1L, 2L)),          // empty side
+      (Vector(5L), Vector(5L)),                      // identical singletons
+      (Vector(Long.MinValue, 0L, Long.MaxValue),
+        Vector(Long.MinValue, Long.MaxValue)))       // extreme values
+    val both = rows.toDF("a", "b").select(
+      sorted_intersect_count($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (fast, ref) => assert(fast === ref) }
+  }
+
   test("word_shingles is SQL-callable once registered") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
