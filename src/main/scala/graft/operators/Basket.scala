@@ -50,11 +50,20 @@ object Basket {
     val baskets = frequent.groupBy(col("_b"))
       .agg(sort_array(collect_set(col("_i"))).as("_items"))
       .where(size(col("_items")).between(2, maxBasketItems))
-    val pairs = baskets.select(explode(expr(
-        """flatten(transform(_items, (x, i) ->
-          |  transform(slice(_items, i + 2, size(_items)),
-          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("_p"))
-      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
+    // C(k,2) pairs via TWO builtin generators (posexplode anchors x,
+    // explode(slice) emits every later y) — the nested-transform
+    // array-of-structs formulation this replaces is a higher-order
+    // function chain, which Spark evaluates INTERPRETED per element
+    // (CodegenFallback): at sf10 that one stage was 558 of the
+    // query's 939 CPU-seconds. Both generators and the slice are
+    // whole-stage-codegen; the ≤maxBasketItems array rides along k
+    // intermediate rows per basket, bounded by the basket cap.
+    val pairs = baskets
+      .select(col("_items"), posexplode(col("_items")))
+      .select(col("col").as("_a"),
+        explode(slice(col("_items"), col("pos") + 2,
+          size(col("_items")))).as("_b"))
+      .groupBy(col("_a").as("item_a"), col("_b").as("item_b"))
       .agg(count(lit(1)).as("pair_support"))
       .where(col("pair_support") >= minPairSupport)
     val supA = itemSupport.select(col("_i").as("_ia"), col("_s").as("support_a"))

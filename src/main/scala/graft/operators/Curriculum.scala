@@ -48,31 +48,39 @@ object Curriculum {
       sourceCol: String, stages: Int = 4,
       salt: String = "curr"): DataFrame = {
     import org.apache.spark.unsafe.types.UTF8String
-    val labeled = labeledTokens(df, idCol, textCol, sourceCol, stages, salt)
-    // tiny per-(stage, source) count table (stages × sources rows),
-    // COLLECTED like the stage-threshold histogram above it and baked
-    // into a codegen kernel ([[graft.functions.CurriculumRank]] — the
-    // IvfProbeCells pattern): the interleave rank is then one tight
-    // primitive loop per row. The round-12 shape broadcast-joined the
-    // table back and folded it with two interpreted `aggregate` HOF
-    // lambdas per row — O(|sources|) interpreted Column evaluation on
-    // every corpus row, and the broadcast build re-ran the whole
-    // prefix-sum subtree; the count table only needs the LABELED rows
-    // (counts don't depend on pos), so the collect pass is strictly
-    // cheaper than that broadcast build was.
-    val cntRows = labeled.groupBy(col("stage"), col(sourceCol))
+    require(stages >= 2 && stages <= 64, s"stages in [2,64], got $stages")
+    val toks = tokenCounts(df, idCol, textCol, sourceCol)
+    // ONE histogram collect at (token_count, source) granularity —
+    // |token-value domain| × |sources| rows, dim-sized — yields BOTH
+    // the stage thresholds (marginal over sources) AND the
+    // per-(stage, source) count table driver-side, where the count
+    // table then bakes into a codegen kernel
+    // ([[graft.functions.CurriculumRank]] — the IvfProbeCells
+    // pattern): the interleave rank is one tight primitive loop per
+    // row. The round-12 shape instead collected the marginal
+    // histogram, broadcast-joined a lazily-recomputed count table
+    // back, and folded it with two interpreted `aggregate` HOF
+    // lambdas per row — one extra full token-kernel corpus pass and
+    // O(|sources|) interpreted Column evaluation on every row.
+    val hist2 = toks.groupBy(col("tokens"), col(sourceCol))
       .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val thresholds = thresholdsOf(
+      hist2.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        .toArray.sortBy(_._1), stages)
     // sources in Spark's BINARY string order — what `s' <= source`
     // compares in the windowed twin (UTF8 byte order, not Java's
     // UTF-16 char order; they diverge past the BMP)
-    val sources = cntRows.map(_.getString(1)).distinct
+    val sources = hist2.map(_._2).distinct
       .sortWith((a, b) =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
     val srcIdx = sources.zipWithIndex.toMap
     val counts = Array.fill(stages, sources.length)(0L)
-    cntRows.foreach { r =>
-      counts(r.getInt(0) - 1)(srcIdx(r.getString(1))) = r.getLong(2)
+    hist2.foreach { case (v, s, c) =>
+      val stage = 1 + thresholds.count(t => v > t)
+      counts(stage - 1)(srcIdx(s)) += c
     }
+    val labeled = labelFromThresholds(toks, idCol, thresholds, salt)
     positionsOf(labeled, idCol, sourceCol)
       .withColumn("curriculum_rank",
         graft.functions.CurriculumRank.curriculum_rank(
@@ -87,31 +95,44 @@ object Curriculum {
     * which BOTH the per-(stage, source) count table and the positioned
     * rows derive.
     */
-  private def labeledTokens(df: DataFrame, idCol: String,
-      textCol: String, sourceCol: String, stages: Int,
-      salt: String): DataFrame = {
-    require(stages >= 2 && stages <= 64, s"stages in [2,64], got $stages")
-    val toks = df.select(col(idCol), col(sourceCol),
+  private def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    df.select(col(idCol), col(sourceCol),
       TextAnalysis.bpeTokenCount(col(textCol)).cast("long").as("tokens"))
-    // exact stage thresholds from the value histogram: thr_k =
-    // min{v : stages·cum(v) ≥ k·n}, k = 1..stages-1
-    val hist = toks.groupBy("tokens").agg(count(lit(1)).as("c"))
-      .orderBy("tokens").collect()
-    val n = hist.map(_.getLong(1)).sum
-    val thresholds = {
-      var cum = 0L
-      val cums = hist.map { r => cum += r.getLong(1); (r.getLong(0), cum) }
-      (1 until stages).map { k =>
-        cums.find { case (_, cc) => stages.toLong * cc >= k.toLong * n }
-          .map(_._1).getOrElse(Long.MaxValue)
-      }
+
+  /** Exact stage thresholds from the (token_count → rows) histogram:
+    * thr_k = min{v : stages·cum(v) ≥ k·n}, k = 1..stages-1.
+    */
+  private def thresholdsOf(hist: Array[(Long, Long)],
+      stages: Int): Seq[Long] = {
+    val n = hist.map(_._2).sum
+    var cum = 0L
+    val cums = hist.map { case (v, c) => cum += c; (v, cum) }
+    (1 until stages).map { k =>
+      cums.find { case (_, cc) => stages.toLong * cc >= k.toLong * n }
+        .map(_._1).getOrElse(Long.MaxValue)
     }
+  }
+
+  private def labelFromThresholds(toks: DataFrame, idCol: String,
+      thresholds: Seq[Long], salt: String): DataFrame = {
     val stageCol = thresholds.foldLeft(lit(1)) { (acc, t) =>
       acc + when(col("tokens") > t, 1).otherwise(0)
     }
     toks.withColumn("stage", stageCol.cast("int"))
       .withColumn("_draw",
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+  }
+
+  private def labeledTokens(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, stages: Int,
+      salt: String): DataFrame = {
+    require(stages >= 2 && stages <= 64, s"stages in [2,64], got $stages")
+    val toks = tokenCounts(df, idCol, textCol, sourceCol)
+    val hist = toks.groupBy("tokens").agg(count(lit(1)).as("c"))
+      .orderBy("tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    labelFromThresholds(toks, idCol, thresholdsOf(hist, stages), salt)
   }
 
   /** The deterministic within-(stage, source) position via the

@@ -304,13 +304,16 @@ object Graph {
       .union(e.select(col("hi").as("apex"), col("lo").as("nb")))
     val deg = adj.groupBy(col("apex").as("node"))
       .agg(count(lit(1)).as("deg")).persist()
+    // ordered pairs via two codegen generators (posexplode + sliced
+    // explode) — the nested-transform formulation evaluated
+    // interpreted per pair (HOFs are CodegenFallback; the
+    // market_basket profile measured that cost dominating)
     val pairs = adj.groupBy("apex")
       .agg(slice(sort_array(collect_set(col("nb"))), 1, apexCap).as("ns"))
-      .select(explode(expr(
-        """flatten(transform(ns, (a, i) ->
-          |  transform(slice(ns, i + 2, size(ns)), b -> struct(a AS x, b AS y))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .select(col("ns"), posexplode(col("ns")))
+      .select(col("col").as("x"),
+        explode(slice(col("ns"), col("pos") + 2, size(col("ns")))).as("y"))
+      .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("common"))
       .where(col("common") >= minCommon)
     val out = pairs

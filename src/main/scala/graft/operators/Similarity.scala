@@ -705,6 +705,35 @@ object Similarity {
       subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
       pqTrainRounds: Int = 1, table: String = "graft_ann_index",
       buckets: Int = 16): DataFrame = {
+    val built = annIndexBuild(corpus, idCol, embCol, nCentroids,
+      trainRounds, subspaces, dims, codebookSize, pqTrainRounds, table,
+      buckets)
+    annIndexProbe(queries, built, idCol, embCol, k, probes)
+  }
+
+  /** The trained driver-side state of a persisted ANN index: the
+    * coarse router (cell ids/centroids/norms) and the PQ codebook,
+    * plus the dials the probe side must reuse. A few KB — the same
+    * class of bounded state as the codebook memo.
+    */
+  case class AnnIndex(table: String, cellIds: Array[Long],
+      cellVecs: Array[Array[Long]], cellN2: Array[Long],
+      codebook: Array[Array[Long]], subspaces: Int, dsub: Int)
+
+  /** BUILD half of [[ivfPqBucketedTopK]]: trains the coarse router +
+    * codebook and writes the (id, cell, codes) table bucketed/sorted
+    * by cell. Pays one corpus shuffle, ONCE; at 100 TB this is the
+    * amortized index-construction cost, separate from the per-batch
+    * probe (the number that prices steady-state serving — see
+    * [[annIndexProbe]]). Returns the driver-side index state the
+    * probe needs.
+    */
+  def annIndexBuild(
+      corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int = 16, trainRounds: Int = 2,
+      subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
+      pqTrainRounds: Int = 1, table: String = "graft_ann_index",
+      buckets: Int = 16): AnnIndex = {
     require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
     val dsub = dims / subspaces
     val spark = corpus.sparkSession
@@ -726,15 +755,27 @@ object Similarity {
         .select(col(idCol), col("cell"),
           PqCodec.pq_codes(col("q"), cb, subspaces, dsub).as("codes")),
       table, "cell", buckets)
-    val index = spark.table(table)
+    AnnIndex(table, cellIds, cellVecs, cellN2, cb, subspaces, dsub)
+  }
 
-    // query batch: probed cells + LUTs, broadcast; the distinct probed
-    // cells (≤ nCentroids) become the bucket-pruning literal
+  /** PROBE half of [[ivfPqBucketedTopK]]: a query batch against an
+    * ALREADY-BUILT index — the steady-state serving path. The batch's
+    * probed cells (≤ nCentroids, collected like the codebook) become
+    * the bucket-pruning `cell IN (…)` literal, so the scan reads only
+    * the probed buckets (`SelectedBucketsCount`, PartitioningSpec) and
+    * the query frame broadcasts: no exchange on the index side, ever.
+    */
+  def annIndexProbe(queries: DataFrame, idx: AnnIndex,
+      idCol: String, embCol: String, k: Int, probes: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val index = spark.table(idx.table)
     val qs = prepared(queries, idCol, embCol)
       .select(col(idCol).as("query_id"),
-        PqCodec.pq_lut(col("q"), cb, subspaces, dsub).as("_luts"),
+        PqCodec.pq_lut(col("q"), idx.codebook, idx.subspaces, idx.dsub)
+          .as("_luts"),
         explode(graft.functions.IvfRoute
-          .ivf_probe_cells(col("q"), cellIds, cellVecs, cellN2, probes))
+          .ivf_probe_cells(col("q"), idx.cellIds, idx.cellVecs,
+            idx.cellN2, probes))
           .as("cell"))
     val probedCells = qs.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted

@@ -20,29 +20,37 @@ object GraphQueries {
   private val Scale = 1000000000L
   private val Teleport = Scale / 20 * 3
 
-  /** Edges ride a compact struct(side: int, key: long) id through the
-    * rank iterations (each iteration shuffles on the node id twice —
-    * string ids measurably slow the whole loop); the 'c'/'s'-prefixed
-    * display name the oracle compares against is rendered once, after
-    * the final iteration.
+  /** Edges ride a PACKED-LONG node id through the rank iterations:
+    * customer k ↦ k, supplier k ↦ k + 2⁴⁰ (both key spaces < 2⁴⁰ far
+    * past sf1000). Round 12 used struct(tinyint, long) — already ~25%
+    * faster than string ids — but the sf10 profile showed the loop's
+    * remaining cost is pure key CPU: every iteration hashes/compares
+    * the cached 40M-row edge list's keys in the broadcast probe and
+    * the contribution exchange, and a single long key halves that
+    * constant again (plain long hashing, 8-byte rows, no struct
+    * traversal). The 'c'/'s'-prefixed display name the oracle compares
+    * against is rendered once, after the final iteration.
     */
+  private val SuppBit = 1L << 40
+
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(
-        struct(lit(0).as("t"), col("o_custkey").as("k")).as("src"),
-        struct(lit(1).as("t"), col("l_suppkey").as("k")).as("dst"))
+        col("o_custkey").as("src"),
+        (col("l_suppkey") + SuppBit).as("dst"))
       .distinct()
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  private def renderNode(node: org.apache.spark.sql.Column) =
+    concat(when(node < SuppBit, lit("c")).otherwise(lit("s")),
+      when(node < SuppBit, node).otherwise(node - SuppBit).cast("string"))
+
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
     Graph.pagerank(edges(spark, sfDir), Iterations, Scale)
-      .select(
-        concat(when(col("node.t") === 0, lit("c")).otherwise(lit("s")),
-          col("node.k").cast("string")).as("node"),
-        col("rank"))
+      .select(renderNode(col("node")).as("node"), col("rank"))
 
   /** The identical recurrence in portable SQL: `//` is DuckDB integer
     * division (Spark-side uses DIV); sums of BIGINT widen to HUGEINT in
@@ -96,11 +104,10 @@ object GraphQueries {
       .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
       .groupBy("part")
       .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
-    val edges = top.select(explode(expr(
-        """flatten(transform(cs, (a, i) ->
-          |  transform(slice(cs, i + 2, size(cs)), b -> struct(a AS u, b AS v))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val edges = top
+      .select(col("cs"), posexplode(col("cs")))
+      .select(col("col").as("u"),
+        explode(slice(col("cs"), col("pos") + 2, size(col("cs")))).as("v"))
     Graph.triangles(edges)
   }
 
@@ -161,12 +168,9 @@ object GraphQueries {
   def pagerankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {
     val seeds = Tables.customer(spark, sfDir)
       .where(col("c_custkey") % 100 === 1)
-      .select(struct(lit(0).as("t"), col("c_custkey").as("k")).as("node"))
+      .select(col("c_custkey").as("node"))
     Graph.personalizedPagerank(edges(spark, sfDir), seeds, Iterations, Scale)
-      .select(
-        concat(when(col("node.t") === 0, lit("c")).otherwise(lit("s")),
-          col("node.k").cast("string")).as("node"),
-        col("rank"))
+      .select(renderNode(col("node")).as("node"), col("rank"))
   }
 
   /** [[oracleSqlFor]] with the teleport restricted to the seed set. */
@@ -218,11 +222,10 @@ object GraphQueries {
       .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
       .groupBy("part")
       .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
-    val edges = top.select(explode(expr(
-        """flatten(transform(cs, (a, i) ->
-          |  transform(slice(cs, i + 2, size(cs)), b -> struct(a AS u, b AS v))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val edges = top
+      .select(col("cs"), posexplode(col("cs")))
+      .select(col("col").as("u"),
+        explode(slice(col("cs"), col("pos") + 2, size(col("cs")))).as("v"))
     Graph.commonNeighbors(edges, apexCap = 8, minCommon = 2L)
   }
 
@@ -267,19 +270,16 @@ object GraphQueries {
 
   /** Multi-source BFS over the customer↔supplier trade graph: minimum
     * hop distance from the `c_custkey % 100 = 1` seed customers, 4
-    * levels. Same compact struct(tinyint, long) node keys through the
-    * loop as [[pagerank]] (strings only at the output boundary); seeds
-    * with no trade edges still appear at distance 0.
+    * levels. Same packed-long node keys through the loop as
+    * [[pagerank]] (strings only at the output boundary); seeds with no
+    * trade edges still appear at distance 0.
     */
   def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
     val seeds = Tables.customer(spark, sfDir)
       .where(col("c_custkey") % 100 === 1)
-      .select(struct(lit(0).as("t"), col("c_custkey").as("k")).as("node"))
+      .select(col("c_custkey").as("node"))
     Graph.bfs(edges(spark, sfDir), seeds, maxHops = 4)
-      .select(
-        concat(when(col("node.t") === 0, lit("c")).otherwise(lit("s")),
-          col("node.k").cast("string")).as("node"),
-        col("dist"))
+      .select(renderNode(col("node")).as("node"), col("dist"))
   }
 
   /** The same 4-level reachability as a recursive CTE: UNION-dedup on
