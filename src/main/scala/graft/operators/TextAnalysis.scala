@@ -190,17 +190,26 @@ object TextAnalysis {
     regexp_count(text, lit(PhoneRe)).as("n_phones"))
 
   /** Canonical-form fingerprint: md5 of lowercased, punctuation-stripped,
-    * whitespace-collapsed text. Robust to formatting-only edits.
+    * whitespace-collapsed text. Robust to formatting-only edits. The
+    * normalization runs as the [[graft.functions.NormalizeText]] codegen
+    * kernel (strip mode) — one byte walk instead of the three-pass regex
+    * stack it replaces (twin pinned in NormalizeSpec).
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+    md5(graft.functions.NormalizeText.normalize_text(text, punctToSpace = false))
 
   /** Winnowing-style rolling fingerprint: the minimum md5 over the
     * document's word 5-gram shingles — stable under small edits
-    * anywhere outside the minimal window.
+    * anywhere outside the minimal window. One codegen'd pass
+    * ([[graft.functions.WinnowMinMd5]]); the `array_min(transform(
+    * shingles, md5))` twin it replaces evaluated the HOF interpreted
+    * per gram (twin pinned in NormalizeSpec).
     */
   def winnowMin(text: Column): Column =
+    graft.functions.WinnowMinMd5.winnow_min_md5(text, 5)
+
+  /** Interpreted-HOF twin of [[winnowMin]] — spec pinning only. */
+  def winnowMinTwin(text: Column): Column =
     array_min(transform(Dedup.shingles(text, 5), sh => md5(sh)))
 
   /** Winnow fingerprints as a table (id, winnow_min) via explode +

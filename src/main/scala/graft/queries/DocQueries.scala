@@ -114,8 +114,11 @@ object DocQueries {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
       concat(upper(col("text")), lit("  !!")).as("text"))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    // one-pass codegen normalize (space mode) — the three-pass regex
+    // twin it replaces held this query at ~88 s on the sf10 proxy
+    // (2× unioned corpus); twin equality pinned in NormalizeSpec
+    val norm = graft.functions.NormalizeText
+      .normalize_text(col("text"), punctToSpace = true)
     docs.unionByName(variants)
       .select(col("doc_id"), md5(norm).as("norm_hash"))
       .groupBy("norm_hash")

@@ -42,8 +42,12 @@ object ElbQueries {
     val work = dsv2Stage.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
         val dir = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
+        // 32 gzip objects: gzip is non-splittable (1 partition/file —
+        // SCALE.md's ingest note), so the staged file count IS the
+        // read parallelism. 4 files serialized the sf10 parse onto 4
+        // of 32 cores (~82 s for a ~10 s parse).
         ElbSynth.lines(Tables.events(spark, sfDir)).select("value")
-          .repartition(4)
+          .repartition(32)
           .write.option("compression", "gzip").text(s"$dir/logs")
         dir
       })

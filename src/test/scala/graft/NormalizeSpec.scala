@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NormalizeText, WinnowMinMd5}
+import graft.operators.{TextAnalysis => T}
+
+/** Pins the round-13 scan kernels against the builtin-regex / HOF twins
+  * they replaced on the corpus hot path: [[NormalizeText]] (both modes)
+  * and [[WinnowMinMd5]]. The registered queries' oracles re-derive the
+  * regex formulations independently in DuckDB, so kernel == twin here
+  * plus the driver's hash gate closes the loop.
+  */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Adversarial inputs: unicode (multibyte, uppercase-É folds to a
+    * non-ASCII lowercase), every \s class member, runs of separators at
+    * every position, punctuation inside and between words, digits,
+    * empty and separator-only strings, short texts below the winnow
+    * gram size.
+    */
+  private val cases = Seq(
+    "Hello, World!",
+    "  leading and trailing  ",
+    "tabs\tand\nnewlinesvt\fff\rcr",
+    "a.b",                       // strip: "ab"; space: "a b"
+    "a . b",
+    "punct---runs___between words",
+    "ÉÀ unicode Ωmega naïve café",
+    "MiXeD CaSe 123 DIGITS 456",
+    "!!!",
+    "",
+    " ",
+    "one",
+    "one two",
+    "one two three four",        // < 5 tokens: whole-text winnow gram
+    "one two three four five",
+    "one two three four five six seven eight",
+    "dup dup dup dup dup dup dup",
+    "x  double  spaces  keep  empty  tokens  y")
+
+  private def df = cases.toDF("text")
+
+  test("NormalizeText strip mode == the three-pass regex twin") {
+    val got = df.select(
+      NormalizeText.normalize_text(col("text"), punctToSpace = false).as("k"),
+      NormalizeText.stripTwin(col("text")).as("t"))
+      .collect()
+    got.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1), s"strip mismatch on '$in'")
+    }
+  }
+
+  test("NormalizeText space mode == the three-pass regex twin") {
+    val got = df.select(
+      NormalizeText.normalize_text(col("text"), punctToSpace = true).as("k"),
+      NormalizeText.spaceTwin(col("text")).as("t"))
+      .collect()
+    got.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1), s"space mismatch on '$in'")
+    }
+  }
+
+  test("WinnowMinMd5 == the array_min(transform(shingles, md5)) twin") {
+    val got = df.select(
+      WinnowMinMd5.winnow_min_md5(col("text"), 5).as("k"),
+      T.winnowMinTwin(col("text")).as("t"))
+      .collect()
+    got.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1), s"winnow mismatch on '$in'")
+    }
+  }
+
+  test("kernels == twins across the documents corpus (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      NormalizeText.normalize_text(col("text"), punctToSpace = false).as("ks"),
+      NormalizeText.stripTwin(col("text")).as("ts"),
+      NormalizeText.normalize_text(col("text"), punctToSpace = true).as("kp"),
+      NormalizeText.spaceTwin(col("text")).as("tp"),
+      WinnowMinMd5.winnow_min_md5(col("text"), 5).as("kw"),
+      T.winnowMinTwin(col("text")).as("tw"))
+      .where(col("ks") =!= col("ts") || col("kp") =!= col("tp") ||
+        col("kw") =!= col("tw"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("null propagates; fingerprint md5 matches the inline formulation") {
+    val rows = Seq[(java.lang.Long, String)]((1L, null), (2L, "A b!"))
+      .toDF("id", "text")
+      .select(col("id"), T.fingerprint(col("text")).as("fp"),
+        WinnowMinMd5.winnow_min_md5(col("text"), 5).as("w"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("a b"))
+    assert(rows(1).getString(2) ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("A b!"))
+  }
+}
