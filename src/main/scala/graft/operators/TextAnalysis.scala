@@ -331,6 +331,59 @@ object TextAnalysis {
         col("ts.score").as("tfidf"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; k1 = 1.2, b = 0.75 —
+    * the Lucene defaults, with Lucene's `ln(1 + (N − df + 0.5)/(df +
+    * 0.5))` non-negative idf): top-`k` documents for a deterministic
+    * self-contained query — the corpus's own top-`nTerms` tokens by
+    * (count desc, token asc). Completes the retrieval family
+    * (inverted_index → phrase_search → tfidf_topk → BM25 ranking).
+    *
+    * Exactness discipline: each (doc, term) contribution is computed as
+    * ONE double expression tree mirrored operator-for-operator by the
+    * DuckDB oracle (identical parenthesization, so identical IEEE
+    * rounding), then quantized to integer micro-points
+    * (`round(c·10⁶)::long`) BEFORE the per-doc sum — long addition is
+    * order-free, where a double sum over terms would be
+    * summation-order-dependent across engines.
+    *
+    * Shape at 100 TB: the query-term vocab is ≤ nTerms rows (broadcast
+    * semi filter), tf is a partial-aggregating (doc, term) count over
+    * the filtered stream, df a ≤ nTerms-row aggregate of it (broadcast
+    * back), dl one doc-keyed count, and the final top-k is a bounded
+    * heap per partition (`TakeOrderedAndProject`) — never a global
+    * range sort.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nTerms: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+    // two corpus-stat actions at plan-build time (the tfIdfTopK
+    // precedent): N and the average doc length the formula needs
+    val nDocs = df.count().toDouble
+    val avgdl = toks.count().toDouble / nDocs
+    val qTerms = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(nTerms)
+      .select("token")
+    val tf = toks.join(broadcast(qTerms), Seq("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfc"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, idCol)
+      .withColumn("contrib", round(
+        log((lit(nDocs) - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
+            + lit(1.0))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2)
+            * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / lit(avgdl)))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group top-k vocabulary: (group, token, rank, cnt), rank by
     * count desc then token asc (a total order, so reproducible).
     *

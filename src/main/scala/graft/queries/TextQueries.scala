@@ -105,6 +105,14 @@ object TextQueries {
         round(col("n_in_vocab").cast("double") / col("n_tokens"), 6))
   }
 
+  /** BM25 top-20 documents for the corpus's own top-8 tokens (the
+    * deterministic self-contained query) — integer-exact micro-point
+    * scores; see [[graft.operators.TextAnalysis.bm25TopK]].
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    T.bm25TopK(Tables.distributed(spark, sfDir, "documents"),
+      idCol = "doc_id", textCol = "text", nTerms = 8, k = 20)
+
   /** Per-language top-20 vocabulary by frequency. */
   def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
     T.vocabTopK(Tables.distributed(spark, sfDir, "documents"),
@@ -279,6 +287,7 @@ object TextQueries {
     "bpe_train" -> bpeTrain,
     "bpe_token_count" -> bpeTokenCount,
     "tfidf_topk" -> tfidfTopk,
+    "bm25_topk" -> bm25Topk,
     "inverted_index" -> invertedIndex,
     "text_repetition" -> textRepetition,
     "doc_length_stats" -> docLengthStats,
@@ -638,6 +647,35 @@ object TextQueries {
         |        ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
         |SELECT doc_id, token, CAST(rn AS INT) AS rank, tfidf
         |FROM r WHERE rn <= 5""".stripMargin,
+    // BM25: one double expression tree per (doc, term), mirrored
+    // operator-for-operator (identical parenthesization = identical
+    // IEEE rounding) and quantized to micro-points BEFORE the per-doc
+    // sum so the sum is order-free long addition.
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |       FROM documents)
+        |     WHERE token <> ''),
+        |s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+        |             (SELECT count(*) FROM t)::DOUBLE AS ntok),
+        |q AS (SELECT token FROM (
+        |        SELECT token, count(*) AS cnt FROM t GROUP BY 1
+        |        ORDER BY cnt DESC, token ASC LIMIT 8)),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |       WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |c AS (SELECT tf.doc_id,
+        |        CAST(round(ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |          * (tf * 2.2)
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (ntok / n)))
+        |          * 1000000.0) AS BIGINT) AS contrib
+        |      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(contrib) AS BIGINT) AS score_micro
+        |FROM c GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
     "inverted_index" ->
       """SELECT token,
         |  array_to_string(list_sort(list(doc_id)), ',') AS postings,
