@@ -15,7 +15,10 @@ class PlanSweepSpec extends SparkSpec {
 
   /** Queries whose range partitioning is a designed, priced decision. */
   private val rangeAudited = Set(
-    "zorder_value",         // range-partitioned sorted write layout
+    // zorder_value was audited here through round 12 (range-partitioned
+    // sorted write layout) but its registered plan no longer carries a
+    // range exchange — pruned round 13 when this list became
+    // self-pruning (the tightness test below).
     "corpus_shuffle",       // md5-order dense rank (bounded rank table)
     // The packing family's two-phase global prefix sum IS a parallel
     // range sort (TeraSort shape): range-partition by doc order, sum
@@ -36,6 +39,20 @@ class PlanSweepSpec extends SparkSpec {
     // outputs (post-aggregation, O(groups) rows).
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q22")
+
+  test("the range audit list is tight: every entry still range-partitions") {
+    // self-pruning (the PlanSpec BNLJ-list discipline): an audit entry
+    // whose plan no longer contains a range exchange is stale cover —
+    // a future accidental global orderBy on that query would pass the
+    // sweep unexamined.
+    val stale = rangeAudited.toSeq.sorted.filter { name =>
+      !SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        .toString.contains("Exchange rangepartitioning")
+    }
+    assert(stale.isEmpty,
+      s"stale range-audit entries (no range exchange anymore): $stale —" +
+        " prune them from rangeAudited")
+  }
 
   test("global range sorts appear only in audited queries") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
