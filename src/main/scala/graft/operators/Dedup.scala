@@ -861,12 +861,12 @@ object Dedup {
       k: Int, minCount: Long = 2L): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val words = split(col(textCol), " ")
-    // non-distinct positional grams: 1-based pos, docs < k words emit none
-    val grams = when(size(words) >= k,
-      transform(sequence(lit(1), size(words) - (k - 1)),
-        i => md5(concat_ws(" ", slice(words, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    // non-distinct positional grams: 1-based pos, docs < k words emit
+    // none — the PositionalGrams codegen kernel (md5 digested in place
+    // per byte span; the interpreted transform(sequence(...)) twin it
+    // replaces is pinned bit-equal in NormalizeSpec)
+    val grams = graft.functions.PositionalGrams
+      .positional_grams(col(textCol), k, hashed = true)
     val shr = df.select(col(idCol).as("_doc"), posexplode(grams))
       .select(col("_doc"), (col("pos") + 1).as("_pos"), col("col").as("_h"))
     val dup = shr.groupBy("_h").agg(count(lit(1)).as("_c"))

@@ -230,6 +230,19 @@ object TextAnalysis {
   def repNgramFraction(text: Column, n: Int): Column = {
     val words = split(text, " ")
     val total = size(words) - (n - 1)
+    // distinct-gram count via the GramDistinctCount codegen kernel (one
+    // byte walk, no gram array) — the interpreted transform/
+    // array_distinct twin is pinned bit-equal in NormalizeSpec
+    when(size(words) >= n,
+      lit(1.0) - graft.functions.PositionalGrams
+        .gram_distinct_count(text, n).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Interpreted-HOF twin of [[repNgramFraction]] — spec pinning only. */
+  def repNgramFractionTwin(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val total = size(words) - (n - 1)
     val grams = transform(
       sequence(lit(0), size(words) - n),
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
@@ -259,11 +272,11 @@ object TextAnalysis {
     */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, rareMax: Long = 2L): org.apache.spark.sql.DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams = when(size(words) >= 2,
-      transform(sequence(lit(1), size(words) - 1),
-        i => md5(concat_ws(" ", slice(words, i, lit(2))))))
-      .otherwise(array().cast("array<string>"))
+    // hashed positional bigrams via the PositionalGrams codegen kernel
+    // (md5 digested in place from the byte span — no gram string, no
+    // interpreted HOF; twin pinned in NormalizeSpec)
+    val grams = graft.functions.PositionalGrams
+      .positional_grams(col(textCol), 2, hashed = true)
     val rows = df.select(col(idCol).as("_doc"), explode(grams).as("_h"))
     val freq = rows.groupBy("_h").agg(count(lit(1)).as("_f"))
     val scored = rows.join(freq, "_h")

@@ -187,11 +187,11 @@ object TextQueries {
     * probe is a broadcast single-row join, hits collapse per doc.
     */
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = when(size(words) >= 2,
-      transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", slice(words, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // positional bigrams via the PositionalGrams codegen kernel — the
+    // interpreted transform(sequence(...)) twin it replaces is pinned
+    // bit-equal in NormalizeSpec
+    val grams = graft.functions.PositionalGrams
+      .positional_grams(col("text"), 2, hashed = false)
     val rows = Tables.distributed(spark, sfDir, "documents")
       .select(col("doc_id"), posexplode(grams))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),

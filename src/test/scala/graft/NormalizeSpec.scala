@@ -87,6 +87,68 @@ class NormalizeSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  /** The interpreted HOF gram builder the PositionalGrams kernel
+    * replaced at phrase_search / text_lm_score / dedup_substring —
+    * verbatim the pre-round-14 formulation.
+    */
+  private def gramsTwin(text: org.apache.spark.sql.Column, k: Int,
+      hashed: Boolean): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    val raw = transform(sequence(lit(1), size(words) - (k - 1)),
+      i => concat_ws(" ", slice(words, i, lit(k))))
+    when(size(words) >= k, if (hashed) transform(raw, g => md5(g)) else raw)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("PositionalGrams (raw + hashed, k=2,3,5) == the HOF twins") {
+    for (k <- Seq(2, 3, 5)) {
+      val got = df.select(
+        graft.functions.PositionalGrams
+          .positional_grams(col("text"), k, hashed = false).as("kr"),
+        gramsTwin(col("text"), k, hashed = false).as("tr"),
+        graft.functions.PositionalGrams
+          .positional_grams(col("text"), k, hashed = true).as("kh"),
+        gramsTwin(col("text"), k, hashed = true).as("th"))
+        .collect()
+      got.zip(cases).foreach { case (r, in) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"raw gram mismatch on '$in' (k=$k)")
+        assert(r.getSeq[String](2) === r.getSeq[String](3),
+          s"hashed gram mismatch on '$in' (k=$k)")
+      }
+    }
+  }
+
+  test("GramDistinctCount: repNgramFraction == the HOF twin") {
+    for (n <- Seq(2, 3)) {
+      val got = df.select(
+        T.repNgramFraction(col("text"), n).as("k"),
+        T.repNgramFractionTwin(col("text"), n).as("t"))
+        .collect()
+      got.zip(cases).foreach { case (r, in) =>
+        assert(r.getDouble(0) === r.getDouble(1),
+          s"rep fraction mismatch on '$in' (n=$n)")
+      }
+    }
+  }
+
+  test("PositionalGrams kernels == twins across the documents corpus (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      graft.functions.PositionalGrams
+        .positional_grams(col("text"), 2, hashed = false).as("kr"),
+      gramsTwin(col("text"), 2, hashed = false).as("tr"),
+      graft.functions.PositionalGrams
+        .positional_grams(col("text"), 4, hashed = true).as("kh"),
+      gramsTwin(col("text"), 4, hashed = true).as("th"),
+      T.repNgramFraction(col("text"), 3).as("kd"),
+      T.repNgramFractionTwin(col("text"), 3).as("td"))
+      .where(col("kr") =!= col("tr") || col("kh") =!= col("th") ||
+        col("kd") =!= col("td"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("null propagates; fingerprint md5 matches the inline formulation") {
     val rows = Seq[(java.lang.Long, String)]((1L, null), (2L, "A b!"))
       .toDF("id", "text")
