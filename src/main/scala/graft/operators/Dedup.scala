@@ -434,9 +434,11 @@ object Dedup {
     * popular min-shingle would otherwise collect every doc that contains
     * it into one O(block²) bucket with a single-key shuffle hotspot. The
     * exploded shingle table is built once and shared by signature
-    * aggregation and intersection counting; the candidate pair list is
-    * broadcast into both intersection joins, so the big table is never
-    * shuffled on a skewed key. Oversized band buckets go through the
+    * aggregation and the per-doc sorted hash arrays; the verify is a
+    * two-pointer merge per candidate pair (round 14 — previously a
+    * broadcast-candidates join back into the exploded shingle table
+    * whose pair×shared-shingle row expansion dominated the query's sf10
+    * cost). Oversized band buckets go through the
     * same [[bucketSkewGuard]] as [[minhashCandidates]] — an adversarial
     * all-identical corpus would otherwise emit O(n²) candidate pairs
     * AND broadcast them (pairs for dropped docs are the documented
@@ -465,19 +467,32 @@ object Dedup {
         Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .join(stats.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(stats.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-    // Candidate pairs are a tiny fraction of the corpus (that is the
-    // point of LSH): broadcast them so the exploded shingle table joins
-    // map-side — pruned to candidate docs first, then matched on shingle.
-    val common = broadcast(cand)
-      .join(s.select(col("doc").as("doc_a"), col("sh")), "doc_a")
-      .join(s.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common.select(col("doc_a"), col("doc_b"),
-      (col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+    // Verify via per-doc SORTED hash arrays + a two-pointer merge count
+    // per candidate pair ([[graft.functions.SortedIntersectCount]] —
+    // the prefixFilterJoin/containment verify): ONE array per candidate
+    // side crosses the exchange and the intersection is primitive
+    // compares, replacing the pair×shared-shingle row expansion (a
+    // broadcast-candidates join back into the exploded shingle table
+    // plus a candidate×overlap-row count aggregate). Equality is on the
+    // 60-bit md5-prefix hashes ([[shingleU]]) — the same collision
+    // caveat (< 2⁻⁴⁰ per pair) and DedupSpec soft-assert as the
+    // set-similarity joins; the string-exact DuckDB oracle stays the
+    // gate.
+    val arr = s.groupBy(col("doc"))
+      .agg(sort_array(collect_list(shingleU(col("sh")))).as("us"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(arr.select(col("doc").as("doc_a"), col("us").as("us_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(arr.select(col("doc").as("doc_b"), col("us").as("us_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("us_a"), col("us_b")).as("n_common"),
+        col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
   /** Connected components over an undirected edge list: every node gets
