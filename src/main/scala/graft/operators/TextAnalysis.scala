@@ -371,10 +371,18 @@ object TextAnalysis {
     val toks = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
-    // two corpus-stat actions at plan-build time (the tfIdfTopK
-    // precedent): N and the average doc length the formula needs
-    val nDocs = df.count().toDouble
-    val avgdl = toks.count().toDouble / nDocs
+      .persist()
+    // ONE corpus-stat action at plan-build time (round 14 — previously
+    // TWO separate whole-corpus actions, df.count() then toks.count()):
+    // doc count and total token count in a single tiny aggregate.
+    // size(array_remove(split, '')) is the codegen'd per-doc non-empty
+    // token count (no HOF lambda); null text contributes 0 tokens but
+    // still counts as a document, matching the exploded-stream totals.
+    val r = df.agg(count(lit(1)).as("n"),
+      sum(coalesce(size(array_remove(split(col(textCol), " "), "")),
+        lit(0))).as("ntok")).head()
+    val nDocs = r.getLong(0).toDouble
+    val avgdl = (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble) / nDocs
     val qTerms = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(nTerms)
       .select("token")
@@ -382,7 +390,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfc"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    tf.join(broadcast(dfreq), "token")
+    val out = tf.join(broadcast(dfreq), "token")
       .join(dl, idCol)
       .withColumn("contrib", round(
         log((lit(nDocs) - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))
@@ -395,6 +403,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_micro"))
       .orderBy(col("score_micro").desc, col(idCol).asc)
       .limit(k)
+      // eager k-row checkpoint: the three token-stream consumers
+      // (qTerms, tf, dl) all hit the persisted toks exactly while it is
+      // cached — the explode never recomputes (round-13 ADVICE)
+      .localCheckpoint()
+    toks.unpersist()
+    out
   }
 
   /** Per-group top-k vocabulary: (group, token, rank, cnt), rank by

@@ -42,12 +42,15 @@ object ElbQueries {
     val work = dsv2Stage.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
         val dir = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
-        // 32 gzip objects: gzip is non-splittable (1 partition/file —
-        // SCALE.md's ingest note), so the staged file count IS the
-        // read parallelism. 4 files serialized the sf10 parse onto 4
-        // of 32 cores (~82 s for a ~10 s parse).
+        // One gzip object per core: gzip is non-splittable (1
+        // partition/file — SCALE.md's ingest note), so the staged file
+        // count IS the read parallelism. 4 files serialized the sf10
+        // parse onto 4 of 32 cores (~82 s for a ~10 s parse); derived
+        // from the host's parallelism, not a literal, so the memoized
+        // staging dir matches whatever box runs it (at real scale the
+        // analogous dial is objects ≈ cluster cores at ~1 GB each).
         ElbSynth.lines(Tables.events(spark, sfDir)).select("value")
-          .repartition(32)
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.option("compression", "gzip").text(s"$dir/logs")
         dir
       })

@@ -60,6 +60,24 @@ class Bm25Spec extends SparkSpec {
     assert(engine(4, 3) === expected(4, 3))
   }
 
+  test("score_micro tie across documents breaks doc_id-asc at the k cut") {
+    // docs 11/12/13 are identical (same tf, same dl for every query
+    // term) so their score_micro ties exactly; with k = 2 the cut falls
+    // INSIDE the tie and only the doc_id-asc order decides who survives
+    val tied = Seq(
+      (13L, "alpha beta alpha"),
+      (11L, "alpha beta alpha"),
+      (12L, "alpha beta alpha"),
+      (20L, "gamma gamma gamma gamma"))
+    val got = T.bm25TopK(tied.toDF("doc_id", "text"), "doc_id", "text",
+        nTerms = 1, k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // top term is "alpha" (4 occurrences vs gamma's 4 — tie broken
+    // token-asc, alpha wins); the three tied docs score identically
+    assert(got.map(_._1) === Seq(11L, 12L), s"tie cut order wrong: $got")
+    assert(got(0)._3 === got(1)._3, "scores should tie exactly")
+  }
+
   test("obvious ranking: saturated repetition beats a single mention") {
     // with only "the" as query term, doc 4 (the x3, dl 3) outranks
     // doc 2 (the x1) and doc 5 (no hit) is absent
