@@ -50,34 +50,37 @@ object Curriculum {
     import org.apache.spark.unsafe.types.UTF8String
     require(stages >= 2 && stages <= 64, s"stages in [2,64], got $stages")
     val toks = tokenCounts(df, idCol, textCol, sourceCol)
-    // ONE histogram collect at (token_count, source) granularity —
-    // |token-value domain| × |sources| rows, dim-sized — yields BOTH
-    // the stage thresholds (marginal over sources) AND the
-    // per-(stage, source) count table driver-side, where the count
-    // table then bakes into a codegen kernel
-    // ([[graft.functions.CurriculumRank]] — the IvfProbeCells
-    // pattern): the interleave rank is one tight primitive loop per
-    // row. The round-12 shape instead collected the marginal
-    // histogram, broadcast-joined a lazily-recomputed count table
-    // back, and folded it with two interpreted `aggregate` HOF
-    // lambdas per row — one extra full token-kernel corpus pass and
-    // O(|sources|) interpreted Column evaluation on every row.
+    // The (token_count, source) histogram stays IN SPARK (round 14 —
+    // previously collected whole, and |token-value domain| × |sources|
+    // is unbounded in principle: a long-doc corpus has ~max-doc-tokens
+    // distinct counts). One token-kernel corpus pass builds it
+    // (persisted, dim-sized); the stage thresholds reduce its marginal
+    // in-plan ([[thresholdsFromHist]] — stages−1 longs reach the
+    // driver), and the driver then collects only the per-(stage,
+    // source) count table — provably ≤ stages × |sources| rows — which
+    // bakes into the [[graft.functions.CurriculumRank]] codegen kernel
+    // (the IvfProbeCells pattern): the interleave rank is one tight
+    // primitive loop per row. The round-12 shape instead broadcast-
+    // joined a lazily-recomputed count table back and folded it with
+    // two interpreted `aggregate` HOF lambdas per row.
     val hist2 = toks.groupBy(col("tokens"), col(sourceCol))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val thresholds = thresholdsOf(
-      hist2.groupBy(_._1).view.mapValues(_.map(_._3).sum)
-        .toArray.sortBy(_._1), stages)
+      .agg(count(lit(1)).as("c")).persist()
+    val thresholds = thresholdsFromHist(
+      hist2.groupBy("tokens").agg(sum("c").as("c")), stages)
+    val stageCounts = hist2
+      .groupBy(stageColOf(thresholds).as("stage"), col(sourceCol))
+      .agg(sum("c").as("c")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    hist2.unpersist()
     // sources in Spark's BINARY string order — what `s' <= source`
     // compares in the windowed twin (UTF8 byte order, not Java's
     // UTF-16 char order; they diverge past the BMP)
-    val sources = hist2.map(_._2).distinct
+    val sources = stageCounts.map(_._2).distinct
       .sortWith((a, b) =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
     val srcIdx = sources.zipWithIndex.toMap
     val counts = Array.fill(stages, sources.length)(0L)
-    hist2.foreach { case (v, s, c) =>
-      val stage = 1 + thresholds.count(t => v > t)
+    stageCounts.foreach { case (stage, s, c) =>
       counts(stage - 1)(srcIdx(s)) += c
     }
     val labeled = labelFromThresholds(toks, idCol, thresholds, salt)
@@ -100,39 +103,51 @@ object Curriculum {
     df.select(col(idCol), col(sourceCol),
       TextAnalysis.bpeTokenCount(col(textCol)).cast("long").as("tokens"))
 
-  /** Exact stage thresholds from the (token_count → rows) histogram:
-    * thr_k = min{v : stages·cum(v) ≥ k·n}, k = 1..stages-1.
+  /** Exact stage thresholds reduced IN-PLAN from the (tokens → c)
+    * marginal histogram: thr_k = min{v : stages·cum(v) ≥ k·n},
+    * k = 1..stages-1 — only stages−1 longs ever reach the driver
+    * (round 14; previously the whole histogram was collected, which is
+    * ~max-doc-tokens rows on a long-doc corpus). The cumulative count
+    * runs as a single-partition window — bounded, because the input has
+    * one row per DISTINCT token count, not per document (and this
+    * threshold job executes eagerly at plan-build, so the registered
+    * query's own plan never carries it).
     */
-  private def thresholdsOf(hist: Array[(Long, Long)],
-      stages: Int): Seq[Long] = {
-    val n = hist.map(_._2).sum
-    var cum = 0L
-    val cums = hist.map { case (v, c) => cum += c; (v, cum) }
+  private def thresholdsFromHist(marg: DataFrame, stages: Int): Seq[Long] = {
+    val n = marg.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val w = Window.orderBy("tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aggs = (1 until stages).map { k =>
+      min(when(lit(stages.toLong) * col("cum") >= lit(k.toLong) * lit(n),
+        col("tokens"))).as(s"thr_$k")
+    }
+    val row = marg.withColumn("cum", sum("c").over(w))
+      .agg(aggs.head, aggs.tail: _*).head()
     (1 until stages).map { k =>
-      cums.find { case (_, cc) => stages.toLong * cc >= k.toLong * n }
-        .map(_._1).getOrElse(Long.MaxValue)
+      if (row.isNullAt(k - 1)) Long.MaxValue else row.getLong(k - 1)
     }
   }
 
-  private def labelFromThresholds(toks: DataFrame, idCol: String,
-      thresholds: Seq[Long], salt: String): DataFrame = {
-    val stageCol = thresholds.foldLeft(lit(1)) { (acc, t) =>
+  /** `1 + Σ_k [tokens > thr_k]` — the stage label of a `tokens` value. */
+  private def stageColOf(thresholds: Seq[Long]): Column =
+    thresholds.foldLeft(lit(1)) { (acc, t) =>
       acc + when(col("tokens") > t, 1).otherwise(0)
-    }
-    toks.withColumn("stage", stageCol.cast("int"))
+    }.cast("int")
+
+  private def labelFromThresholds(toks: DataFrame, idCol: String,
+      thresholds: Seq[Long], salt: String): DataFrame =
+    toks.withColumn("stage", stageColOf(thresholds))
       .withColumn("_draw",
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
-  }
 
   private def labeledTokens(df: DataFrame, idCol: String,
       textCol: String, sourceCol: String, stages: Int,
       salt: String): DataFrame = {
     require(stages >= 2 && stages <= 64, s"stages in [2,64], got $stages")
     val toks = tokenCounts(df, idCol, textCol, sourceCol)
-    val hist = toks.groupBy("tokens").agg(count(lit(1)).as("c"))
-      .orderBy("tokens").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    labelFromThresholds(toks, idCol, thresholdsOf(hist, stages), salt)
+    val thresholds = thresholdsFromHist(
+      toks.groupBy("tokens").agg(count(lit(1)).as("c")), stages)
+    labelFromThresholds(toks, idCol, thresholds, salt)
   }
 
   /** The deterministic within-(stage, source) position via the
