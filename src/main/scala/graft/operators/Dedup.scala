@@ -1023,20 +1023,42 @@ object Dedup {
       .withColumn("_rn", row_number().over(byRarity))
       .select(col("_u"), col("_doc"), col("_sz"), col("_rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round 14: c-PREFIX filter (the multi-witness generalization of
+    // the prefix theorem — the published "suffix-filter family" lever
+    // left on the table in round 13). If |A∩B| ≥ t := ⌈τ·szA⌉ then A
+    // misses at most szA − t shingles from B, so among A's first
+    // min(szA, szA − t + c) rarity-ranked shingles at least min(c, t)
+    // are in B. Extending the prefix by c−1 rows and demanding
+    // min(c, t) match WITNESSES per pair (a groupBy count in place of
+    // the old distinct — same shuffle mass) is lossless, and kills
+    // the single-shared-rare-shingle junk pairs that dominated the
+    // verify: measured at sf10, c=1 passed 17.5 M candidate pairs to
+    // the array attach, c=3 passes 0.70 M against 0.25 M true pairs.
+    // The PPJoin positional bound rides along as before, evaluated on
+    // the ORIGINAL (c=1) prefix rows where its first-common-shingle
+    // argument holds.
+    val cWit = 3
     val prefix = ranked
       .where(expr(
-        s"_rn <= _sz - (($tauNum * _sz + ${tauDen - 1}) DIV $tauDen) + 1"))
+        s"_rn <= _sz - (($tauNum * _sz + ${tauDen - 1}) DIV $tauDen) + $cWit"))
       .select(col("_u"), col("_doc").as("doc_a"), col("_sz").as("_sz_a"),
         col("_rn").as("_rn_a"))
+    // ⌈τ·szA⌉ and the c=1 prefix length, both exact-integer
+    val tOfA = expr(s"($tauNum * _sz_a + ${tauDen - 1}) DIV $tauDen")
+    val baseLen = col("_sz_a") - tOfA + lit(1)
     val cand = prefix
       .join(ranked.select(col("_u"), col("_doc").as("doc_b"),
         col("_sz").as("_sz_b"), col("_rn").as("_rn_b")), "_u")
       .where(col("doc_a") =!= col("doc_b") &&
-        lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("_sz_a") &&
-        lit(tauDen) * (lit(1L) +
-          least(col("_sz_a") - col("_rn_a"), col("_sz_b") - col("_rn_b"))) >=
-          lit(tauNum) * col("_sz_a"))
-      .select("doc_a", "doc_b").distinct()
+        lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("_sz_a"))
+      .groupBy(col("doc_a"), col("doc_b"), col("_sz_a"))
+      .agg(count(lit(1)).as("_nw"),
+        max(when(col("_rn_a") <= baseLen,
+          lit(1L) + least(col("_sz_a") - col("_rn_a"),
+            col("_sz_b") - col("_rn_b"))).otherwise(lit(0L))).as("_pb"))
+      .where(col("_nw") >= least(lit(cWit.toLong), tOfA) &&
+        lit(tauDen) * col("_pb") >= lit(tauNum) * col("_sz_a"))
+      .select("doc_a", "doc_b")
     // verify: two-pointer merge count over the sorted hash arrays
     // ([[graft.functions.SortedIntersectCount]]) — size(array_intersect)
     // boxes every long through a per-row OpenHashSet and was the top
