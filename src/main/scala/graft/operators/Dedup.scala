@@ -809,22 +809,43 @@ object Dedup {
     // ⌈n·(szA+szB)/(n+d)⌉, and its first common token row passes the
     // bound — lossless — while late-rank matches on common tokens die
     // before the distinct.
+    // Round 14: c-PREFIX witness filter, the two-sided twin of the
+    // containment one. J ≥ τ forces |A∩B| ≥ ⌈τ·szX⌉ =: t_X for BOTH
+    // sides (I ≥ τ(szA+szB)/(1+τ) plus the length filter), and the
+    // c-th smallest shared token (global rarity order) must sit within
+    // EACH side's first szX − t_X + c ranks — else S's ranks ≥ c, of
+    // which there are ≥ t_X − c + 1, would all fit in the last t_X − c
+    // positions. So extend both prefixes by c−1 rows and demand
+    // min(c, t_A, t_B) match witnesses per pair: lossless, and the
+    // single-shared-rare-shingle junk pairs die before the array
+    // attach. The PPJoin positional bound rides along, evaluated only
+    // on joint c=1-prefix rows where its first-common-shingle argument
+    // holds.
+    val cWit = 3
     val prefix = sh.join(dfreq, "u")
       .withColumn("rn", row_number().over(byRarity))
       .join(sizes, "doc")
-      .where(expr(s"rn <= sz - (($tauNum * sz + ${tauDen - 1}) DIV $tauDen) + 1"))
+      .where(expr(s"rn <= sz - (($tauNum * sz + ${tauDen - 1}) DIV $tauDen) + $cWit"))
       .select(col("u"), col("doc"), col("sz"), col("rn"))
+    val tOfA = expr(s"($tauNum * sz_a + ${tauDen - 1}) DIV $tauDen")
+    val tOfB = expr(s"($tauNum * sz_b + ${tauDen - 1}) DIV $tauDen")
     val cand = prefix.select(col("u"), col("doc").as("doc_a"),
         col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(prefix.select(col("u"), col("doc").as("doc_b"),
         col("sz").as("sz_b"), col("rn").as("rn_b")), "u")
       .where(col("doc_a") < col("doc_b") &&
         lit(tauDen) * col("sz_b") >= lit(tauNum) * col("sz_a") &&
-        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b") &&
-        lit(tauNum + tauDen) * (lit(1L) +
-          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) >=
+        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("_nw"),
+        max(when(col("rn_a") <= col("sz_a") - tOfA + lit(1) &&
+            col("rn_b") <= col("sz_b") - tOfB + lit(1),
+          lit(1L) + least(col("sz_a") - col("rn_a"),
+            col("sz_b") - col("rn_b"))).otherwise(lit(0L))).as("_pb"))
+      .where(col("_nw") >= least(lit(cWit.toLong), least(tOfA, tOfB)) &&
+        lit(tauNum + tauDen) * col("_pb") >=
           lit(tauNum) * (col("sz_a") + col("sz_b")))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
     // per-doc sorted hash arrays: ONE array per candidate side crosses
     // the exchange; the intersection count is a per-row two-pointer
     // merge ([[graft.functions.SortedIntersectCount]] — no per-pair

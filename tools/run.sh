@@ -11,7 +11,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# GRAFT_JAVA_OPTS: extra -D flags (e.g. a spark.* conf override such as
+# the RocksDB state-store provider) picked up by SparkSession.builder.
+exec java $ADD_OPENS $GRAFT_JAVA_OPTS \
   -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
