@@ -835,7 +835,16 @@ object Dedup {
         col("sz").as("sz_b"), col("rn").as("rn_b")), "u")
       .where(col("doc_a") < col("doc_b") &&
         lit(tauDen) * col("sz_b") >= lit(tauNum) * col("sz_a") &&
-        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b"))
+        lit(tauDen) * col("sz_a") >= lit(tauNum) * col("sz_b") &&
+        // c-RELAXED positional prune, pre-shuffle: the i-th smallest
+        // shared token (i ≤ c) of a qualifying pair has at most i−1
+        // shared tokens before it, so c + min(szX−rnX) ≥ t must hold
+        // at every witness row — rows failing it can't be witnesses
+        // (nor the first common token: the strict bound implies this
+        // one) and die before the exchange.
+        lit(tauNum + tauDen) * (lit(cWit.toLong) +
+          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) >=
+          lit(tauNum) * (col("sz_a") + col("sz_b")))
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("_nw"),
         max(when(col("rn_a") <= col("sz_a") - tOfA + lit(1) &&
@@ -1071,7 +1080,15 @@ object Dedup {
       .join(ranked.select(col("_u"), col("_doc").as("doc_b"),
         col("_sz").as("_sz_b"), col("_rn").as("_rn_b")), "_u")
       .where(col("doc_a") =!= col("doc_b") &&
-        lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("_sz_a"))
+        lit(tauDen) * col("_sz_b") >= lit(tauNum) * col("_sz_a") &&
+        // c-RELAXED positional prune, pre-shuffle (round 14): the i-th
+        // smallest shared token (i ≤ c) has at most i−1 shared tokens
+        // before it, so c + min(szA−rnA, szB−rnB) ≥ t = ⌈τ·szA⌉ holds
+        // at every witness row; rows failing it can't be witnesses and
+        // die before the groupBy exchange.
+        lit(tauDen) * (lit(cWit.toLong) +
+          least(col("_sz_a") - col("_rn_a"), col("_sz_b") - col("_rn_b"))) >=
+          lit(tauNum) * col("_sz_a"))
       .groupBy(col("doc_a"), col("doc_b"), col("_sz_a"))
       .agg(count(lit(1)).as("_nw"),
         max(when(col("_rn_a") <= baseLen,
