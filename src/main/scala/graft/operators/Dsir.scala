@@ -190,7 +190,14 @@ object Dsir {
     * bit-reproducible on any engine (ties broken by (u, id)).
     *
     * Scale shape: scoring is [[dsirSelect]] (broadcast model, one
-    * data-sized exchange); the top-budget selection is
+    * data-sized exchange); the top-budget selection is BUDGET-AWARE
+    * (round 14). A draw of ≤ `takeCap` docs — the common regime: the
+    * paper's budget is a tiny fraction of the crawl — plans as
+    * `TakeOrderedAndProject`: a bounded k-entry heap per partition,
+    * merged once, with rank attached to the ≤budget survivors by one
+    * single-partition window over an already-single-partition bounded
+    * input. NO data-sized exchange: the corpus is scanned once and
+    * only 200-ish rows ever move. Budgets above the cap fall back to
     * [[Packing.groupedCumSum]]'s two-phase prefix sum over
     * (−key, u, id) — a RANGE-partitioned global order (every task
     * bounded by its slice; the audited global-sort shape, not a
@@ -203,7 +210,7 @@ object Dsir {
     */
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, budgetDocs: Long, buckets: Int = 4096,
-      salt: String = "dsirg"): DataFrame = {
+      salt: String = "dsirg", takeCap: Int = 65536): DataFrame = {
     require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
     val scored = dsirSelect(df, idCol, textCol, targetPred, buckets)
     val u = conv(substring(md5(concat(lit(s"$salt:"),
@@ -216,10 +223,23 @@ object Dsir {
       .withColumn("gumbel_key",
         col("dsir_score") + lit(20L) - ilog2(col("_eq")))
       .withColumn("_nk", -col("gumbel_key"))
-    Packing.groupedCumSum(keyed, Seq.empty, Seq("_nk", "_u", idCol),
-        lit(1L), "rank")
-      .where(col("rank") <= budgetDocs)
-      .select(col(idCol), col("n_grams"), col("dsir_score"),
-        col("gumbel_key"), col("rank"))
+    val ranked =
+      if (budgetDocs <= takeCap) {
+        // bounded top-k: per-partition budget-entry heaps, one merge
+        // (TakeOrderedAndProject — SinglePartition output), rank by a
+        // window over the ≤budget surviving rows. The draw's data-sized
+        // work is exactly one corpus scan.
+        val order = Seq(col("_nk"), col("_u"), col(idCol))
+        keyed.orderBy(order: _*).limit(budgetDocs.toInt)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+            .cast("long"))
+      } else {
+        Packing.groupedCumSum(keyed, Seq.empty, Seq("_nk", "_u", idCol),
+            lit(1L), "rank")
+          .where(col("rank") <= budgetDocs)
+      }
+    ranked.select(col(idCol), col("n_grams"), col("dsir_score"),
+      col("gumbel_key"), col("rank"))
   }
 }

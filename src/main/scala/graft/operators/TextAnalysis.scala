@@ -389,7 +389,15 @@ object TextAnalysis {
     val tf = toks.join(broadcast(qTerms), Seq("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfc"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // dl is a NARROW per-doc projection of the source frame, not a
+    // token-stream aggregate: size(array_remove(split)) counts exactly
+    // the non-empty tokens the explode emits, without re-reading the
+    // 100×-larger cached token stream a third time (round 14 — the tf
+    // join is inner, so the extra dl rows of docs matching no query
+    // term never surface).
+    val dl = df.select(col(idCol),
+      coalesce(size(array_remove(split(col(textCol), " "), "")), lit(0))
+        .cast("long").as("dl"))
     val out = tf.join(broadcast(dfreq), "token")
       .join(dl, idCol)
       .withColumn("contrib", round(

@@ -74,6 +74,16 @@ class DsirSpec extends SparkSpec {
     assert(all.length === 7)
   }
 
+  test("dsirResample take path == prefix-sum path (budget-aware plan)") {
+    // takeCap = 0 forces the two-phase groupedCumSum fallback; the
+    // default path plans TakeOrderedAndProject. Same draw either way.
+    def run(cap: Int) =
+      Dsir.dsirResample(docs, "doc_id", "text", col("doc_id") <= 3,
+          budgetDocs = 4L, takeCap = cap)
+        .orderBy("rank").collect().toSeq
+    assert(run(65536) == run(0))
+  }
+
   test("dsirResample is deterministic and partitioning-invariant") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Dsir.dsirResample(d, "doc_id", "text", col("doc_id") <= 3,

@@ -31,10 +31,11 @@ class PlanSweepSpec extends SparkSpec {
     // here REPLACES the per-source/per-stage total-order window that
     // was the scale-killer (VERDICT r11 items 3-4).
     "curriculum_order", "token_budget_sample",
-    // Round 13: the fixed-budget Gumbel-top-k draw needs ONE global
-    // order over (−key, u, id) — same two-phase prefix-sum shape
-    // (range partition bounds every task by its slice).
-    "dsir_resample",
+    // dsir_resample was audited here round 13 (two-phase prefix sum)
+    // but its registered budget (200 ≤ takeCap) now plans as
+    // TakeOrderedAndProject — no range exchange; pruned round 14. The
+    // prefix-sum fallback above the cap stays covered by the packing
+    // entries (same groupedCumSum shape).
     // TPC-H queries carry the spec's ORDER BY over already-reduced
     // outputs (post-aggregation, O(groups) rows).
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
