@@ -110,8 +110,14 @@ object PipelineQueries {
     val work = stageMemo.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
         val dir = java.nio.file.Files.createTempDirectory("graft-pipeq").toString
+        // one gzip object per core (the elb_dsv2_parse staging rule):
+        // gzip is non-splittable, so the staged object count IS the
+        // extract stage's read parallelism — the literal 8 this
+        // replaces ran the sf10 parse on 8 of 32 cores (stage 72 in
+        // the round-14 profile: 60 s of task time on 8 tasks)
         ElbSynth.lines(Tables.events(spark, sfDir).where(PipelineSubset))
-          .select("value").repartition(8)
+          .select("value")
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.option("compression", "gzip").text(s"$dir/logs")
         dir
       })
