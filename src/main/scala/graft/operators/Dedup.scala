@@ -355,30 +355,11 @@ object Dedup {
     * with bit_count(xor)). Narrow, shuffle-free.
     */
   def simhash(text: Column, bits: Int = 16): Column =
-    simhashFromHashes(transform(array_distinct(split(text, " ")), w => md5(w)), bits)
-
-  /** Fingerprint from an already-materialized per-word md5 array.
-    * [[simhashPairs]] computes the hash array in its OWN projection and
-    * passes the bound attribute here: each of the `bits` bit
-    * expressions then re-reads the array instead of carrying its own
-    * copy of the transform(words, md5) subtree (interpreted HOFs get no
-    * reliable common-subexpression elimination, so the inlined form
-    * md5-hashes every word once PER BIT).
-    */
-  private[operators] def simhashFromHashes(hashes: Column, bits: Int): Column = {
-    // md5 hex has 32 nibbles: bit j reads nibble j+1, so bits > 32
-    // would read past the digest and silently zero the upper bits
-    // (every doc colliding on the upper LSH blocks)
-    require(bits >= 1 && bits <= 32, s"simhash bits must be in [1, 32], got $bits")
-    val bitCols = (0 until bits).map { j =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(
-          substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-          lit(1)).otherwise(lit(-1)))
-      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    // codegen byte-walk kernel (round 14); coalesce mirrors the
+    // interpreted twin's null semantics — its per-bit
+    // when(null >= 0).otherwise(0) yields fingerprint 0 for null text
+    coalesce(
+      graft.functions.SimhashText.simhash_text(text, bits), lit(0L))
 
   /** SimHash near-dup PAIRS via bit-block LSH: split the `bits`-bit
     * fingerprint into `blocks` equal blocks and bucket-join on any
@@ -399,13 +380,7 @@ object Dedup {
       s"pigeonhole exactness needs maxHamming ($maxHamming) < blocks ($blocks)")
     val bpb = bits / blocks
     val mask = (1L << bpb) - 1
-    // hash array materialized in its own projection (see
-    // simhashFromHashes); CollapseProject keeps the split because the
-    // attribute is referenced `bits` times by a non-cheap producer
-    val fps = df
-      .withColumn("_wh",
-        transform(array_distinct(split(col(textCol), " ")), w => md5(w)))
-      .select(col(idCol), simhashFromHashes(col("_wh"), bits).as("fp"))
+    val fps = df.select(col(idCol), simhash(col(textCol), bits).as("fp"))
     val blocked = fps.select(col(idCol), col("fp"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("block_idx"),

@@ -26,6 +26,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs === 3) // all 3 unordered pairs of identical unit vectors
   }
 
+  test("simhashPairs == brute-force hamming over fingerprints (pigeonhole exactness)") {
+    // mix of exact dups, near-dups (one/two words changed), and
+    // unrelated texts; maxHamming=3 < blocks=4 makes block-LSH exact,
+    // so the result must equal the all-pairs hamming filter computed
+    // from the PUBLIC fingerprints
+    def base(i: Int) = s"alpha beta gamma delta epsilon zeta eta theta w$i"
+    val docs = (
+      (1L to 3L).map(i => (i, base(0))) ++             // 3 exact copies
+      Seq((4L, base(0) + " extra"), (5L, base(1)),
+          (6L, "totally different words about spark engines running fast"),
+          (7L, "totally different words about spark engines running slow"))
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("fp"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 0L), "fixture must contain exact dups")
+    assert(want.size < fps.length * (fps.length - 1) / 2,
+      "fixture must exclude some pairs")
+  }
+
   test("incrementalDups flags fresh copies of base docs, leaves originals clean") {
     // distinctive 12-word texts so 3-shingle minhash separates them
     def txt(seed: Int) = (0 until 12).map(j => s"w${seed}x$j").mkString(" ")

@@ -149,6 +149,48 @@ class NormalizeSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  /** The interpreted per-bit HOF fold the SimhashText kernel replaced
+    * at Dedup.simhash/simhashPairs — verbatim the pre-round-14
+    * formulation (null text yields 0 via the when/otherwise fallthrough,
+    * which Dedup.simhash mirrors with a coalesce around the kernel).
+    */
+  private def simhashTwin(text: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    val hashes = transform(array_distinct(split(text, " ")), w => md5(w))
+    (0 until bits).map { j =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          lit(1)).otherwise(lit(-1)))
+      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  test("SimhashText (bits=16,32) == the per-bit aggregate HOF twin") {
+    for (bits <- Seq(16, 32)) {
+      val got = (cases :+ (null: String)).toDF("text").select(
+        graft.operators.Dedup.simhash(col("text"), bits).as("k"),
+        simhashTwin(col("text"), bits).as("t"))
+        .collect()
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) === r.getLong(1),
+          s"simhash mismatch on case $i (bits=$bits)")
+      }
+    }
+  }
+
+  test("SimhashText == twin across the documents corpus (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      graft.operators.Dedup.simhash(col("text"), 16).as("k16"),
+      simhashTwin(col("text"), 16).as("t16"),
+      graft.operators.Dedup.simhash(col("text"), 32).as("k32"),
+      simhashTwin(col("text"), 32).as("t32"))
+      .where(col("k16") =!= col("t16") || col("k32") =!= col("t32"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("null propagates; fingerprint md5 matches the inline formulation") {
     val rows = Seq[(java.lang.Long, String)]((1L, null), (2L, "A b!"))
       .toDF("id", "text")
