@@ -362,6 +362,91 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // -- byte-walk text kernels vs plain-Scala reference models --------
+
+  /** Texts that stress the kernels' single-space byte walks: tokens mix
+    * ASCII and multibyte unicode (2-, 3-, and 4-byte UTF-8), tokens may
+    * be EMPTY (adjacent/leading/trailing spaces — `split` keeps them),
+    * and the whole text may be empty.
+    */
+  val spaceyText: Gen[String] = {
+    val tok = Gen.oneOf(
+      Gen.const(""),
+      Gen.nonEmptyListOf(unicodeChar).map(_.mkString),
+      Gen.oneOf("a", "dup", "x1"))
+    Gen.frequency(
+      1 -> Gen.const(""),
+      9 -> Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, tok).map(_.mkString(" "))))
+  }
+
+  private def mdHex(s: String): String =
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s.getBytes("UTF-8"))
+
+  test("PositionalGrams / GramDistinctCount == Scala reference on fuzzed unicode") {
+    import graft.functions.PositionalGrams
+    def refGrams(text: String, k: Int): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      if (toks.length < k) Seq.empty
+      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    }
+    forAllSampled(spaceyText, 300) { s =>
+      val u = UTF8String.fromString(s)
+      for (k <- Seq(1, 2, 3, 5)) {
+        val want = refGrams(s, k)
+        val raw = PositionalGrams.grams(u, k, hashed = false)
+        val got = (0 until raw.numElements())
+          .map(i => raw.getUTF8String(i).toString)
+        assert(got === want, s"raw grams k=$k on '$s'")
+        val hashed = PositionalGrams.grams(u, k, hashed = true)
+        val gotH = (0 until hashed.numElements())
+          .map(i => hashed.getUTF8String(i).toString)
+        assert(gotH === want.map(mdHex), s"hashed grams k=$k on '$s'")
+        assert(PositionalGrams.distinctCount(u, k) === want.distinct.length,
+          s"distinct count k=$k on '$s'")
+      }
+    }
+  }
+
+  test("SimhashText == Scala reference on fuzzed unicode") {
+    import graft.functions.SimhashText
+    def ref(text: String, bits: Int): Long = {
+      val votes = new Array[Int](bits)
+      for (t <- text.split(" ", -1).distinct) {
+        val h = mdHex(t)
+        var j = 0
+        while (j < bits) {
+          votes(j) += (if ("89abcdef".indexOf(h.charAt(j)) >= 0) 1 else -1)
+          j += 1
+        }
+      }
+      (0 until bits).map(j => if (votes(j) >= 0) 1L << j else 0L).sum
+    }
+    forAllSampled(spaceyText, 300) { s =>
+      val u = UTF8String.fromString(s)
+      for (bits <- Seq(16, 32))
+        assert(SimhashText.simhash(u, bits) === ref(s, bits),
+          s"simhash bits=$bits on '$s'")
+    }
+  }
+
+  test("WinnowMinMd5 == Scala reference on fuzzed unicode") {
+    import graft.functions.WinnowMinMd5
+    def ref(text: String, k: Int): String = {
+      val toks = text.split(" ", -1)
+      val grams =
+        if (toks.length < k) Seq(text)
+        else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      grams.map(mdHex).min
+    }
+    forAllSampled(spaceyText, 300) { s =>
+      val u = UTF8String.fromString(s)
+      for (k <- Seq(2, 5))
+        assert(WinnowMinMd5.winnow(u, k).toString === ref(s, k),
+          s"winnow k=$k on '$s'")
+    }
+  }
+
   // -- boilerplate removal ------------------------------------------
 
   test("dedupBoilerplate round-trips any corpus with no repeated span") {
