@@ -124,12 +124,21 @@ object Hygiene {
       .select(col(idCol), col("c.start").as("start"), col("c.chunk").as("chunk"))
       .withColumn("h", md5(col("chunk")))
 
-    val docFreq = chunks
-      .groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("chunk_df"))
-
+    // chunk doc-frequency via ONE window over the h partition — NOT a
+    // groupBy(h) + join back: the join formulation evaluates the whole
+    // chunk-build subtree TWICE (no exchange reuse — the aggregate's
+    // partial phase sits below its exchange, so the two shuffles
+    // differ; the round-14 sf10 profile showed two identical 38 s
+    // chunk-build stages) and pays a third keyed exchange. Here chunk
+    // rows shuffle by h once, df is counted inside the partition, and
+    // the only other exchange is the final per-doc reassembly. A
+    // corpus-wide boilerplate chunk makes a large h partition in BOTH
+    // formulations — the set adds O(df) on top of the partition's own
+    // O(df) rows, no new skew class.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val keep = col("chunk_df") < minDocFreq
-    chunks.join(docFreq, "h")
+    chunks
+      .withColumn("chunk_df", size(collect_set(col(idCol)).over(win)))
       .groupBy(col(idCol))
       .agg(
         array_join(
