@@ -107,12 +107,23 @@ object Robust {
     * the default 20), the k smallest values are clamped up to the
     * (k+1)-th and the k largest down to the (n−k)-th — but instead of
     * materializing clamped rows, the group aggregate folds the clamp
-    * algebraically: winsorized sum = k·(lo + hi) + Σ middle. The
+    * algebraically: winsorized sum = k·(lo + hi) + Σ middle.  The
     * trimmed mean drops the tails outright (null when nothing
-    * remains). Ranks are deterministic via the (value, id) sort.
+    * remains).
     *
-    * One window exchange on `keyCol` (row_number + count stack on the
-    * same partition), group collapse on the same key.
+    * Like [[weightedMedian]], the rank arithmetic runs over the
+    * per-key VALUE HISTOGRAM, not raw rows: a robust screen's key is
+    * typically low-cardinality (event types), so a raw-row window is
+    * |keys| straggler tasks each sorting its whole group. The
+    * histogram collapse (map-combining hash aggregate) bounds the
+    * window tasks by the value domain — a currency column saturates
+    * at its price range — and the stats are unchanged because both
+    * means are multiset functions: a value with count c occupies rank
+    * interval [cw−c+1, cw] of the (value, id) sort, so the middle
+    * contribution is the interval's overlap with [k+1, n−k] and the
+    * clamp values are the min values whose cumulative count reaches
+    * k+1 and n−k. `idCol` is retained for call-site compatibility; the
+    * histogram form no longer needs a tie-break to be deterministic.
     *
     * Output: (key, n, k, lo_cents, hi_cents, wins_mean, trim_mean) —
     * means in currency units (cents / 100), each a single division of
@@ -121,20 +132,30 @@ object Robust {
   def winsorizedStats(df: DataFrame, keyCol: String, centsCol: String,
       idCol: String, tailDenom: Int = 20): DataFrame = {
     require(tailDenom >= 2, s"tailDenom must be >= 2, got $tailDenom")
-    val ordw = Window.partitionBy(keyCol).orderBy(col(centsCol), col(idCol))
+    val run = Window.partitionBy(keyCol).orderBy(col(centsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(keyCol)
+    val lo = col("_cw") - col("_c") + 1L   // first rank this value holds
+    val overlap =
+      least(col("_cw"), col("_n") - col("_k")) -
+        greatest(lo, col("_k") + 1L) + 1L  // ranks of this value in the middle
     df
-      .withColumn("_rn", row_number().over(ordw).cast("long"))
-      .withColumn("_n", count(lit(1)).over(all))
+      .groupBy(col(keyCol), col(centsCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cw", sum(col("_c")).over(run))
+      .withColumn("_n", sum(col("_c")).over(all))
       .withColumn("_k", expr(s"_n DIV $tailDenom"))
       .groupBy(col(keyCol))
       .agg(
         max(col("_n")).as("n"),
         max(col("_k")).as("k"),
-        max(when(col("_rn") === col("_k") + 1L, col(centsCol))).as("lo_cents"),
-        max(when(col("_rn") === col("_n") - col("_k"), col(centsCol))).as("hi_cents"),
-        sum(when(col("_rn").between(col("_k") + 1L, col("_n") - col("_k")),
-          col(centsCol))).as("_mid"))
+        min(when(col("_cw") >= col("_k") + 1L, col(centsCol))).as("lo_cents"),
+        min(when(col("_cw") >= col("_n") - col("_k"), col(centsCol)))
+          .as("hi_cents"),
+        // null (not 0) when no value overlaps the middle, matching the
+        // raw-row sum(when(rn BETWEEN ...)) that returns null on an
+        // empty middle (n = 2k) — wins_mean nulls with it
+        sum(when(overlap >= 1L, overlap * col(centsCol))).as("_mid"))
       .select(col(keyCol), col("n"), col("k"), col("lo_cents"), col("hi_cents"),
         ((col("k") * (col("lo_cents") + col("hi_cents")) + col("_mid"))
           .cast("double") / (lit(100L) * col("n"))).as("wins_mean"),

@@ -47,6 +47,50 @@ class RobustSpec extends SparkSpec {
     assert(r.getAs[Double]("trim_mean") === 18900.0 / (100 * 18))
   }
 
+  test("winsorized stats match a row-sort reference on random tied multisets") {
+    // The histogram formulation must equal the definitional "sort the
+    // rows, clamp k each side" computation for every multiset shape —
+    // heavy ties (values drawn from a domain of 7) make rank intervals
+    // span the k+1 / n−k cut points, the case rank arithmetic can get
+    // subtly wrong.
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      val denom = Seq(2, 3, 5, 20)(rnd.nextInt(4))
+      val groups = (0 until 1 + rnd.nextInt(3)).map { g =>
+        val n = 1 + rnd.nextInt(40)
+        g.toString -> Seq.fill(n)(rnd.nextInt(7) * 50L)
+      }
+      val rows = groups.flatMap { case (g, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (g, i.toLong, v) }
+      }
+      val got = Robust.winsorizedStats(
+          rows.toDF("grp", "id", "x"), "grp", "x", "id", tailDenom = denom)
+        .collect().map { r =>
+          r.getAs[String]("grp") ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+              r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"),
+              Option(r.getAs[java.lang.Double]("wins_mean")).map(_.toDouble),
+              Option(r.getAs[java.lang.Double]("trim_mean")).map(_.toDouble)))
+        }.toMap
+      groups.foreach { case (g, vs) =>
+        val sorted = vs.sorted
+        val n = sorted.length
+        val k = n / denom
+        val lo = sorted(k)
+        val hi = sorted(n - k - 1)
+        val mid = sorted.slice(k, n - k)
+        val expWins =
+          if (mid.isEmpty) None
+          else Some((k * (lo + hi) + mid.sum).toDouble / (100.0 * n))
+        val expTrim =
+          if (n > 2 * k) Some(mid.sum.toDouble / (100.0 * (n - 2 * k)))
+          else None
+        assert(got(g) === ((n.toLong, k.toLong, lo, hi, expWins, expTrim)),
+          s"trial $trial group $g denom $denom vs ${sorted.mkString(",")}")
+      }
+    }
+  }
+
   test("winsorized trim mean is null when the tails cover the group") {
     // n=1 with tailDenom=2 -> k=0 -> trim over all rows still defined;
     // force empty middle with n=2, tailDenom=2 -> k=1, middle empty
