@@ -242,11 +242,16 @@ object Sketches {
     * true count, over by at most 2N/width with probability 1−2⁻ᵈᵉᵖᵗʰ
     * (Cormode & Muthukrishnan 2005).
     *
-    * Scale contract: the sketch build is ONE hash aggregate over
-    * map-side-exploded (group, row, bucket) keys — partial aggregation
-    * collapses every task's contribution to ≤ depth·width counters per
-    * group, so the shuffle carries the GRID, not the key space (the
-    * exact GROUP-BY-item alternative ships every distinct item). The
+    * Scale contract: [[countMinCells]] standalone is ONE hash
+    * aggregate over map-side-exploded (group, row, bucket) keys —
+    * partial aggregation collapses every task's contribution to
+    * ≤ depth·width counters per group, so the shuffle carries the
+    * GRID, not the key space (the exact GROUP-BY-item alternative
+    * ships every distinct item), and the single mergeable aggregate is
+    * the plan the Complete-mode streaming twin requires.
+    * [[countMinEstimates]] must ship the key space regardless (its
+    * probe side computes exact per-item counts), so there it ships
+    * exactly once and the grid sums the collapsed item counts. The
     * probe side joins the tiny cell table (groups·depth·width rows)
     * broadcast. Cells and estimates are exact integers keyed off
     * md5(salt+row:item), so the DuckDB oracle rebuilds the identical
@@ -287,14 +292,27 @@ object Sketches {
       salt: String = "cms"): DataFrame = {
     require(depth >= 1 && width >= 1, "countMin needs depth, width >= 1")
     val bucket = cmsBucket(salt, width) _
-    val rows = df.where(col(itemCol).isNotNull)
-      .select(groupCols.map(col) :+ col(itemCol).cast("string").as("_item"): _*)
     val depths = typedLit((0 until depth).toList)
-    val cells = countMinCells(df, groupCols, itemCol, depth, width, salt)
-    val probes = rows
+    // The probe side needs exact per-(group, item) counts anyway, so
+    // the key space ships exactly once and BOTH sides derive from it:
+    // the grid cell count is the sum of its items' counts, so the
+    // cells rebuild from the collapsed table instead of a second raw
+    // scan ×depth-exploded (ReuseExchange runs the scan + aggregate
+    // once), and the md5 bucket hash runs per ITEM, not per row.
+    // [[countMinCells]] keeps the raw-row shape — it is the mergeable
+    // single-aggregate plan the Complete-mode streaming twin requires
+    // (chained stateful aggregates are unsupported), and standalone it
+    // never justifies shipping the key space.
+    val itemCounts = df.where(col(itemCol).isNotNull)
+      .select(groupCols.map(col) :+ col(itemCol).cast("string").as("_item"): _*)
       .groupBy(groupCols.map(col) :+ col("_item"): _*)
       .agg(count(lit(1)).as("true_cnt"))
-      .where(col("true_cnt") >= minTrue)
+    val cells = itemCounts
+      .withColumn("_j", explode(depths))
+      .groupBy(groupCols.map(col) ++ Seq(
+        col("_j"), bucket(col("_j"), col("_item")).as("_bucket")): _*)
+      .agg(sum(col("true_cnt")).as("_n"))
+    val probes = itemCounts.where(col("true_cnt") >= minTrue)
     probes
       .withColumn("_j", explode(depths))
       .withColumn("_bucket", bucket(col("_j"), col("_item")))
