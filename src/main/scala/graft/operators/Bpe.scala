@@ -61,12 +61,19 @@ object Bpe {
       .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
+      // adjacent symbol pairs = word-2-grams of the single-space toks
+      // string: the codegen byte-walk kernel replaces the interpreted
+      // transform(sequence(...), i -> struct(arr[i], arr[i+1])) chain
+      // (the round-14 PositionalGrams discipline). Symbols never
+      // contain a space, so each gram "p1 p2" splits back losslessly —
+      // the (p1, p2) grouping and tie-break are bit-identical. Words
+      // with <2 symbols emit an empty gram array and drop at explode.
       val pairs = cur
-        .withColumn("arr", split(trim(col("toks")), " "))
-        .where(size(col("arr")) >= 2) // 1-symbol words have no pairs
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(0, size(arr) - 2), i -> struct(arr[i] AS p1, arr[i + 1] AS p2))")).as("pr"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .select(col("cnt"), explode(graft.functions.PositionalGrams
+          .positional_grams(trim(col("toks")), 2, hashed = false)).as("_g"))
+        .groupBy(
+          substring_index(col("_g"), " ", 1).as("p1"),
+          substring_index(col("_g"), " ", -1).as("p2"))
         .agg(sum("cnt").as("freq"))
       val best = pairs
         .orderBy(col("freq").desc, col("p1"), col("p2")).limit(1)
