@@ -367,7 +367,44 @@ object TextAnalysis {
     * range sort.
     */
   def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, nTerms: Int, k: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, nTerms: Int, k: Int): org.apache.spark.sql.DataFrame =
+    bm25Ranked(df, idCol, textCol, k) { toks =>
+      (toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(nTerms)
+        .select("token"), toks)
+    }
+
+  /** BM25 "more-like-this": top-`k` documents for the query DOCUMENT
+    * `queryId` — its own top-`nTerms` tokens (count desc, token asc)
+    * are the query, and the query document itself is excluded from the
+    * ranking (the self-match would trivially win). Corpus statistics
+    * (N, avgdl) stay whole-corpus; document frequency is counted over
+    * the scored (query-excluded) candidate set. Same integer
+    * micro-point exactness discipline and 100 TB shape as [[bm25TopK]];
+    * the sparse half of hybrid sparse+dense retrieval.
+    */
+  def bm25MoreLikeThis(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryId: Long, nTerms: Int,
+      k: Int): org.apache.spark.sql.DataFrame =
+    bm25Ranked(df, idCol, textCol, k) { toks =>
+      (toks.where(col(idCol) === queryId)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(nTerms)
+        .select("token"), toks.where(col(idCol) =!= queryId))
+    }
+
+  /** Shared BM25 scorer: `pick` maps the persisted token stream to
+    * (query terms, scored candidate token stream); everything else —
+    * one fused corpus-stat action, broadcast term semi-join, micro-
+    * point contribution, bounded top-k — is common to every BM25
+    * variant, so the mirrored-expression-tree contract lives in one
+    * place.
+    */
+  private def bm25Ranked(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int)(
+      pick: org.apache.spark.sql.DataFrame =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame))
+      : org.apache.spark.sql.DataFrame = {
     val toks = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
@@ -383,10 +420,8 @@ object TextAnalysis {
         lit(0))).as("ntok")).head()
     val nDocs = r.getLong(0).toDouble
     val avgdl = (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble) / nDocs
-    val qTerms = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token").asc).limit(nTerms)
-      .select("token")
-    val tf = toks.join(broadcast(qTerms), Seq("token"))
+    val (qTerms, cands) = pick(toks)
+    val tf = cands.join(broadcast(qTerms), Seq("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfc"))
     // dl is a NARROW per-doc projection of the source frame, not a

@@ -156,6 +156,36 @@ object VecQueries {
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
       idCol = "vec_id", labelCol = "label", k = 4, salt = "graft-neg-r9")
 
+  /** Hybrid sparse+dense retrieval for query document 0 — the
+    * production "more-like-this" shape: BM25 over the query doc's own
+    * top-8 tokens ([[graft.operators.TextAnalysis.bm25MoreLikeThis]])
+    * and cosine neighbors of its embedding ([[Similarity
+    * .bruteForceTopK]]; IVF is the scale path), each top-20, fused by
+    * reciprocal-rank fusion to a final top-10. Both rankers exclude
+    * the query document itself. 100 TB shape: the sparse side is a
+    * broadcast 8-term semi-join (corpus streams once), the dense side
+    * a broadcast-query scoring pass with a bounded heap, and the
+    * fusion a ≤ 2k-row join — no ranker result ever range-sorts the
+    * corpus. The sparse rank window orders 20 localCheckpointed rows.
+    */
+  def hybridRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val sparse = graft.operators.TextAnalysis
+      .bm25MoreLikeThis(docs, "doc_id", "text", queryId = 0L, nTerms = 8,
+        k = 20)
+      .select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id").asc))
+          .cast("long").as("rank"))
+    val emb = corpus(spark, sfDir)
+    val dense = Similarity
+      .bruteForceTopK(emb, emb.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    Similarity.rrfFuse(sparse, dense, k = 10)
+  }
+
   /** Top-5 most-similar cross-label neighbors per anchor (vec_id < 10)
     * — see [[Similarity.hardNegatives]].
     */
@@ -337,6 +367,7 @@ object VecQueries {
     "similarity_recall" -> similarityRecall,
     "similarity_mrr" -> similarityMrr,
     "similarity_rrf" -> topkRrf,
+    "hybrid_retrieval" -> hybridRetrieval,
     "embedding_quantize" -> ((s: SparkSession, dir: String) =>
       Quantize.int8(Tables.embeddings(s, dir), "embedding", Seq("vec_id"))),
     "embedding_zscore" -> ((s: SparkSession, dir: String) =>
@@ -787,6 +818,55 @@ object VecQueries {
          |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC) AS INT) AS rank
          |  FROM tqasg a JOIN tasg b ON a.cell = b.cell AND b.vec_id <> a.vec_id)
          |WHERE rank <= 5""".stripMargin,
+    // hybrid: the bm25_topk CTE chain (query terms from doc 0, doc 0
+    // excluded from candidates) + the similarity_topk cosine mirror
+    // for query vector 0 + the similarity_rrf fusion formula.
+    "hybrid_retrieval" ->
+      s"""WITH $qCte,
+         |t AS (SELECT doc_id, token FROM (
+         |       SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |       FROM documents)
+         |     WHERE token <> ''),
+         |s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |             (SELECT count(*) FROM t)::DOUBLE AS ntok),
+         |qt AS (SELECT token FROM (
+         |        SELECT token, count(*) AS cnt FROM t WHERE doc_id = 0
+         |        GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 8)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+         |       WHERE token IN (SELECT token FROM qt) AND doc_id <> 0
+         |       GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |        CAST(round(ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+         |          * (tf * 2.2)
+         |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (ntok / n)))
+         |          * 1000000.0) AS BIGINT) AS contrib
+         |      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s),
+         |sp AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |       FROM (SELECT doc_id, sum(contrib) AS score_micro FROM c
+         |             GROUP BY 1 ORDER BY score_micro DESC, doc_id ASC
+         |             LIMIT 20)),
+         |de AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+         |        / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) DESC, b.vec_id ASC)
+         |      AS BIGINT) AS rank
+         |  FROM n a, n b WHERE a.vec_id = 0 AND b.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |f AS (SELECT query_id, neighbor_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + a.rank AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + b.rank AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM sp a FULL OUTER JOIN de b USING (query_id, neighbor_id))
+         |SELECT query_id, neighbor_id, rrf, fused_rank FROM (
+         |  SELECT query_id, neighbor_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS fused_rank
+         |  FROM f)
+         |WHERE fused_rank <= 10""".stripMargin,
     "similarity_rrf" ->
       s"""WITH $qCte,
          |bk AS (SELECT vec_id, qv, n2,

@@ -86,4 +86,27 @@ class Bm25Spec extends SparkSpec {
     val score = got.map(r => r._1 -> r._3).toMap
     assert(score(4L) > score(2L))
   }
+
+  test("bm25MoreLikeThis: query terms come from the query doc, which is excluded") {
+    // doc 3's tokens are all unique within it → its top-2 query terms
+    // are the ALPHABETICALLY first two ("a", "dog"); "dog" hits doc 2,
+    // "a" hits no other doc. Doc 3 itself must not appear.
+    val got = T.bm25MoreLikeThis(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", queryId = 3L, nTerms = 2, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(!got.map(_._1).contains(3L), s"query doc leaked into: $got")
+    assert(got.map(_._1) === Seq(2L), s"expected only the dog doc: $got")
+  }
+
+  test("hybrid fusion ranks a doc found by both rankers above single-ranker docs") {
+    // rrfFuse with hand-built rankings: doc 7 is rank 2 in both lists;
+    // docs 5/9 are rank 1 in exactly one. 1/62+1/62 > 1/61+0 → doc 7
+    // fuses first; the 1/61 singletons tie and break by neighbor id.
+    val a = Seq((0L, 5L, 1L), (0L, 7L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((0L, 9L, 1L), (0L, 7L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val fused = graft.operators.Similarity.rrfFuse(a, b, k = 3)
+      .orderBy(col("fused_rank"))
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(fused === Seq(7L, 5L, 9L))
+  }
 }
