@@ -341,4 +341,34 @@ object Sketches {
       .select(groupCols.map(col) ++ Seq(
         col("_e.item").as("item"), col("_e.est").as("est")): _*)
       .where(col("est") >= minCount)
+
+  /** Join-skew pre-flight: before running (or salting, or skipping) a
+    * big equi-join, price its hot keys — per key heavy on BOTH sides,
+    * the row counts and the implied per-key output mass
+    * `fanout = cnt_a · cnt_b`, largest first. This is the diagnostic
+    * that says WHICH keys make a 100 TB join melt and what
+    * [[graft.operators.Partitioning.saltedJoin]] must absorb.
+    *
+    * Scale contract: each side collapses to ≤ `capacity` Space-Saving
+    * counters per task BEFORE anything crosses the wire (never the key
+    * space — the [[heavyHitters]] economics); the two ≤ capacity-row
+    * top lists join in one broadcast and the final cut is a bounded
+    * top-`topN` heap. With `capacity` ≥ the side's distinct count the
+    * counts are exact (the oracle-verified regime); below it they
+    * overshoot by ≤ N/capacity, so the fanout estimate stays an UPPER
+    * bound on the true per-key output — the safe direction for a
+    * planning signal.
+    */
+  def joinSkewProbe(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      minCount: Long, capacity: Int, topN: Int): DataFrame = {
+    def side(df: DataFrame, keyCol: String, out: String) =
+      heavyHitters(df.select(col(keyCol)), Seq.empty, keyCol,
+        minCount, capacity)
+        .select(col("item").as("key"), col("est").as(out))
+    side(a, aKey, "cnt_a")
+      .join(broadcast(side(b, bKey, "cnt_b")), "key")
+      .withColumn("fanout", col("cnt_a") * col("cnt_b"))
+      .orderBy(col("fanout").desc, col("key").asc)
+      .limit(topN)
+  }
 }

@@ -72,13 +72,29 @@ object SketchQueries {
       "user_id", SetK)
   }
 
+  private val SkewTopN = 25
+
+  /** Join-skew pre-flight for the events⋈orders enrichment join
+    * (user_id = o_custkey): the 25 keys with the largest implied
+    * per-key output mass, counted by per-side Space-Saving sketches in
+    * the exact regime — see [[Sketches.joinSkewProbe]]. This is the
+    * probe a pipeline runs before the `salted_join` / AQE-skew
+    * decision.
+    */
+  def joinSkewProbe(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.joinSkewProbe(
+      Tables.events(spark, sfDir), "user_id",
+      Tables.orders(spark, sfDir), "o_custkey",
+      minCount = 1L, capacity = HhCapacity, topN = SkewTopN)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "distinct_kmv" -> distinctKmv,
     "distinct_hll" -> distinctHll,
     "quantile_hist" -> quantileHist,
     "heavy_hitters" -> heavyHitters,
     "kmv_set_algebra" -> kmvSetAlgebra,
-    "cms_freq" -> cmsFreq
+    "cms_freq" -> cmsFreq,
+    "join_skew_probe" -> joinSkewProbe
   )
 
   // The double constants are interpolated from the SAME Scala values the
@@ -89,6 +105,19 @@ object SketchQueries {
     Sketches.hllAlpha(1 << HllP) * (1 << HllP) * (1 << HllP) * (1L << 33).toDouble
 
   val oracle: Map[String, String] = Map(
+    // exact-regime Space-Saving == plain GROUP BY counts (capacity
+    // exceeds both sides' distinct keys at every oracle SF)
+    "join_skew_probe" ->
+      s"""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS key,
+         |             CAST(count(*) AS BIGINT) AS cnt_a
+         |           FROM events GROUP BY 1),
+         |b AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+         |        CAST(count(*) AS BIGINT) AS cnt_b
+         |      FROM orders GROUP BY 1)
+         |SELECT key, cnt_a, cnt_b,
+         |  CAST(cnt_a * cnt_b AS BIGINT) AS fanout
+         |FROM a JOIN b USING (key)
+         |ORDER BY fanout DESC, key ASC LIMIT $SkewTopN""".stripMargin,
     "distinct_kmv" ->
       s"""WITH hs AS (
          |  SELECT DISTINCT event_type,

@@ -179,4 +179,30 @@ class SketchSpec extends SparkSpec {
       "item", 4, 64, 1L).collect().toSeq.sortBy(_.getAs[String]("item"))
     assert(a === b)
   }
+
+  test("join skew probe: only both-side keys survive, ordered by fanout, topN cut") {
+    // a: h×5, x×3, w×2 | b: h×4, x×4, y×3 → shared keys h (5·4=20) and
+    // x (3·4=12); w/y are one-sided and must not appear. topN=1 keeps
+    // only the fan-out bomb.
+    val a = (Seq.fill(5)("h") ++ Seq.fill(3)("x") ++ Seq.fill(2)("w"))
+      .toDF("k")
+    val b = (Seq.fill(4)("h") ++ Seq.fill(4)("x") ++ Seq.fill(3)("y"))
+      .toDF("k")
+    val all = Sketches.joinSkewProbe(a, "k", b, "k",
+        minCount = 1L, capacity = 64, topN = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(all === Seq(("h", 5L, 4L, 20L), ("x", 3L, 4L, 12L)))
+    val top1 = Sketches.joinSkewProbe(a, "k", b, "k", 1L, 64, topN = 1)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(top1 === Seq(("h", 5L, 4L, 20L)))
+  }
+
+  test("join skew probe: fanout ties break by key string order") {
+    val a = Seq("b", "b", "a", "a", "c").toDF("k")
+    val b = Seq("a", "b", "c", "c").toDF("k")
+    // fanouts: a=2, b=2, c=2 → key asc order a, b, c
+    val got = Sketches.joinSkewProbe(a, "k", b, "k", 1L, 64, topN = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq.map(_._1)
+    assert(got === Seq("a", "b", "c"))
+  }
 }
