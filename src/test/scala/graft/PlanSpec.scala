@@ -225,6 +225,7 @@ class PlanSpec extends SparkSpec {
       "similarity_mrr" -> "inherited broadcast centroid routing + truth query fan-out from the method arms",
       "similarity_rrf" -> "inherited from its ivf_mp input (broadcast centroid routing)",
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank",
+      "hybrid_retrieval" -> "inherited from its dense arm (similarity_topk's broadcast 1-query fan-out)",
       "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
       "negative_sample" -> "broadcast L-label !=-join builds the negative pool",
       "hard_negatives" -> "broadcast anchor-set cross-label scoring fan-out")
