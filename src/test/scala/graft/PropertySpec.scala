@@ -447,6 +447,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NormalizeText (strip + space modes) == Java-regex reference on fuzzed unicode") {
+    import graft.functions.NormalizeText
+    // The definitional model: the exact regex pipelines the kernel
+    // replaced (NormalizeText scaladoc), run through Java's own regex
+    // and toLowerCase — fully independent of the byte walk. After the
+    // pipelines the alphabet is [a-z0-9 ], so String.trim == the
+    // space-trim the Column twin performs.
+    def ref(s: String, punctToSpace: Boolean): String =
+      if (punctToSpace)
+        s.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+          .replaceAll(" +", " ").trim
+      else
+        s.toLowerCase.replaceAll("[^a-z0-9\\s]", "")
+          .replaceAll("\\s+", " ").trim
+    forAllSampled(spaceyText, 300) { s =>
+      val u = UTF8String.fromString(s)
+      for (mode <- Seq(false, true))
+        assert(NormalizeText.normalize(u, mode).toString === ref(s, mode),
+          s"mode=$mode on '$s'")
+    }
+  }
+
   // -- boilerplate removal ------------------------------------------
 
   test("dedupBoilerplate round-trips any corpus with no repeated span") {
