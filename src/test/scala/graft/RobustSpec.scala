@@ -91,6 +91,16 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("winsorized stats are invariant to input partitioning") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_type"), col("event_id"),
+      (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("x"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Robust.winsorizedStats(d, "event_type", "x", "event_id")
+        .collect().map(_.toSeq).toSet
+    assert(run(df) === run(df.repartition(7)))
+  }
+
   test("winsorized trim mean is null when the tails cover the group") {
     // n=1 with tailDenom=2 -> k=0 -> trim over all rows still defined;
     // force empty middle with n=2, tailDenom=2 -> k=1, middle empty
