@@ -40,15 +40,15 @@ object Bpe {
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** `" k e y "` — substring-based char split (identical semantics to
-    * the oracle's substr comprehension; Spark's split-on-empty-regex
-    * keeps a trailing empty token, so it is NOT used).
+  /** `" k e y "` — per-character split with wrapping spaces, as the
+    * [[graft.functions.CharSpaced]] codegen byte walk (codepoint
+    * boundaries == the oracle's substr comprehension unit; Spark's
+    * split-on-empty-regex keeps a trailing empty token, so it is NOT
+    * used). The interpreted HOF twin lives on as
+    * [[graft.functions.CharSpaced.charSpacedTwin]] for the spec pins.
     */
   private def charSpaced(colName: String): Column =
-    concat(lit(" "),
-      array_join(expr(
-        s"transform(sequence(1, length($colName)), i -> substring($colName, i, 1))"), " "),
-      lit(" "))
+    graft.functions.CharSpaced.char_spaced(col(colName))
 
   /** Train `rounds` merges. Returns (merges, vocab):
     * merges = (round, p1, p2, freq) one row per learned merge;

@@ -469,6 +469,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharSpaced == HOF twin and a codepoint reference on fuzzed unicode") {
+    import graft.functions.CharSpaced
+    // codepoint-level reference: one space before every UTF-32 char
+    // plus a trailing space — the unit substring(w, i, 1) counts
+    def ref(s: String): String =
+      if (s.isEmpty) "   "
+      else s.codePoints().toArray
+        .map(cp => " " + new String(Character.toChars(cp))).mkString + " "
+    forAllSampled(spaceyText, 300) { s =>
+      // words never contain the split separator; drop plain spaces but
+      // keep tabs/newlines (split(" ") leaves them inside words)
+      val w = s.replace(" ", "")
+      assert(CharSpaced.spaced(UTF8String.fromString(w)).toString === ref(w),
+        s"on '$w'")
+    }
+    // twin equality through the engine, multibyte + control chars
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val words = Seq("key", "héllo", "✓", "𝄞x𝄞", "a\tb", "", "ß")
+    val got = words.toDF("w")
+      .select(CharSpaced.char_spaced(col("w")).as("k"),
+        CharSpaced.charSpacedTwin("w").as("t"))
+      .collect()
+    got.zip(words).foreach { case (r, w) =>
+      assert(r.getString(0) === r.getString(1), s"kernel != twin on '$w'")
+    }
+  }
+
   // -- boilerplate removal ------------------------------------------
 
   test("dedupBoilerplate round-trips any corpus with no repeated span") {
