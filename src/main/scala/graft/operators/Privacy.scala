@@ -38,6 +38,40 @@ object Privacy {
         (col("class_size") >= k).cast("int").as("anonymous"))
   }
 
+  /** l-diversity audit — k-anonymity's necessary companion: a class
+    * can be large (k-anonymous) yet give the sensitive attribute away
+    * because every member shares one value (the homogeneity attack,
+    * Machanavajjhala et al. 2007). Group rows by the quasi-identifier
+    * tuple, count DISTINCT sensitive values per class, histogram the
+    * distinct counts; a release is l-diverse iff every class carries
+    * ≥ l distinct sensitive values.
+    *
+    * Scale shape: distinctness collapses FIRST on (QI tuple,
+    * sensitive) — one map-side-combining hash aggregate, so the wire
+    * carries distinct combinations, never raw rows, and no Expand /
+    * count(DISTINCT) rewrite appears; the per-class rollup and the
+    * histogram then run on the already-reduced tables (≤ #classes
+    * rows).
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[Column], sensitiveCol: Column,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val byQiSv = df.groupBy(qiCols :+ sensitiveCol.as("_sv"): _*)
+      .agg(count(lit(1)).as("_c"))
+    byQiSv
+      .groupBy(byQiSv.columns.dropRight(2).map(col): _*)
+      .agg(count(lit(1)).as("l_distinct"), sum(col("_c")).as("class_size"))
+      .groupBy(col("l_distinct"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .select(
+        col("l_distinct").as("l"),
+        col("n_classes"), col("n_rows"),
+        (col("l_distinct") >= l).cast("int").as("diverse"))
+  }
+
   /** A capped two-sided-geometric noise term derived deterministically
     * from `md5(salt || ":" || key)`.
     *

@@ -58,6 +58,20 @@ object PrivacyQueries {
         floor(col("c_acctbal") / 1000).as("bal_band")),
       k = 5)
 
+  /** l-diversity audit of the SAME release [[kAnonymity]] audits: the
+    * $1000 bands generalize `c_acctbal`, so the exact balance is the
+    * sensitive attribute — a band-class where everyone holds the same
+    * balance is k-anonymous yet leaks it (the homogeneity attack).
+    * Histogram of per-class distinct-balance counts, l ≥ 3 flag.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Privacy.lDiversity(
+      Tables.customer(spark, sfDir),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band")),
+      sensitiveCol = col("c_acctbal"),
+      l = 3)
+
   /** Differentially-private per-event-type counts (two-sided-geometric
     * mechanism, ε = ln 2, deterministic md5-keyed draws — see
     * [[graft.operators.Privacy.twoSidedGeometric]] for why the
@@ -95,6 +109,7 @@ object PrivacyQueries {
     "text_normalize" -> textNormalize,
     "dedup_boilerplate" -> dedupBoilerplate,
     "k_anonymity" -> kAnonymity,
+    "l_diversity" -> lDiversity,
     "dp_noisy_count" -> dpNoisyCount,
     "streaming_dp_count" -> streamingDpCount,
     "pii_anonymize" -> piiAnonymize
@@ -139,6 +154,17 @@ object PrivacyQueries {
         |  CAST(sum(class_size) AS BIGINT) AS n_rows,
         |  CAST(class_size >= 5 AS INT) AS anonymous
         |FROM classes GROUP BY 1""".stripMargin,
+    "l_diversity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS bal_band,
+        |    count(DISTINCT c_acctbal) AS l_distinct, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(l_distinct AS BIGINT) AS l,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(l_distinct >= 3 AS INT) AS diverse
+        |FROM classes GROUP BY l_distinct""".stripMargin,
     "dp_noisy_count" -> DpCountOracle,
     "streaming_dp_count" -> DpCountOracle,
     "pii_anonymize" ->

@@ -106,6 +106,26 @@ class PrivacySpec extends SparkSpec {
     assert(out.values.map(_._2).sum == df.count())
   }
 
+  test("lDiversity flags homogeneous classes that kAnonymity passes") {
+    val df = Seq(
+      // class (a, 1): 3 rows, ALL the same sensitive value 50 — the
+      // homogeneity attack: k-anonymous at k=3, l-diverse only at l=1
+      ("a", 1, 50), ("a", 1, 50), ("a", 1, 50),
+      // class (b, 1): 3 rows, 3 distinct sensitive values
+      ("b", 1, 10), ("b", 1, 20), ("b", 1, 30),
+      // class (c, 2): 2 rows, 2 distinct values
+      ("c", 2, 10), ("c", 2, 99)
+    ).toDF("seg", "nat", "sv")
+    val out = Privacy.lDiversity(df, Seq(col("seg"), col("nat")),
+        col("sv"), l = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((1L, 3L, 0)), "homogeneous class must fail")
+    assert(out(3L) == ((1L, 3L, 1)), "3-distinct class passes at l=3")
+    assert(out(2L) == ((1L, 2L, 0)), "2-distinct class fails at l=3")
+    assert(out.values.map(_._2).sum == df.count(), "rows conserved")
+  }
+
   // ------------------------------------------------------ DP mechanism
 
   test("twoSidedGeometric matches an independent md5 reference, bounded") {
