@@ -72,6 +72,75 @@ object Privacy {
         (col("l_distinct") >= l).cast("int").as("diverse"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung after [[kAnonymity]] and [[lDiversity]]: a class can be
+    * large AND diverse yet still leak when its sensitive-value
+    * DISTRIBUTION differs sharply from the table's (the skewness /
+    * similarity attacks). For an ORDERED sensitive attribute the
+    * paper's distance is the Earth Mover's Distance with unit ground
+    * distance between adjacent values:
+    *
+    *   EMD(class, global) = (1/(m−1)) · Σ_{i=1..m−1} |P_c(≤v_i) − P(≤v_i)|
+    *
+    * over the m ordered distinct sensitive values. Kept cross-engine
+    * exact the repo way: cumulative fractions are micro-quantized by
+    * integer division (⌊cum·10⁶/n⌋ — no float ever forms), the EMD is
+    * the integer mean of the absolute micro differences, and the
+    * threshold compare is integer-vs-integer. Quantization error is
+    * < 1 micro per term — irrelevant at any realistic t.
+    *
+    * Scale shape: raw rows collapse FIRST into (QI tuple, sensitive)
+    * cells — one map-side-combining hash aggregate, the only pass over
+    * the data. Everything after runs on bounded tables: the class list
+    * (≤ #classes), the sensitive domain (≤ m — REQUIRE a bounded
+    * ordered domain: band/bucket a raw numeric before calling, exactly
+    * as [[kAnonymity]] bands balances), and the #classes × m grid that
+    * the per-class cumulative needs (a class missing a value globally
+    * present must still carry the flat cumulative there). The global
+    * cumulative is a single-partition window over ≤ m rows and the
+    * domain + total ride broadcasts.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[Column],
+      sensitiveOrderedCol: Column, tMicro: Long): DataFrame = {
+    require(qiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    require(tMicro > 0 && tMicro <= 1000000L,
+      s"t threshold must be in (0, 1] micro, got $tMicro")
+    val cell = df.groupBy(qiCols :+ sensitiveOrderedCol.as("_sv"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val qiNames = cell.columns.dropRight(2).toSeq
+    val cls = cell.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("_cnt")).as("_n_c"))
+    val svs = cell.select(col("_sv")).distinct()
+    // global per-value counts + cumulative + total: all ≤ m rows, so the
+    // unpartitioned window and the 1-row total broadcast are bounded
+    val glob = cell.groupBy(col("_sv")).agg(sum(col("_cnt")).as("_g"))
+    val gcum = glob
+      .withColumn("_cum_g", sum(col("_g")).over(
+        Window.orderBy(col("_sv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(glob.agg(sum(col("_g")).as("_n_tot"))))
+    val grid = cls.crossJoin(broadcast(svs))
+      .join(cell, qiNames :+ "_sv", "left")
+      .withColumn("_c", coalesce(col("_cnt"), lit(0L)))
+      .withColumn("_cum_c", sum(col("_c")).over(
+        Window.partitionBy(qiNames.map(col): _*).orderBy(col("_sv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val termed = grid.join(broadcast(gcum.drop("_g")), Seq("_sv"))
+      .withColumn("_t", abs(
+        expr("(_cum_c * 1000000) DIV _n_c") -
+          expr("(_cum_g * 1000000) DIV _n_tot")))
+    // the i = m term is identically 0 (both cumulatives hit exactly
+    // 10⁶), so summing all m terms and dividing by m−1 is the paper sum
+    val emd = when(count(lit(1)) > 1,
+      expr("sum(_t) DIV (count(1) - 1)")).otherwise(lit(0L))
+    termed.groupBy((qiNames :+ "_n_c").map(col): _*)
+      .agg(emd.cast("bigint").as("emd_micro"))
+      .select(qiNames.map(col) ++ Seq(
+        col("_n_c").cast("bigint").as("class_size"),
+        col("emd_micro"),
+        (col("emd_micro") <= tMicro).cast("int").as("t_close")): _*)
+  }
+
   /** A capped two-sided-geometric noise term derived deterministically
     * from `md5(salt || ":" || key)`.
     *

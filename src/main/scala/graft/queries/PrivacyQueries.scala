@@ -72,6 +72,21 @@ object PrivacyQueries {
       sensitiveCol = col("c_acctbal"),
       l = 3)
 
+  /** t-closeness audit completing the trio: same release as
+    * [[kAnonymity]]/[[lDiversity]] but under the COARSER QI pair
+    * (nation, segment) with the $1000 balance band as the ordered
+    * sensitive attribute — a class can be k-anonymous and l-diverse yet
+    * sit almost entirely in the top bands (the skewness attack); EMD
+    * against the global band distribution catches it. t = 0.2 (the
+    * paper's running example).
+    */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame =
+    Privacy.tCloseness(
+      Tables.customer(spark, sfDir),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      sensitiveOrderedCol = floor(col("c_acctbal") / 1000).cast("bigint"),
+      tMicro = 200000L)
+
   /** Differentially-private per-event-type counts (two-sided-geometric
     * mechanism, ε = ln 2, deterministic md5-keyed draws — see
     * [[graft.operators.Privacy.twoSidedGeometric]] for why the
@@ -110,6 +125,7 @@ object PrivacyQueries {
     "dedup_boilerplate" -> dedupBoilerplate,
     "k_anonymity" -> kAnonymity,
     "l_diversity" -> lDiversity,
+    "t_closeness" -> tCloseness,
     "dp_noisy_count" -> dpNoisyCount,
     "streaming_dp_count" -> streamingDpCount,
     "pii_anonymize" -> piiAnonymize
@@ -165,6 +181,38 @@ object PrivacyQueries {
         |  CAST(sum(class_size) AS BIGINT) AS n_rows,
         |  CAST(l_distinct >= 3 AS INT) AS diverse
         |FROM classes GROUP BY l_distinct""".stripMargin,
+    "t_closeness" ->
+      """WITH cell AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3
+        |), cls AS (
+        |  SELECT c_nationkey, c_mktsegment, sum(cnt) AS n_c
+        |  FROM cell GROUP BY 1, 2
+        |), svs AS (SELECT DISTINCT sv FROM cell),
+        |gcum AS (
+        |  SELECT sv, sum(g) OVER (ORDER BY sv) AS cum_g,
+        |    (SELECT sum(cnt) FROM cell) AS n_tot
+        |  FROM (SELECT sv, sum(cnt) AS g FROM cell GROUP BY 1)
+        |), grid AS (
+        |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, svs.sv,
+        |    coalesce(cell.cnt, 0) AS c
+        |  FROM cls CROSS JOIN svs
+        |  LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+        |    AND cell.c_mktsegment = cls.c_mktsegment AND cell.sv = svs.sv
+        |), term AS (
+        |  SELECT c_nationkey, c_mktsegment, n_c,
+        |    abs((sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                      ORDER BY grid.sv) * 1000000) // n_c
+        |      - (cum_g * 1000000) // n_tot) AS t
+        |  FROM grid JOIN gcum ON grid.sv = gcum.sv
+        |)
+        |SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS class_size,
+        |  CAST(CASE WHEN count(*) > 1 THEN sum(t) // (count(*) - 1)
+        |       ELSE 0 END AS BIGINT) AS emd_micro,
+        |  CAST(CASE WHEN count(*) > 1 THEN sum(t) // (count(*) - 1)
+        |       ELSE 0 END <= 200000 AS INT) AS t_close
+        |FROM term GROUP BY 1, 2, 3""".stripMargin,
     "dp_noisy_count" -> DpCountOracle,
     "streaming_dp_count" -> DpCountOracle,
     "pii_anonymize" ->

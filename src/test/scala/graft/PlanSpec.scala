@@ -227,6 +227,7 @@ class PlanSpec extends SparkSpec {
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank",
       "hybrid_retrieval" -> "inherited from its dense arm (similarity_topk's broadcast 1-query fan-out)",
       "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
+      "t_closeness" -> "crossJoin of the broadcast ≤m-row sensitive-domain list (the class × value EMD grid) + the broadcast 1-row global total",
       "negative_sample" -> "broadcast L-label !=-join builds the negative pool",
       "hard_negatives" -> "broadcast anchor-set cross-label scoring fan-out")
     val hits = scala.collection.mutable.Map.empty[String, List[String]]

@@ -126,6 +126,47 @@ class PrivacySpec extends SparkSpec {
     assert(out.values.map(_._2).sum == df.count(), "rows conserved")
   }
 
+  // ------------------------------------------------------ t-closeness
+
+  test("tCloseness matches the hand-computed ordered EMD") {
+    // global over sv {10, 20, 30}: counts 5/2/2, N = 9
+    //   cumulative micro: 555555, 777777, 1000000
+    // class A (6 rows, 2/2/2): cum micro 333333, 666666, 1000000
+    //   EMD = (|333333-555555| + |666666-777777| + 0) / 2 = 166666
+    // class B (3 rows, all sv 10 — misses 20 and 30 entirely, so the
+    // grid must carry its FLAT cumulative through both): 1e6 at every
+    // point -> EMD = (444445 + 222223 + 0) / 2 = 333334
+    val df = (Seq.fill(2)(("a", 10)) ++ Seq.fill(2)(("a", 20)) ++
+      Seq.fill(2)(("a", 30)) ++ Seq.fill(3)(("b", 10))).toDF("seg", "sv")
+    val out = Privacy.tCloseness(df, Seq(col("seg")), col("sv"),
+        tMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("a") == ((6L, 166666L, 1)), s"class a: ${out("a")}")
+    assert(out("b") == ((3L, 333334L, 0)), s"class b: ${out("b")}")
+  }
+
+  test("tCloseness is zero for classes matching the global distribution") {
+    // two classes with identical distributions -> global equals both
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3))
+      .toDF("seg", "sv")
+    val out = Privacy.tCloseness(df, Seq(col("seg")), col("sv"), 200000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("tCloseness is layout-independent") {
+    val df = (0 until 300)
+      .map(i => (s"c${i % 7}", (i * 37) % 5, i))
+      .toDF("seg", "sv", "row")
+    val a = Privacy.tCloseness(df, Seq(col("seg")), col("sv"), 100000L)
+      .collect().toSet
+    val b = Privacy.tCloseness(df.repartition(13, col("row")),
+        Seq(col("seg")), col("sv"), 100000L)
+      .collect().toSet
+    assert(a == b)
+  }
+
   // ------------------------------------------------------ DP mechanism
 
   test("twoSidedGeometric matches an independent md5 reference, bounded") {
