@@ -335,6 +335,24 @@ object MiscQueries {
       graft.operators.Partitioning.zValue2(col("a"), col("b")))
   }
 
+  /** Hilbert-curve key computation — [[zorderValue]]'s companion on the
+    * SAME quantized inputs, so the two layout keys are directly
+    * comparable (and the write-side clustering effect is proven in
+    * PartitioningSpec). The state-carrying rotate/flip walk runs as the
+    * [[graft.functions.HilbertValue]] codegen kernel; the oracle mirrors
+    * it as a 16-round chained-CTE unroll (generated, one CTE per bit
+    * level — the zorder_value idiom at 4× the rounds because the
+    * Hilbert step, unlike Morton's, carries rotation state).
+    */
+  def hilbertValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("a"),
+        pmod(col("event_id") * 2654435761L, lit(65536L)).as("b"))
+    e.withColumn("h",
+      graft.functions.HilbertValue.hilbert_value(col("a"), col("b"), 16))
+  }
+
   /** Streaming twin of the count-min grid build
     * ([[graft.operators.Sketches.countMinCells]]): the (group, row,
     * bucket) count aggregate is mergeable state, so the grid runs as a
@@ -410,6 +428,7 @@ object MiscQueries {
     "dq_checks" -> dqChecks,
     "url_normalize" -> urlNormalize,
     "zorder_value" -> zorderValue,
+    "hilbert_value" -> hilbertValue,
     "sample_split" -> sampleSplit,
     "weighted_sample" -> weightedSample,
     "profile_columns" -> profileColumns,
@@ -598,6 +617,7 @@ object MiscQueries {
         |  FROM s3
         |)
         |SELECT event_id, a, b, sa4 | (sb4 << 1) AS z FROM s4""".stripMargin,
+    "hilbert_value" -> HilbertOracle,
     "sample_split" ->
       s"""SELECT event_id, user_id,
          |  CASE WHEN md5('split:' || CAST(event_id AS VARCHAR)) < '$t80' THEN 'train'
@@ -926,4 +946,37 @@ object MiscQueries {
         |  round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** Generated 16-round Hilbert xy→d unroll: one CTE per bit level —
+    * the walk's (x, y, d) state threads through the CTE chain exactly
+    * as it threads through the kernel's loop variables. Quadrant
+    * `(3·rx) XOR ry` is spelled as the equivalent CASE (rx=1 → 3−ry,
+    * else ry); the ry=0 rotate/flip is the two symmetric CASEs on
+    * (x, y).
+    */
+  private lazy val HilbertOracle: String = {
+    val mask = 65535L
+    val rounds = (0 until 16).map { k =>
+      val s = 1L << (15 - k)
+      s"""r${k + 1} AS (
+         |  SELECT event_id, a, b,
+         |    d + ${s * s} * (CASE WHEN (x & $s) > 0
+         |        THEN 3 - (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)
+         |        ELSE (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) END) AS d,
+         |    CASE WHEN (y & $s) > 0 THEN x
+         |         WHEN (x & $s) > 0 THEN $mask - y ELSE y END AS x,
+         |    CASE WHEN (y & $s) > 0 THEN y
+         |         WHEN (x & $s) > 0 THEN $mask - x ELSE x END AS y
+         |  FROM r$k)""".stripMargin
+    }
+    s"""WITH r0 AS (
+       |  SELECT event_id, user_id % 65536 AS a,
+       |    (event_id * 2654435761) % 65536 AS b,
+       |    CAST(0 AS BIGINT) AS d,
+       |    user_id % 65536 AS x,
+       |    (event_id * 2654435761) % 65536 AS y
+       |  FROM events),
+       |${rounds.mkString(",\n")}
+       |SELECT event_id, a, b, d AS h FROM r16""".stripMargin
+  }
 }

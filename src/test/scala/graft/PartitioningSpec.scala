@@ -162,6 +162,37 @@ class PartitioningSpec extends SparkSpec {
       s"z-order should beat the linear sort on a 2-D box: z=$zorder linear=$linear total=$total")
   }
 
+  test("hilbert-clustered layout prunes 2-D box scans a linear sort cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hilbert").toFile
+    val pts = spark.range(0, 200000).select(
+      $"id",
+      pmod($"id" * 2654435761L, lit(65536L)).as("x"),
+      pmod($"id" * 40503L + 17L, lit(65536L)).as("y"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 32 * 1024)
+    try {
+      Partitioning.writeHilbertClustered(pts, s"$tmp/hilbert", "x", "y", 16)
+      Partitioning.writeSortedByRange(pts, s"$tmp/linear", "x", 16)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter($"x" < 4096L && $"y" < 4096L)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val hilbert = scanRows(s"$tmp/hilbert")
+    val linear = scanRows(s"$tmp/linear")
+    assert(hilbert < linear / 2,
+      s"hilbert should beat the linear sort on a 2-D box: h=$hilbert linear=$linear")
+  }
+
   test("compact collapses a fragmented directory to the byte-target file count") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toFile
