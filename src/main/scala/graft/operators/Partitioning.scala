@@ -179,6 +179,44 @@ object Partitioning {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Shard-assignment balance audit — the pre-write planning op: hash
+    * every row to one of `shards` output shards (deterministic md5 on
+    * the key, so the assignment is reproducible across engines, runs,
+    * and retries — the property a distributed writer needs) and report
+    * per-shard row and weight totals plus micro-quantized shares. Read
+    * BEFORE a big write: a weight share far from 10⁶/shards means the
+    * key hashes unevenly (duplicate-heavy or low-cardinality keys) and
+    * the writer should salt or re-key.
+    *
+    * One map-side-combining aggregate over the data; the share
+    * projection is a window over the ≤ `shards`-row result (bounded —
+    * the feature_bins discipline).
+    */
+  def shardBalance(df: DataFrame, keyCol: String, weightCol: String,
+      shards: Int, salt: String = "shard"): DataFrame = {
+    require(shards >= 2, s"shards must be >= 2, got $shards")
+    val shard = pmod(
+      conv(substring(md5(concat(lit(salt), lit(":"),
+        col(keyCol).cast("string"))), 1, 15), 16, 10).cast("bigint"),
+      lit(shards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(shard.as("shard"), col(weightCol).as("_w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("_w")).as("sum_weight"))
+      .withColumn("_tot_rows", sum(col("n_rows")).over(w))
+      .withColumn("_tot_weight", sum(col("sum_weight")).over(w))
+      .select(col("shard"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("sum_weight").cast("bigint").as("sum_weight"),
+        // integer DIV keeps the micro shares engine-exact (a double
+        // quotient could round across the floor boundary)
+        expr("(n_rows * 1000000) DIV _tot_rows").cast("bigint")
+          .as("rows_share_micro"),
+        expr("(sum_weight * 1000000) DIV _tot_weight").cast("bigint")
+          .as("weight_share_micro"))
+  }
+
   /** Skew-safe equi-join: replicate the (small) build side `saltFactor`
     * times and scatter the probe side's hot keys across the replicas
     * with a DETERMINISTIC salt derived from a unique probe column —

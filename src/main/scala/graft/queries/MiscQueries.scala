@@ -353,6 +353,16 @@ object MiscQueries {
       graft.functions.HilbertValue.hilbert_value(col("a"), col("b"), 16))
   }
 
+  /** Pre-write shard-balance audit of the document corpus: 32 output
+    * shards keyed on md5(doc_id), weighted by n_chars (the bytes-
+    * written proxy). See [[graft.operators.Partitioning.shardBalance]]
+    * for the planning contract.
+    */
+  def shardBalance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Partitioning.shardBalance(
+      Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
+      keyCol = "doc_id", weightCol = "n_chars", shards = 32)
+
   /** Streaming twin of the count-min grid build
     * ([[graft.operators.Sketches.countMinCells]]): the (group, row,
     * bucket) count aggregate is mergeable state, so the grid runs as a
@@ -429,6 +439,7 @@ object MiscQueries {
     "url_normalize" -> urlNormalize,
     "zorder_value" -> zorderValue,
     "hilbert_value" -> hilbertValue,
+    "shard_balance" -> shardBalance,
     "sample_split" -> sampleSplit,
     "weighted_sample" -> weightedSample,
     "profile_columns" -> profileColumns,
@@ -618,6 +629,23 @@ object MiscQueries {
         |)
         |SELECT event_id, a, b, sa4 | (sb4 << 1) AS z FROM s4""".stripMargin,
     "hilbert_value" -> HilbertOracle,
+    "shard_balance" ->
+      """WITH a AS (
+        |  SELECT CAST(concat('0x', substr(md5('shard:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard,
+        |    n_chars
+        |  FROM documents
+        |), g AS (
+        |  SELECT shard, count(*) AS n_rows, sum(n_chars) AS sum_weight
+        |  FROM a GROUP BY 1
+        |)
+        |SELECT shard, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_weight AS BIGINT) AS sum_weight,
+        |  CAST((n_rows * 1000000) // (sum(n_rows) OVER ()) AS BIGINT)
+        |    AS rows_share_micro,
+        |  CAST((sum_weight * 1000000) // (sum(sum_weight) OVER ()) AS BIGINT)
+        |    AS weight_share_micro
+        |FROM g""".stripMargin,
     "sample_split" ->
       s"""SELECT event_id, user_id,
          |  CASE WHEN md5('split:' || CAST(event_id AS VARCHAR)) < '$t80' THEN 'train'

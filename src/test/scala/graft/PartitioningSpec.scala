@@ -193,6 +193,33 @@ class PartitioningSpec extends SparkSpec {
       s"hilbert should beat the linear sort on a 2-D box: h=$hilbert linear=$linear")
   }
 
+  test("shardBalance conserves rows/weight, bounds shards, is layout-independent") {
+    val df = (0 until 5000).map(i => (i.toLong, (i % 97 + 1).toLong))
+      .toDF("k", "w")
+    val out = Partitioning.shardBalance(df, "k", "w", shards = 16)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).forall(s => s >= 0 && s < 16))
+    assert(rows.map(_.getLong(1)).sum == 5000L, "rows conserved")
+    assert(rows.map(_.getLong(2)).sum ==
+      (0 until 5000).map(i => (i % 97 + 1).toLong).sum, "weight conserved")
+    // micro shares: each floor-truncated, so the sum sits in
+    // (1e6 - #shards, 1e6]
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum > 1000000L - 16 && shareSum <= 1000000L, s"$shareSum")
+    // a uniform unique key spreads within ~3x of fair share
+    assert(rows.map(_.getLong(1)).max < 3L * 5000 / 16)
+    val again = Partitioning.shardBalance(
+      df.repartition(7, col("w")), "k", "w", shards = 16).collect()
+    assert(rows.toSet == again.toSet, "layout-independent")
+  }
+
+  test("shardBalance exposes a degenerate key: one shard takes all rows") {
+    val df = (0 until 100).map(i => (42L, i.toLong)).toDF("k", "w")
+    val rows = Partitioning.shardBalance(df, "k", "w", shards = 8).collect()
+    assert(rows.length == 1, "single key -> single shard row")
+    assert(rows.head.getLong(3) == 1000000L, "that shard holds 100% micro")
+  }
+
   test("compact collapses a fragmented directory to the byte-target file count") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toFile
