@@ -274,6 +274,53 @@ object Analytics {
         (num / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))).as("corr")): _*)
   }
 
+  /** Categorical-association audit between two discrete columns — the
+    * feature-selection primitive (which raw features carry signal about
+    * a label / which metadata dimensions move together). Per observed
+    * (x, y) cell:
+    *   - exact supports n_xy, n_x, n_y, n_tot (the full contingency
+    *     evidence — any downstream test statistic derives from these);
+    *   - `pmi_q` = ⌊log₂⌋-quantized pointwise mutual information,
+    *     ilog2(n_xy·n_tot) − ilog2(n_x·n_y) — the repo's
+    *     transcendental-free log discipline ([[Dsir.ilog2]]): sign and
+    *     magnitude of the lift in whole doublings, engine-exact;
+    *   - `leverage_micro` = P(x,y) − P(x)·P(y) with every fraction
+    *     micro-quantized by integer DIV before the product — bounded by
+    *     ±10⁶ regardless of data size, so it stays overflow-safe where
+    *     raw cross-products would not (n_xy·n_tot needs n_tot ≲ 3·10⁹
+    *     for the BIGINT pmi_q product — sample or rescale counts past
+    *     that; leverage has no such bound).
+    *
+    * Scale shape: ONE map-side-combining aggregate over raw rows builds
+    * the cell table; the marginals reduce FROM the cells (never a
+    * second data pass), join back broadcast, and the grand total rides
+    * a 1-row broadcast.
+    */
+  def featureAssoc(rows: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cell = rows.groupBy(xCol.as("_x"), yCol.as("_y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = cell.groupBy(col("_x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cell.groupBy(col("_y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cell.agg(sum(col("n_xy")).as("n_tot"))
+    cell
+      .join(broadcast(nx), "_x")
+      .join(broadcast(ny), "_y")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_q",
+        (Dsir.ilog2(col("n_xy") * col("n_tot")) -
+          Dsir.ilog2(col("n_x") * col("n_y"))).cast("bigint"))
+      .withColumn("leverage_micro",
+        (expr("(n_xy * 1000000) DIV n_tot") -
+          expr("(((n_x * 1000000) DIV n_tot) * ((n_y * 1000000) DIV n_tot)) DIV 1000000"))
+          .cast("bigint"))
+      .select(col("_x"), col("_y"),
+        col("n_xy").cast("bigint").as("n_xy"),
+        col("n_x").cast("bigint").as("n_x"),
+        col("n_y").cast("bigint").as("n_y"),
+        col("n_tot").cast("bigint").as("n_tot"),
+        col("pmi_q"), col("leverage_micro"))
+  }
+
   /** Per-group ordinary-least-squares fit y = slope·x + intercept,
     * from the same exact decimal moments as [[corrExact]] — and for the
     * same reason: Spark's `regr_slope`/`regr_intercept` sum doubles in

@@ -174,7 +174,22 @@ object FeatureQueries {
       spread = Some(spark.sparkContext.defaultParallelism))
   }
 
+  /** Categorical association between event type and hour-of-day — does
+    * the event mix move with the clock (the "is this feature worth a
+    * model input" screen)? See
+    * [[graft.operators.Analytics.featureAssoc]] for the exact-integer
+    * PMI/leverage contract.
+    */
+  def featureAssoc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Analytics.featureAssoc(
+      Tables.events(spark, sfDir),
+      xCol = col("event_type"),
+      yCol = hour(col("ts")).cast("bigint"))
+      .withColumnRenamed("_x", "event_type")
+      .withColumnRenamed("_y", "hr")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_assoc" -> (featureAssoc _),
     "ts_acf" -> (tsAcf _),
     "seasonal_anomaly" -> (seasonalAnomaly _),
     "streaming_seasonal" -> (streamingSeasonal _),
@@ -269,6 +284,24 @@ object FeatureQueries {
          |  END AS filled
          |FROM w""".stripMargin
     },
+    "feature_assoc" ->
+      """WITH cell AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |    count(*) AS n_xy
+        |  FROM events GROUP BY 1, 2
+        |), nx AS (SELECT event_type, sum(n_xy) AS n_x FROM cell GROUP BY 1),
+        |ny AS (SELECT hr, sum(n_xy) AS n_y FROM cell GROUP BY 1),
+        |t AS (SELECT sum(n_xy) AS n_tot FROM cell)
+        |SELECT event_type, hr,
+        |  CAST(n_xy AS BIGINT) AS n_xy, CAST(n_x AS BIGINT) AS n_x,
+        |  CAST(n_y AS BIGINT) AS n_y, CAST(n_tot AS BIGINT) AS n_tot,
+        |  CAST((length(bin(CAST(n_xy * n_tot AS BIGINT))) - 1)
+        |     - (length(bin(CAST(n_x * n_y AS BIGINT))) - 1) AS BIGINT) AS pmi_q,
+        |  CAST((n_xy * 1000000) // n_tot
+        |     - (((n_x * 1000000) // n_tot) * ((n_y * 1000000) // n_tot))
+        |       // 1000000 AS BIGINT) AS leverage_micro
+        |FROM cell JOIN nx USING (event_type) JOIN ny USING (hr)
+        |CROSS JOIN t""".stripMargin,
     "drift_detect" ->
       s"""WITH c AS (
          |  SELECT event_type, epoch_us(ts) AS t, $centsSql AS cents

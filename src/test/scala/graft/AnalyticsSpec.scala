@@ -408,4 +408,42 @@ class AnalyticsSpec extends SparkSpec {
       df, "user_id", "ts", "event_id", "cents", threshold = 0.0).count()
     assert(none === 0L)
   }
+
+  test("featureAssoc: perfect association and independence, hand-checked") {
+    // perfect: x=a always pairs y=0, x=b always y=1 (10 rows each)
+    //   cell(a,0): n_xy=10, n_x=10, n_y=10, N=20
+    //   pmi_q = ilog2(200) - ilog2(100) = 7 - 6 = 1  (lift = 2)
+    //   leverage = 500000 - (500000*500000)//1e6 = 250000
+    val perfect = (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("b", 1L)))
+      .toDF("x", "y")
+    val p = Analytics.featureAssoc(perfect, col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(6), r.getLong(7)))).toMap
+    assert(p(("a", 0L)) == ((10L, 1L, 250000L)), s"${p(("a", 0L))}")
+    assert(p(("b", 1L)) == ((10L, 1L, 250000L)))
+    assert(p.size == 2, "unobserved cells don't appear")
+
+    // independent: balanced 2x2, every cell 5 of 20
+    //   pmi_q = ilog2(100) - ilog2(100) = 0; leverage = 250000-250000 = 0
+    val indep = (for (x <- Seq("a", "b"); y <- Seq(0L, 1L); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val i = Analytics.featureAssoc(indep, col("x"), col("y"))
+      .collect().map(r => (r.getLong(6), r.getLong(7))).toSeq.distinct
+    assert(i == Seq((0L, 0L)), s"$i")
+  }
+
+  test("featureAssoc marginals are consistent and layout-independent") {
+    val df = (0 until 400).map(i => (s"t${i % 3}", (i * 7 % 5).toLong, i))
+      .toDF("x", "y", "r")
+    val out = Analytics.featureAssoc(df, col("x"), col("y")).collect()
+    assert(out.map(_.getLong(2)).sum == 400L, "cells partition the rows")
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3),
+        "n_x = sum of its cells")
+    }
+    assert(out.forall(_.getLong(5) == 400L))
+    val again = Analytics.featureAssoc(
+      df.repartition(11, col("r")), col("x"), col("y")).collect()
+    assert(out.toSet == again.toSet)
+  }
 }

@@ -198,6 +198,7 @@ class PlanSpec extends SparkSpec {
       // result is localCheckpointed (cache-release fix), so the gate
       // sees only the materialized RDD scan.
       "drift_detect" -> "crossJoin of the single broadcast (mn,mx) time-bounds row",
+      "feature_assoc" -> "crossJoin of the single broadcast n_tot row (marginals join broadcast-hash)",
       "feature_bins" -> "crossJoin of the single broadcast n_total row",
       // kcenter_coreset / mmr_diversify don't appear although they DO
       // broadcast-fan-out (newest-center row / query pool): their
