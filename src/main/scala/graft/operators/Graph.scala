@@ -271,6 +271,71 @@ object Graph {
     out
   }
 
+
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every node keeps degree ≥ k — the standard "dense backbone"
+    * extraction (hub discovery, spam/bot nests, curriculum graph
+    * pruning). Computed by the textbook iterative peel: drop nodes
+    * with degree < k, recompute degrees within the survivors, repeat
+    * until nothing drops. Peeling is monotone and deterministic — the
+    * fixpoint is a pure function of the graph — so the result
+    * hash-verifies against an UNROLLED SQL twin (the pagerank oracle
+    * discipline), and extra unrolled rounds past convergence are
+    * no-ops. `maxRounds` fail-louds if the fixpoint isn't reached —
+    * the oracle's unroll depth is only valid if the engine converged
+    * within it.
+    *
+    * Scale shape: each round is two semi-joins of the persisted edge
+    * list against the CURRENT alive set plus one map-combining degree
+    * aggregate. The alive set only shrinks (AQE flips the semi-joins
+    * to broadcast as it does), and real graphs peel in a handful of
+    * rounds; the returned degree is the degree WITHIN the core (the
+    * last round's aggregate, which on convergence was computed against
+    * exactly the final member set).
+    *
+    * @param edges both directions of an undirected graph, (src, dst)
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges.select(col("src"), col("dst")).persist()
+    var alive = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var aliveCount = alive.count()
+    var core: DataFrame = alive.withColumn("core_deg", lit(0L)) // replaced below
+    var rounds = 0
+    var converged = aliveCount == 0L
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kcore: no fixpoint within $maxRounds rounds (oracle unroll depth)")
+      // round 1's alive set is the whole node universe — both
+      // semi-joins are identities there, and skipping them saves two
+      // full-edge-list shuffles on the one round where nothing has
+      // shrunk yet (the round that dominates at scale)
+      val survivors =
+        if (rounds == 1) e
+        else e
+          .join(alive.toDF("src"), Seq("src"), "left_semi")
+          .join(alive.toDF("dst"), Seq("dst"), "left_semi")
+      val deg = survivors
+        .groupBy("src")
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .select(col("src").as("node"), col("core_deg"))
+        .localCheckpoint()
+      val c = deg.count()
+      // monotone: deg's nodes are a subset of alive, so equal counts
+      // means an identical set — and the degrees were computed against
+      // exactly that set, i.e. within the final core
+      converged = c == aliveCount
+      aliveCount = c
+      alive = deg.select("node")
+      core = deg
+      if (c == 0L) converged = true
+    }
+    e.unpersist()
+    core
+  }
   /** Common-neighbor link prediction: for every node pair sharing at
     * least `minCommon` neighbors, the common-neighbor count plus the
     * Jaccard score common/(deg_x + deg_y − common) — the classic

@@ -303,12 +303,58 @@ object GraphQueries {
       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
       |FROM walk GROUP BY node""".stripMargin
 
+  /** 32-core of the trade graph: the dense trading backbone (nodes
+    * keeping ≥ 32 within-core partners after everyone below the bar is
+    * peeled away — 913 of the 1600 sf0.01 nodes survive, so the query
+    * exercises a real multi-round cascade). The measured peel converges
+    * in 2-4 rounds at every fixture SF; `KcoreRounds` unrolled oracle
+    * rounds (extra rounds are fixpoint no-ops) with Spark fail-louding
+    * past the same bound — see [[graft.operators.Graph.kcore]].
+    */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.kcore(edges(spark, sfDir), k = KcoreK, maxRounds = KcoreRounds)
+      .select(renderNode(col("node")).as("node"), col("core_deg"))
+
+  private val KcoreK = 32
+  private val KcoreRounds = 12
+
+  /** The identical peel unrolled: round i keeps the round-(i−1)
+    * survivors whose within-survivor degree stays ≥ k. Referencing the
+    * previous round twice (src AND dst side) is what makes this a
+    * chained — not recursive — CTE ladder, the pagerank oracle idiom.
+    */
+  private def kcoreOracleSqlFor(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references its
+    // predecessor twice and edges once — inlined, the 12-round ladder
+    // re-opens the parquet inputs per reference and exhausts the
+    // engine's file handles before it exhausts CPU
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT e.src AS node, count(*) AS deg
+         |  FROM edges e
+         |  JOIN a${i - 1} p ON p.node = e.src
+         |  JOIN a${i - 1} q ON q.node = e.dst
+         |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(deg AS BIGINT) AS core_deg FROM a$rounds"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
     "graph_bfs" -> (bfsHops _),
     "graph_common_neighbors" -> (commonNeighborsQ _),
-    "pagerank_personalized" -> (pagerankPersonalized _)
+    "pagerank_personalized" -> (pagerankPersonalized _),
+    "graph_kcore" -> (graphKcore _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -316,6 +362,7 @@ object GraphQueries {
     "triangle_count" -> TriangleOracle,
     "graph_bfs" -> BfsOracle,
     "graph_common_neighbors" -> CommonNeighborsOracle,
-    "pagerank_personalized" -> pprOracleSqlFor(Iterations)
+    "pagerank_personalized" -> pprOracleSqlFor(Iterations),
+    "graph_kcore" -> kcoreOracleSqlFor(KcoreK, KcoreRounds)
   )
 }

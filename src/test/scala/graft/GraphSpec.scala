@@ -175,4 +175,42 @@ class GraphSpec extends SparkSpec {
       .select("x", "y", "common").as[(Long, Long, Long)].collect().toSet
     assert(got === Set((2L, 3L, 1L)))
   }
+
+  // --------------------------------------------------------- k-core
+
+  private def undirected(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("kcore peels a tail through a multi-round cascade, keeps the triangle") {
+    // triangle 1-2-3 with a pendant path 3-4-5-6: at k=2 the path peels
+    // one node per round (6 first, then 5, then 4) — the fixpoint needs
+    // the cascade, not a single degree filter
+    val e = undirected((1L,2L), (2L,3L), (1L,3L), (3L,4L), (4L,5L), (5L,6L))
+    val out = Graph.kcore(e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"triangle only, with in-core degree 2: $out")
+  }
+
+  test("kcore: single filter pass is NOT enough (cascade correctness)") {
+    // star center with 3 leaves: center deg 3, leaves deg 1. k=2: the
+    // leaves die in round 1, the center's degree then drops to 0 and it
+    // must die too — a one-pass degree filter would wrongly keep it.
+    val e = undirected((0L,1L), (0L,2L), (0L,3L))
+    assert(Graph.kcore(e, k = 2).isEmpty)
+  }
+
+  test("kcore of a clique is the clique, in one confirming round") {
+    val pairs = for (i <- 0L until 5L; j <- (i+1) until 5L) yield (i, j)
+    val out = Graph.kcore(undirected(pairs: _*), k = 4).collect()
+    assert(out.length == 5 && out.forall(_.getLong(1) == 4L))
+  }
+
+  test("kcore fail-louds when maxRounds is below the cascade depth") {
+    val e = undirected((1L,2L), (2L,3L), (1L,3L), (3L,4L), (4L,5L), (5L,6L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kcore(e, k = 2, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
 }
