@@ -274,6 +274,46 @@ object Analytics {
         (num / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))).as("corr")): _*)
   }
 
+  /** Per-key UNION coverage of possibly-overlapping intervals — "how
+    * much time was actually covered" (active time dedup, SLA uptime,
+    * sensor coverage): merge overlaps gaps-and-islands style and report
+    * per key the merged-island count, raw interval count, covered
+    * total, and first-to-last span. Touching intervals (next start ==
+    * running max end) merge; a new island opens only on a strict gap.
+    *
+    * Exact integer time arithmetic end-to-end. One exchange: the two
+    * windows and both aggregates all ride the key partitioning (the
+    * island id is a running sum of new-island flags over the
+    * (start, end)-sorted rows — duplicate sort keys are order-safe
+    * because only the running max end feeds the flag).
+    */
+  def intervalUnion(intervals: DataFrame, keyCol: String, stCol: String,
+      enCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(stCol), col(enCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .withColumn("_pmax", max(col(enCol)).over(wPrev))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col(stCol) > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(wRun))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(stCol)).as("_ist"), max(col(enCol)).as("_ien"),
+        count(lit(1)).as("_n"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("_n")).as("n_intervals"),
+        sum(col("_ien") - col("_ist")).as("covered_us"),
+        (max(col("_ien")) - min(col("_ist"))).as("span_us"))
+      .select(col(keyCol),
+        col("n_islands").cast("bigint").as("n_islands"),
+        col("n_intervals").cast("bigint").as("n_intervals"),
+        col("covered_us").cast("bigint").as("covered_us"),
+        col("span_us").cast("bigint").as("span_us"))
+  }
+
   /** Categorical-association audit between two discrete columns — the
     * feature-selection primitive (which raw features carry signal about
     * a label / which metadata dimensions move together). Per observed

@@ -149,6 +149,23 @@ object AnalyticsQueries {
     graft.operators.Analytics.concurrencyPeak(sess, "st", "en")
   }
 
+  /** Per-user union coverage of event activity windows: each event
+    * opens an interval of `value`-proportional length (cents × 10 ms —
+    * exact integers; minutes-scale durations, so within-user overlaps
+    * are common and the merge actually merges). See
+    * [[graft.operators.Analytics.intervalUnion]] for the one-exchange
+    * gaps-and-islands contract.
+    */
+  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          (col("value").cast("decimal(12,2)") * 100).cast("bigint") * 10000L)
+          .as("en"))
+    graft.operators.Analytics.intervalUnion(iv, "user_id", "st", "en")
+  }
+
   /** The ranking-window family in one pass: rank, dense_rank, ntile,
     * percent_rank, cume_dist, lead/lag — one (custkey → orderdate,
     * orderkey) sort serves all seven (consecutive Window operators
@@ -418,6 +435,7 @@ object AnalyticsQueries {
     "window_funcs" -> windowFuncs,
     "json_extract" -> jsonExtract,
     "concurrency_peak" -> concurrencyPeak,
+    "interval_union" -> intervalUnion,
     "cube_agg" -> cubeAgg,
     "pivot_wide" -> pivotWide,
     "funnel_steps" -> funnelSteps,
@@ -700,6 +718,33 @@ object AnalyticsQueries {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+    "interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * 10000 AS en
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), isl AS (
+        |  SELECT user_id, st, en,
+        |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY st, en
+        |        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, island, min(st) AS ist, max(en) AS ien,
+        |    count(*) AS n
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(sum(ien - ist) AS BIGINT) AS covered_us,
+        |  CAST(max(ien) - min(ist) AS BIGINT) AS span_us
+        |FROM g GROUP BY 1""".stripMargin,
     "concurrency_peak" ->
       """WITH d AS (
         |  SELECT event_id, user_id, ts,

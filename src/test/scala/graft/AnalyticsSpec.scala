@@ -446,4 +446,38 @@ class AnalyticsSpec extends SparkSpec {
       df.repartition(11, col("r")), col("x"), col("y")).collect()
     assert(out.toSet == again.toSet)
   }
+
+  test("intervalUnion merges overlaps and touches, splits on strict gaps") {
+    // key a: [0,10] [5,20] (overlap) [20,30] (touch -> same island),
+    //        [40,50] (gap -> new island)
+    // key b: one interval
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L), ("a", 40L, 50L),
+      ("b", 100L, 101L)
+    ).toDF("k", "st", "en")
+    val out = Analytics.intervalUnion(iv, "k", "st", "en")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 4L, 40L, 50L)),
+      s"a: islands [0,30]+[40,50] -> covered 40 of span 50: ${out("a")}")
+    assert(out("b") == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("intervalUnion: containment and duplicates don't inflate coverage") {
+    val iv = Seq(
+      ("a", 0L, 100L), ("a", 10L, 20L), ("a", 10L, 20L), ("a", 0L, 100L)
+    ).toDF("k", "st", "en")
+    val r = Analytics.intervalUnion(iv, "k", "st", "en").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 4L, 100L)))
+  }
+
+  test("intervalUnion is layout-independent") {
+    val iv = (0 until 500).map { i =>
+      (s"u${i % 9}", (i * 37 % 1000).toLong, (i * 37 % 1000 + i % 50 + 1).toLong)
+    }.toDF("k", "st", "en")
+    val a = Analytics.intervalUnion(iv, "k", "st", "en").collect().toSet
+    val b = Analytics.intervalUnion(iv.repartition(13), "k", "st", "en")
+      .collect().toSet
+    assert(a == b)
+  }
 }
