@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -44,6 +45,34 @@ object MiscQueries {
     val media = Multimodal.synthesizeMedia(
       Tables.distributed(spark, sfDir, "documents"), "doc_id")
     Multimodal.sampleFrames(media, everyN = 2).toDF().drop("frame_md5")
+  }
+
+  /** Keyframe selection per synthetic video: decode EVERY frame, score
+    * each by the absolute inter-frame intensity delta (|Σpixels −
+    * Σpixels of the previous frame| — the scene-change proxy any real
+    * keyframe sampler thresholds), keep the top 2 per media with
+    * (delta desc, frame_idx asc) determinism. Frame 0 has no
+    * predecessor and is never a candidate. Decode is the 1:many
+    * flatMap; the ranking is one media-keyed window exchange.
+    */
+  def multimodalKeyframes(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.synthesizeMedia(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id")
+    val frames = Multimodal.sampleFrames(media, everyN = 1)
+      .toDF().drop("frame_md5")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val wr = Window.partitionBy("media_id")
+      .orderBy(col("delta_abs").desc, col("frame_idx"))
+    frames
+      .withColumn("delta_abs",
+        abs(col("frame_sum") - lag(col("frame_sum"), 1).over(w)))
+      .filter(col("delta_abs").isNotNull)
+      .withColumn("key_rank", row_number().over(wr).cast("bigint"))
+      .filter(col("key_rank") <= 2)
+      .select(col("media_id"), col("frame_idx"),
+        col("frame_sum").cast("bigint").as("frame_sum"),
+        col("delta_abs").cast("bigint").as("delta_abs"),
+        col("key_rank"))
   }
 
   /** ViT-style 8×8 patch grid over each decoded PPM raster — one row
@@ -452,6 +481,7 @@ object MiscQueries {
     "streaming_image_dedup" -> streamingImageDedup,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_keyframes" -> multimodalKeyframes,
     "multimodal_patches" -> multimodalPatches,
     "multimodal_audio_frames" -> multimodalAudioFrames,
     "streaming_sessions" -> streamingSessions,
@@ -953,6 +983,26 @@ object MiscQueries {
         |  CAST(CASE WHEN a > 64 THEN 0 ELSE a END AS INT) AS frame_min,
         |  CAST(CASE WHEN a >= 64 THEN 255 ELSE a + 191 END AS INT) AS frame_max
         |FROM s""".stripMargin,
+    "multimodal_keyframes" ->
+      """WITH p AS (SELECT doc_id, CAST(4 + doc_id % 12 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 1)) AS fi FROM p),
+        |s AS (SELECT doc_id, fi, (doc_id + fi * 192) % 256 AS a FROM f),
+        |fs AS (SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(CASE WHEN a + 192 <= 256 THEN 192*a + 192*191//2
+        |    ELSE (256-a)*(a+255)//2 + (a-64)*(a-65)//2 END AS BIGINT) AS frame_sum
+        |  FROM s),
+        |d AS (SELECT media_id, frame_idx, frame_sum,
+        |  abs(frame_sum - lag(frame_sum)
+        |    OVER (PARTITION BY media_id ORDER BY frame_idx)) AS delta_abs
+        |  FROM fs),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY media_id ORDER BY delta_abs DESC, frame_idx) AS rn
+        |  FROM d WHERE delta_abs IS NOT NULL)
+        |SELECT media_id, frame_idx, frame_sum,
+        |  CAST(delta_abs AS BIGINT) AS delta_abs, CAST(rn AS BIGINT) AS key_rank
+        |FROM r WHERE rn <= 2""".stripMargin,
     "streaming_dedup" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_geo_cache" ->

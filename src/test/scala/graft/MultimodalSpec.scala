@@ -241,4 +241,5 @@ class MultimodalSpec extends AnyFunSuite {
       md5(Frm0.encode(DecodedFrames(16, 12, 6,
         Array.tabulate(16 * 12 * 6)(j => ((j + 2) % 256).toByte)))))
   }
+
 }
