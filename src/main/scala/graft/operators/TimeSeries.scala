@@ -17,6 +17,52 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  
+  /** Theil–Sen robust trend estimate per key over an ALREADY-AGGREGATED
+    * regular series (here: one point per day): the median of all
+    * pairwise slopes — up to ~29% contaminated points cannot move it,
+    * where OLS chases every outlier. The classic robust-trend monitor
+    * for daily pipeline metrics.
+    *
+    * Exactness contract: each pairwise slope is ONE double division of
+    * exact integers (correctly rounded, so both engines produce the
+    * identical double), and the median picks values at fixed sorted
+    * positions — an even pair count averages the middle two in one
+    * expression. No order-dependent float accumulation anywhere.
+    *
+    * Scale shape: the input must be the AGGREGATED series (the raw
+    * rows collapse in the caller's groupBy first), so the per-key
+    * pairwise self-join is bounded by days², not data — at 10 years of
+    * daily points that is ~6.7M pairs per key, a fine task, and the
+    * equi-join on the key plus the window both ride one hash
+    * partitioning.
+    */
+  def theilSenTrend(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = series.select(col(keyCol).as("_k"), col(xCol).as("_xa"),
+      col(yCol).as("_ya"))
+    val b = series.select(col(keyCol).as("_k"), col(xCol).as("_xb"),
+      col(yCol).as("_yb"))
+    val pairs = a.join(b, Seq("_k"))
+      .filter(col("_xa") < col("_xb"))
+      .withColumn("_slope",
+        (col("_yb") - col("_ya")).cast("double") /
+          (col("_xb") - col("_xa")).cast("double"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_slope"))
+    val wk = Window.partitionBy(col("_k"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_m", count(lit(1)).over(wk))
+      // median = value at ⌈m/2⌉, averaged with ⌈m/2⌉+1 when m is even
+      .filter(col("_rn") === expr("(_m + 1) DIV 2") ||
+        col("_rn") === expr("_m DIV 2 + 1"))
+      .groupBy(col("_k"))
+      .agg(max(col("_m")).as("n_pairs"),
+        ((min(col("_slope")) + max(col("_slope"))) / 2.0).as("slope"))
+      .select(col("_k").as(keyCol),
+        col("n_pairs").cast("bigint").as("n_pairs"), col("slope"))
+  }
+
   /** Sample autocorrelation of a per-key count series at index lags
     * 1..maxLag (lag over the bucket-ordered ROW sequence, so gaps in the
     * bucket grid don't make the definition engine-dependent).

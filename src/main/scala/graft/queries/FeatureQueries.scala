@@ -188,8 +188,23 @@ object FeatureQueries {
       .withColumnRenamed("_x", "event_type")
       .withColumnRenamed("_y", "hr")
 
+  /** Robust daily-volume trend per event type: Theil–Sen slope over the
+    * per-day count series (collapse to daily counts FIRST — the
+    * pairwise slope set is then bounded by days², not rows). See
+    * [[graft.operators.TimeSeries.theilSenTrend]].
+    */
+  def trendTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    TimeSeries.theilSenTrend(
+      daily.select("event_type", "x", "cnt"), "event_type", "x", "cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feature_assoc" -> (featureAssoc _),
+    "trend_theilsen" -> (trendTheilsen _),
     "ts_acf" -> (tsAcf _),
     "seasonal_anomaly" -> (seasonalAnomaly _),
     "streaming_seasonal" -> (streamingSeasonal _),
@@ -284,6 +299,27 @@ object FeatureQueries {
          |  END AS filled
          |FROM w""".stripMargin
     },
+    "trend_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cnt
+        |  FROM daily
+        |), p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+        |), r AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p
+        |)
+        |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+        |  (min(slope) + max(slope)) / 2.0 AS slope
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |GROUP BY 1""".stripMargin,
     "feature_assoc" ->
       """WITH cell AS (
         |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,

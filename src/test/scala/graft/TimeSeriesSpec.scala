@@ -214,4 +214,40 @@ class ResampleSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected at most the one agg exchange:\n$plan")
   }
+
+  // ------------------------------------------------------- Theil-Sen
+
+  test("theilSenTrend shrugs off an outlier OLS would chase") {
+    // y = 2x on 9 clean points; one wild outlier at x=9. Most pairwise
+    // slopes are exactly 2.0, so the median slope is exactly 2.0 —
+    // while the OLS slope over the same points is ~6.9.
+    val pts = ((0L to 8L).map(x => ("a", x, 2L * x)) :+ (("a", 9L, 500L)))
+      .toDF("k", "x", "y")
+    val r = TimeSeries.theilSenTrend(pts, "k", "x", "y").head()
+    assert(r.getLong(1) == 45L, "C(10,2) pairs")
+    assert(r.getDouble(2) == 2.0, s"robust slope, got ${r.getDouble(2)}")
+  }
+
+  test("theilSenTrend: even pair count averages the middle two slopes") {
+    // 4 points -> 6 pairs; slopes constructed so the sorted middle two
+    // are 1.0 and 3.0 -> median 2.0
+    // points: (0,0), (1,3), (2,4), (3,3)
+    // pairwise slopes: 3, 2, 1, 1, 0, -1 -> sorted: -1,0,1,1,2,3
+    // middle two (rn 3,4) = 1,1 -> median 1.0
+    val pts = Seq(("a", 0L, 0L), ("a", 1L, 3L), ("a", 2L, 4L), ("a", 3L, 3L))
+      .toDF("k", "x", "y")
+    val r = TimeSeries.theilSenTrend(pts, "k", "x", "y").head()
+    assert(r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 1.0, s"got ${r.getDouble(2)}")
+  }
+
+  test("theilSenTrend is layout-independent and per-key") {
+    val pts = (0 until 200).map { i =>
+      (s"k${i % 4}", (i / 4).toLong, ((i / 4) * (i % 4) + i % 3).toLong)
+    }.toDF("k", "x", "y")
+    val a = TimeSeries.theilSenTrend(pts, "k", "x", "y").collect().toSet
+    val b = TimeSeries.theilSenTrend(pts.repartition(7), "k", "x", "y")
+      .collect().toSet
+    assert(a == b && a.size == 4)
+  }
 }
