@@ -182,6 +182,61 @@ object Privacy {
       .withColumn("noise", twoSidedGeometric(col(groupCol), salt))
       .withColumn("noisy_count", greatest(col("true_count") + col("noise"), lit(0L)))
 
+  /** Differentially-private quantile via the EXPONENTIAL MECHANISM
+    * (McSherry & Talwar 2007; Smith 2011 for the median): release a
+    * value v from the bounded ordered domain with probability
+    * ∝ exp(ε·u(v)/2), utility u(v) = −|#{x < v} − q·n| (sensitivity 1).
+    * The noisy-max draw uses the Gumbel-max trick with the SAME
+    * bit-quantized public draws as [[graft.operators.Dsir]]'s resample:
+    * g = bit-quantized Gumbel/ln2 from md5(salt:v), and the argmax of
+    *
+    *   2·U(v) + qDen·g(v),
+    *   U(v) = −max(0, qNum·n − qDen·(below+cnt), qDen·below − qNum·n)
+    *
+    * — the INTERVAL-rank utility: a value whose occupancy interval
+    * [below, below+cnt] contains the q·n rank point scores 0 (a heavy
+    * atom AT the quantile must dominate; the naive |below − q·n| form
+    * under-rates it), and points outside score minus-distance to the
+    * nearer end. All integers — argmax is scale-invariant, so
+    * multiplying through by qDen keeps the fractional quantile exact —
+    * and the construction realizes the
+    * mechanism at ε = 4·ln 2, up to the documented 2⁻²⁰ draw
+    * quantization. Deterministic for a fixed salt — the released value
+    * is part of the release, exactly the [[twoSidedGeometric]]
+    * argument; rotate the salt per epoch.
+    *
+    * Scale shape: one map-combining aggregate collapses rows to the
+    * bounded value domain (band first, the [[tCloseness]] contract);
+    * the cumulative, draws, and argmax all run on ≤ m rows.
+    */
+  def dpQuantile(df: DataFrame, valueCol: Column, qNum: Long, qDen: Long,
+      salt: String): DataFrame = {
+    require(qDen >= 2 && qNum >= 1 && qNum < qDen,
+      s"quantile must be a proper fraction, got $qNum/$qDen")
+    val vals = df.groupBy(valueCol.as("_v")).agg(count(lit(1)).as("_c"))
+    val wPrev = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = vals.agg(sum(col("_c")).as("_n"))
+    val scored = vals
+      .withColumn("_below", coalesce(sum(col("_c")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("_u2",
+        -greatest(lit(0L),
+          lit(qNum) * col("_n") - lit(qDen) * (col("_below") + col("_c")),
+          lit(qDen) * col("_below") - lit(qNum) * col("_n")))
+      .withColumn("_r", conv(substring(md5(concat(lit(s"$salt:"),
+        col("_v").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("_z", greatest(lit(59L) - Dsir.ilog2(col("_r") + 1), lit(0L)))
+      .withColumn("_g", lit(20L) -
+        Dsir.ilog2(col("_z") * 1048576L + pmod(col("_r"), lit(1048576L)) + 1L))
+      .withColumn("score", lit(2L) * col("_u2") + lit(qDen) * col("_g"))
+    scored.orderBy(col("score").desc, col("_r"), col("_v")).limit(1)
+      .select(col("_v").as("value"),
+        col("_n").cast("bigint").as("n_total"),
+        col("_u2").cast("bigint").as("utility_scaled"),
+        col("score").cast("bigint").as("score"))
+  }
+
   /** Pseudonymize + generalize a customer-shaped table:
     *  - direct identifier → salted md5 pseudonym (re-identification
     *    requires the salt; same input+salt → same pseudonym, so joins

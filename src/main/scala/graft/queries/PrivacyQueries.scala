@@ -109,6 +109,18 @@ object PrivacyQueries {
       "graft_stream_dp")
   }
 
+  /** DP median of the $1000 balance band (exponential mechanism,
+    * ε = 4·ln 2, salt-keyed deterministic draw — see
+    * [[graft.operators.Privacy.dpQuantile]]): the "release a robust
+    * location statistic without leaking any individual" op that pairs
+    * with [[dpNoisyCount]]'s counts.
+    */
+  def dpQuantile(spark: SparkSession, sfDir: String): DataFrame =
+    Privacy.dpQuantile(
+      Tables.customer(spark, sfDir),
+      valueCol = floor(col("c_acctbal") / 1000).cast("bigint"),
+      qNum = 1L, qDen = 2L, salt = "graft-dpq-r14")
+
   /** Customer PII release prep: salted pseudonym for the name, $1000
     * account-balance band, (nation, segment) suppressed to NULL for
     * equivalence classes smaller than 10.
@@ -127,6 +139,7 @@ object PrivacyQueries {
     "l_diversity" -> lDiversity,
     "t_closeness" -> tCloseness,
     "dp_noisy_count" -> dpNoisyCount,
+    "dp_quantile" -> dpQuantile,
     "streaming_dp_count" -> streamingDpCount,
     "pii_anonymize" -> piiAnonymize
   )
@@ -214,6 +227,32 @@ object PrivacyQueries {
         |       ELSE 0 END <= 200000 AS INT) AS t_close
         |FROM term GROUP BY 1, 2, 3""".stripMargin,
     "dp_noisy_count" -> DpCountOracle,
+    "dp_quantile" ->
+      """WITH vals AS (
+        |  SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS v, count(*) AS c
+        |  FROM customer GROUP BY 1
+        |), w AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    (SELECT sum(c) FROM vals) AS n
+        |  FROM vals
+        |), s AS (
+        |  SELECT v, n,
+        |    -greatest(0, 1 * n - 2 * (below + c), 2 * below - 1 * n) AS u2,
+        |    CAST(concat('0x', substr(md5('graft-dpq-r14:'
+        |      || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS r
+        |  FROM w
+        |), g AS (
+        |  SELECT v, n, u2, r,
+        |    20 - (length(bin(greatest(59 - (length(bin(r + 1)) - 1), 0)
+        |      * 1048576 + (r % 1048576) + 1)) - 1) AS gg
+        |  FROM s
+        |)
+        |SELECT v AS value, CAST(n AS BIGINT) AS n_total,
+        |  CAST(u2 AS BIGINT) AS utility_scaled,
+        |  CAST(2 * u2 + 2 * gg AS BIGINT) AS score
+        |FROM g ORDER BY score DESC, r, v LIMIT 1""".stripMargin,
     "streaming_dp_count" -> DpCountOracle,
     "pii_anonymize" ->
       """WITH s AS (

@@ -229,6 +229,7 @@ class PlanSpec extends SparkSpec {
       "hybrid_retrieval" -> "inherited from its dense arm (similarity_topk's broadcast 1-query fan-out)",
       "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
       "t_closeness" -> "crossJoin of the broadcast ≤m-row sensitive-domain list (the class × value EMD grid) + the broadcast 1-row global total",
+      "dp_quantile" -> "crossJoin of the single broadcast n-total row onto the ≤m-row value domain",
       "negative_sample" -> "broadcast L-label !=-join builds the negative pool",
       "hard_negatives" -> "broadcast anchor-set cross-label scoring fan-out")
     val hits = scala.collection.mutable.Map.empty[String, List[String]]

@@ -234,4 +234,56 @@ class PrivacySpec extends SparkSpec {
       .collect().map(r => r.getString(1)).toSet
     assert(again == ps.toSet)
   }
+
+  // ------------------------------------------------------ DP quantile
+
+  test("dpQuantile replays the exponential-mechanism argmax bit-for-bit") {
+    // driver-side reference of the full mechanism on a small table
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def draw(salt: String, v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val values = Seq.fill(30)(2L) ++ Seq.fill(10)(5L) ++ Seq.fill(5)(9L)
+    val n = values.size.toLong
+    val dist = values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val expected = dist.scanLeft((0L, 0L, 0L)) {
+      case ((_, cum, _), (v, c)) => (v, cum + c, cum)
+    }.drop(1).map { case (v, upTo, below) =>
+      val u2 = -math.max(0L, math.max(n - 2L * upTo, 2L * below - n))
+      val r = draw("s", v)
+      val z = math.max(59L - ilog2(r + 1), 0L)
+      val g = 20L - ilog2(z * 1048576L + (r % 1048576L) + 1L)
+      (v, u2, 2L * u2 + 2L * g, r)
+    }.minBy { case (v, _, score, r) => (-score, r, v) }
+
+    val got = Privacy.dpQuantile(values.toDF("x"), col("x"), 1L, 2L, "s")
+      .head()
+    assert(got.getLong(0) == expected._1, s"value: $got vs $expected")
+    assert(got.getLong(1) == n)
+    assert(got.getLong(2) == expected._2, "utility")
+    assert(got.getLong(3) == expected._3, "score")
+  }
+
+  test("dpQuantile: overwhelming utility dominates the quantized noise") {
+    // 100k-row mass at one value: |U| gaps are thousands of bits while
+    // the Gumbel term spans [-6, 20] x qDen — every salt picks the
+    // true median value
+    val df = (Seq.fill(1000)(7L) ++ Seq(1L, 2L, 99L)).toDF("x")
+    Seq("a", "b", "c", "d").foreach { salt =>
+      val v = Privacy.dpQuantile(df, col("x"), 1L, 2L, salt).head().getLong(0)
+      assert(v == 7L, s"salt $salt picked $v")
+    }
+  }
+
+  test("dpQuantile is layout-independent") {
+    val df = (0 until 500).map(i => (i * 31 % 13).toLong).toDF("x")
+    val a = Privacy.dpQuantile(df, col("x"), 1L, 2L, "s").collect().toSeq
+    val b = Privacy.dpQuantile(df.repartition(11), col("x"), 1L, 2L, "s")
+      .collect().toSeq
+    assert(a == b)
+  }
 }
