@@ -392,6 +392,28 @@ object MiscQueries {
       Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
       keyCol = "doc_id", weightCol = "n_chars", shards = 32)
 
+  /** Streaming twin of [[shardBalance]]'s assignment half: the
+    * per-shard (row, weight) totals are mergeable state, so the audit
+    * runs live as a Complete-mode aggregation — a writer can watch the
+    * balance drift as the corpus streams in. The micro shares stay
+    * batch-side (a post-aggregation global window isn't a streaming
+    * shape); the twin emits the raw totals and the oracle rebuilds the
+    * identical table.
+    */
+  def streamingShardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = StreamingPipeline.readDocuments(spark, sfDir)
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard"), lit(":"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("bigint"),
+      lit(32L))
+    StreamingPipeline.runToMemory(
+      docs.select(shard.as("shard"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("n_chars")).cast("bigint").as("sum_weight")),
+      "graft_stream_shard")
+  }
+
   /** Streaming twin of the count-min grid build
     * ([[graft.operators.Sketches.countMinCells]]): the (group, row,
     * bucket) count aggregate is mergeable state, so the grid runs as a
@@ -469,6 +491,7 @@ object MiscQueries {
     "zorder_value" -> zorderValue,
     "hilbert_value" -> hilbertValue,
     "shard_balance" -> shardBalance,
+    "streaming_shard_balance" -> streamingShardBalance,
     "sample_split" -> sampleSplit,
     "weighted_sample" -> weightedSample,
     "profile_columns" -> profileColumns,
@@ -676,6 +699,12 @@ object MiscQueries {
         |  CAST((sum_weight * 1000000) // (sum(sum_weight) OVER ()) AS BIGINT)
         |    AS weight_share_micro
         |FROM g""".stripMargin,
+    "streaming_shard_balance" ->
+      """SELECT CAST(concat('0x', substr(md5('shard:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_weight
+        |FROM documents GROUP BY 1""".stripMargin,
     "sample_split" ->
       s"""SELECT event_id, user_id,
          |  CASE WHEN md5('split:' || CAST(event_id AS VARCHAR)) < '$t80' THEN 'train'
