@@ -324,6 +324,43 @@ object Sketches {
         (col("cms_est") - col("true_cnt")).as("over_by")): _*)
   }
 
+  /** Exponentially time-decayed top-k — "trending now": each event
+    * contributes weight 2^(−age_days), so yesterday counts half of
+    * today and last month barely at all. Kept EXACT the repo way: the
+    * weight is the dyadic integer `10⁶ >> age_days` (a bit shift both
+    * engines implement identically — no pow(), no float), summed in
+    * plain longs, so the decayed mass is a pure integer function of
+    * the data. Age anchors to the corpus max timestamp's day (one
+    * 1-row broadcast, the split_temporal device); events older than
+    * ~20 days round to weight 0 exactly — the horizon IS the
+    * quantization, documented.
+    *
+    * Shape: one map-combining aggregate over (key, age) cells, the
+    * decay projection on the reduced table, one bounded top-k
+    * (TakeOrderedAndProject), no global sort.
+    */
+  def decayedTopK(df: DataFrame, keyCol: Column, tsCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cell = df
+      .select(keyCol.as("_k"), to_date(tsCol).as("_d"))
+      .groupBy(col("_k"), col("_d"))
+      .agg(count(lit(1)).as("_c"))
+    val anchorDay = cell.agg(max(col("_d")).as("_mx"))
+    cell.crossJoin(broadcast(anchorDay))
+      .withColumn("_age", datediff(col("_mx"), col("_d")).cast("long"))
+      .withColumn("_w",
+        expr("shiftright(CAST(1000000 AS BIGINT), CAST(least(_age, 62) AS INT))") * col("_c"))
+      .groupBy(col("_k"))
+      .agg(sum(col("_w")).as("decayed_micro"),
+        sum(col("_c")).as("raw_count"))
+      .orderBy(col("decayed_micro").desc, col("_k"))
+      .limit(k)
+      .select(col("_k").as("key"),
+        col("decayed_micro").cast("bigint").as("decayed_micro"),
+        col("raw_count").cast("bigint").as("raw_count"))
+  }
+
   /** Heavy hitters per group via the Space-Saving sketch: items whose
     * estimated count is ≥ `minCount`. One hash-aggregate shuffle
     * carrying ≤ `capacity` counters per (task, group) — the exact

@@ -87,7 +87,17 @@ object SketchQueries {
       Tables.orders(spark, sfDir), "o_custkey",
       minCount = 1L, capacity = HhCapacity, topN = SkewTopN)
 
+  /** Trending users by exponentially time-decayed activity: weight
+    * 2^(−age_days) as the exact dyadic integer 10⁶ >> age — see
+    * [[Sketches.decayedTopK]].
+    */
+  def decayedTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.decayedTopK(Tables.events(spark, sfDir),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("ts"), k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decayed_topk" -> decayedTopk,
     "distinct_kmv" -> distinctKmv,
     "distinct_hll" -> distinctHll,
     "quantile_hist" -> quantileHist,
@@ -242,6 +252,21 @@ object SketchQueries {
          |  cms_est - true_cnt AS over_by
          |FROM est""".stripMargin
     },
+    "decayed_topk" ->
+      """WITH cell AS (
+        |  SELECT user_id AS k, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), mx AS (SELECT max(d) AS m FROM cell),
+        |w AS (
+        |  SELECT k, c,
+        |    (CAST(1000000 AS BIGINT) >> least(CAST(m - d AS BIGINT), 62)) * c
+        |      AS w
+        |  FROM cell CROSS JOIN mx
+        |)
+        |SELECT k AS key, CAST(sum(w) AS BIGINT) AS decayed_micro,
+        |  CAST(sum(c) AS BIGINT) AS raw_count
+        |FROM w GROUP BY 1
+        |ORDER BY decayed_micro DESC, key LIMIT 20""".stripMargin,
     // capacity ≥ distinct users per group at this SF ⇒ the sketch never
     // truncates and its counters equal the exact GROUP BY counts.
     "heavy_hitters" ->

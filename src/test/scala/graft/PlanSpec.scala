@@ -230,6 +230,7 @@ class PlanSpec extends SparkSpec {
       "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
       "t_closeness" -> "crossJoin of the broadcast ≤m-row sensitive-domain list (the class × value EMD grid) + the broadcast 1-row global total",
       "dp_quantile" -> "crossJoin of the single broadcast n-total row onto the ≤m-row value domain",
+      "decayed_topk" -> "crossJoin of the single broadcast anchor-day row onto the (key, day) cell table",
       "negative_sample" -> "broadcast L-label !=-join builds the negative pool",
       "hard_negatives" -> "broadcast anchor-set cross-label scoring fan-out")
     val hits = scala.collection.mutable.Map.empty[String, List[String]]

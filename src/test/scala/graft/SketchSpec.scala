@@ -205,4 +205,30 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq.map(_._1)
     assert(got === Seq("a", "b", "c"))
   }
+
+  // ---------------------------------------------------- decayed top-k
+
+  test("decayedTopK: recency beats raw volume at the dyadic decay") {
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    // "old" fires 40 times 10 days before the anchor (weight 1e6>>10 =
+    // 976 each -> 39,040); "fresh" fires twice on the anchor day
+    // (2,000,000). Raw count says old; decay says fresh.
+    val rows = Seq.fill(40)(("old", t(1))) ++ Seq.fill(2)(("fresh", t(11)))
+    val df = rows.toDF("k", "ts")
+    val out = Sketches.decayedTopK(df, col("k"), col("ts"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == (("fresh", 2000000L, 2L)), s"${out.toSeq}")
+    assert(out(1) == (("old", 40L * (1000000L >> 10), 40L)))
+  }
+
+  test("decayedTopK: ancient events round to exactly zero weight") {
+    import java.sql.Timestamp
+    val rows = Seq(("a", Timestamp.valueOf("2020-01-01 00:00:00")),
+      ("a", Timestamp.valueOf("2026-01-01 00:00:00")))
+    val out = Sketches.decayedTopK(rows.toDF("k", "ts"), col("k"),
+      col("ts"), 5).head()
+    assert(out.getLong(1) == 1000000L, "only the anchor-day event weighs")
+    assert(out.getLong(2) == 2L, "raw count still sees both")
+  }
 }
