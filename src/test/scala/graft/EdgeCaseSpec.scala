@@ -228,4 +228,37 @@ class EdgeCaseSpec extends SparkSpec {
       s"raw array/map/struct output columns (serialize via array_join " +
         s"per the array_funcs convention): ${offenders.mkString("; ")}")
   }
+
+  test("round-14 session-3 additions are empty-safe") {
+    import org.apache.spark.sql.functions._
+    val noRows = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(graft.operators.Privacy.tCloseness(
+      noRows, Seq(col("k")), col("v"), 200000L).count() === 0)
+    assert(graft.operators.Privacy.dpQuantile(
+      noRows, col("v"), 1L, 2L, "s").count() === 0)
+    assert(graft.operators.Graph.kcore(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2).count() === 0)
+    assert(graft.operators.Analytics.featureAssoc(
+      noRows, col("k"), col("v")).count() === 0)
+    assert(graft.operators.Analytics.intervalUnion(
+      Seq.empty[(String, Long, Long)].toDF("k", "st", "en"),
+      "k", "st", "en").count() === 0)
+    assert(graft.operators.Partitioning.shardBalance(
+      noRows, "k", "v", shards = 8).count() === 0)
+    assert(graft.operators.TimeSeries.theilSenTrend(
+      Seq.empty[(String, Long, Long)].toDF("k", "x", "y"),
+      "k", "x", "y").count() === 0)
+    // a single point has no pairs: empty result, not a divide-by-zero
+    assert(graft.operators.TimeSeries.theilSenTrend(
+      Seq(("a", 1L, 5L)).toDF("k", "x", "y"), "k", "x", "y").count() === 0)
+    assert(graft.operators.Sketches.decayedTopK(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("k", "ts"),
+      col("k"), col("ts"), 5).count() === 0)
+    // hilbert kernel: null-safe, and bits=1 smallest grid is total
+    val h = Seq((0L, 0L), (1L, 1L)).toDF("a", "b")
+      .select(graft.functions.HilbertValue.hilbert_value(
+        col("a"), col("b"), 1).as("h"))
+      .collect().map(_.getLong(0)).sorted
+    assert(h === Array(0L, 2L))
+  }
 }
