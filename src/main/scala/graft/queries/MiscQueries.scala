@@ -392,6 +392,33 @@ object MiscQueries {
       Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
       keyCol = "doc_id", weightCol = "n_chars", shards = 32)
 
+  /** Source/sink format round-trip: the document corpus written to ORC
+    * and to JSON-lines (the two beyond-reference ingest formats a
+    * training pipeline actually meets — Hive-era columnar producers
+    * and crawl/API JSONL), read back through each reader with an
+    * EXPLICIT schema (inference is a drift source, not a feature), and
+    * verified content-equal: the query emits each doc's text hash from
+    * the ORC path plus a flag that the JSONL path returned the
+    * identical bytes. Any loss — encoding, escaping, column type — is
+    * a hash mismatch at the oracle, which reads the original table.
+    */
+  def formatRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val base = s"/tmp/graft-fmt-${math.abs(sfDir.hashCode)}"
+    graft.sources.Sinks.orc(docs, s"$base/orc")
+    graft.sources.Sinks.jsonl(docs, s"$base/jsonl")
+    val schema = docs.schema
+    val fromOrc = spark.read.schema(schema).orc(s"$base/orc")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        col("n_chars"))
+    val fromJson = spark.read.schema(schema).json(s"$base/jsonl")
+      .select(col("doc_id"), md5(col("text")).as("j_hash"))
+    fromOrc.join(fromJson, Seq("doc_id"))
+      .select(col("doc_id"), col("text_hash"), col("n_chars"),
+        (col("text_hash") === col("j_hash")).cast("int").as("jsonl_match"))
+  }
+
   /** Streaming twin of [[shardBalance]]'s assignment half: the
     * per-shard (row, weight) totals are mergeable state, so the audit
     * runs live as a Complete-mode aggregation — a writer can watch the
@@ -492,6 +519,7 @@ object MiscQueries {
     "hilbert_value" -> hilbertValue,
     "shard_balance" -> shardBalance,
     "streaming_shard_balance" -> streamingShardBalance,
+    "format_roundtrip" -> formatRoundtrip,
     "sample_split" -> sampleSplit,
     "weighted_sample" -> weightedSample,
     "profile_columns" -> profileColumns,
@@ -699,6 +727,10 @@ object MiscQueries {
         |  CAST((sum_weight * 1000000) // (sum(sum_weight) OVER ()) AS BIGINT)
         |    AS weight_share_micro
         |FROM g""".stripMargin,
+    "format_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_hash, n_chars,
+        |  1 AS jsonl_match
+        |FROM documents""".stripMargin,
     "streaming_shard_balance" ->
       """SELECT CAST(concat('0x', substr(md5('shard:' ||
         |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard,

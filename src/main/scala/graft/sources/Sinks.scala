@@ -41,6 +41,21 @@ object Sinks {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .csv(path)
 
+  /** ORC sink — the second columnar format a lakehouse ingests from
+    * (Hive-era producers emit ORC; a complete engine reads it without a
+    * conversion hop). Snappy, same as the parquet sinks.
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** JSON-lines sink — the interchange format crawl/API producers
+    * actually hand a training pipeline. One JSON object per line;
+    * Spark's writer escapes newlines/quotes/unicode inside values, so
+    * free-text columns round-trip byte-exactly.
+    */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Overwrite a parquet path that the writing plan may itself be
     * reading (the geo-cache upsert, reference elb_logs.py:225). Spark
     * cannot overwrite an input in place, so write to a sibling temp dir

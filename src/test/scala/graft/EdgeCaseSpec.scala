@@ -261,4 +261,26 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(h === Array(0L, 2L))
   }
+
+  test("format round-trip survives hostile text: newlines, quotes, unicode, null") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toFile
+    val docs = Seq(
+      (1L, Some("line1\nline2\r\nline3"), 20L),   // newlines INSIDE a value
+      (2L, Some("quote\" and \\backslash"), 19L),
+      (3L, Some("unicode \u00e9\u00c5\u4e16\u754c emoji"), 17L),
+      (4L, Option.empty[String], 0L)                 // null text
+    ).toDF("doc_id", "text", "n_chars")
+    graft.sources.Sinks.orc(docs, s"$tmp/orc")
+    graft.sources.Sinks.jsonl(docs, s"$tmp/jsonl")
+    val schema = docs.schema
+    def slurp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val o = slurp(spark.read.schema(schema).orc(s"$tmp/orc"))
+    val j = slurp(spark.read.schema(schema).json(s"$tmp/jsonl"))
+    val direct = slurp(docs)
+    assert(o == direct, "ORC must round-trip byte-exactly")
+    assert(j == direct, "JSONL must round-trip byte-exactly")
+  }
 }
