@@ -213,4 +213,34 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fixpoint"))
   }
+
+  test("assortativity: known signs on assortative and disassortative graphs") {
+    import graft.queries.{GraphQueries => _}
+    // star: the hub (deg n) pairs only with leaves (deg 1) -> corr is
+    // perfectly negative (every edge is (high, low))
+    val star = undirected((1L to 6L).map(i => (0L, i)): _*)
+    val starEp = star
+      .withColumn("deg_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .withColumn("deg_dst", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))))
+    val r = graft.operators.Analytics.corrExact(
+      starEp, Seq.empty, "deg_src", "deg_dst").head()
+    assert(r.getDouble(r.fieldIndex("corr")) == -1.0,
+      s"star graph is perfectly disassortative: $r")
+    // two disjoint cliques of different sizes: every edge joins
+    // equal-degree endpoints -> within-edge degrees are equal, but
+    // the degree VARIES across edges, so corr = +1
+    val k3 = for (i <- 10L to 12L; j <- (i + 1) to 12L) yield (i, j)
+    val k4 = for (i <- 20L to 23L; j <- (i + 1) to 23L) yield (i, j)
+    val cliques = undirected((k3 ++ k4): _*)
+      .withColumn("deg_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .withColumn("deg_dst", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))))
+    val r2 = graft.operators.Analytics.corrExact(
+      cliques, Seq.empty, "deg_src", "deg_dst").head()
+    assert(r2.getDouble(r2.fieldIndex("corr")) == 1.0,
+      s"disjoint unequal cliques are perfectly assortative: $r2")
+  }
 }
