@@ -383,7 +383,26 @@ object GraphQueries {
     out
   }
 
+  /** Degree distribution in log₂ buckets — the power-law / hub audit
+    * that decides the caps and salting every other graph op here
+    * relies on (a heavy tail means bounded-fanout wedge caps and
+    * skew-guarded joins are load-bearing, not paranoia). One degree
+    * aggregate, one ilog2 bucket collapse: per bucket the node count,
+    * degree range, and total incident-edge mass.
+    */
+  def graphDegreeHist(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(graft.operators.Dsir.ilog2(col("deg")).as("deg_log2"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_nodes"),
+        min(col("deg")).cast("bigint").as("min_deg"),
+        max(col("deg")).cast("bigint").as("max_deg"),
+        sum(col("deg")).cast("bigint").as("sum_deg"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_hist" -> (graphDegreeHist _),
     "graph_assortativity" -> (graphAssortativity _),
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
@@ -394,6 +413,20 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_hist" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_log2,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(deg) AS BIGINT) AS min_deg,
+        |  CAST(max(deg) AS BIGINT) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM deg GROUP BY 1""".stripMargin,
     "graph_assortativity" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

@@ -243,4 +243,20 @@ class GraphSpec extends SparkSpec {
     assert(r2.getDouble(r2.fieldIndex("corr")) == 1.0,
       s"disjoint unequal cliques are perfectly assortative: $r2")
   }
+
+  test("degree histogram: ilog2 buckets partition nodes, conserve edge mass") {
+    // star hub deg 6 (bucket 2), leaves deg 1 (bucket 0), plus a
+    // 4-cycle of deg-2 nodes (bucket 1)
+    val e = undirected(
+      Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L),(0L,6L),
+          (10L,11L),(11L,12L),(12L,13L),(13L,10L)): _*)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val hist = deg
+      .groupBy(graft.operators.Dsir.ilog2(col("deg")).as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("deg")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == Map(0L -> ((6L, 6L)), 1L -> ((4L, 8L)), 2L -> ((1L, 6L))),
+      s"$hist")
+    assert(hist.values.map(_._2).sum == e.count(), "edge mass conserved")
+  }
 }
