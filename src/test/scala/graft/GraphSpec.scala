@@ -259,4 +259,32 @@ class GraphSpec extends SparkSpec {
       s"$hist")
     assert(hist.values.map(_._2).sum == e.count(), "edge mass conserved")
   }
+
+  test("kcore delta peel matches a plain-Scala recompute peel on random graphs") {
+    val rnd = new scala.util.Random(1414)
+    (1 to 15).foreach { trial =>
+      val n = 8 + rnd.nextInt(25)
+      val pairs = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextInt(100) < 25
+      } yield (i, j)).distinct
+      if (pairs.nonEmpty) {
+        val k = 1 + rnd.nextInt(4)
+        // reference: textbook recompute peel, driver-side
+        val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        var alive = adj.keySet
+        var changed = true
+        while (changed) {
+          val next = alive.filter(v => (adj(v) & alive).size >= k)
+          changed = next != alive
+          alive = next
+        }
+        val expected = alive.map(v => v -> (adj(v) & alive).size.toLong).toMap
+        val got = Graph.kcore(undirected(pairs: _*), k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial n=$n k=$k: $got vs $expected")
+      }
+    }
+  }
 }
