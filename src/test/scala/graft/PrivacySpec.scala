@@ -286,4 +286,33 @@ class PrivacySpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("tCloseness matches a brute-force driver-side EMD on random tables") {
+    val rnd = new scala.util.Random(1414)
+    (1 to 10).foreach { trial =>
+      val rows = (0 until 60 + rnd.nextInt(200)).map { _ =>
+        (s"c${rnd.nextInt(5)}", rnd.nextInt(7))
+      }
+      // driver-side reference: micro-quantized cumulative EMD per class
+      val svs = rows.map(_._2).distinct.sorted
+      val n = rows.size.toLong
+      def cum(xs: Seq[Int]): Seq[Long] =
+        svs.map(v => xs.count(_ <= v).toLong)
+      val gcum = cum(rows.map(_._2))
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        val nc = rs.size.toLong
+        val ccum = cum(rs.map(_._2))
+        val terms = ccum.zip(gcum).map { case (c, g) =>
+          math.abs(c * 1000000L / nc - g * 1000000L / n)
+        }
+        val emd = if (svs.size > 1) terms.sum / (svs.size - 1) else 0L
+        k -> ((nc, emd))
+      }
+      val got = Privacy.tCloseness(rows.toDF("k", "sv"),
+          Seq(col("k")), col("sv"), 200000L)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
 }
