@@ -480,4 +480,31 @@ class AnalyticsSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("intervalUnion matches a driver-side merge on random interval sets") {
+    val rnd = new scala.util.Random(1414)
+    (1 to 10).foreach { trial =>
+      val rows = (0 until 40 + rnd.nextInt(150)).map { _ =>
+        val st = rnd.nextInt(500).toLong
+        (s"k${rnd.nextInt(4)}", st, st + 1 + rnd.nextInt(60))
+      }
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(identity)
+        val islands = sorted.tail.foldLeft(List(sorted.head)) {
+          case (acc @ ((ist, ien) :: rest), (st, en)) =>
+            if (st > ien) (st, en) :: acc
+            else (ist, math.max(ien, en)) :: rest
+          case (acc, _) => acc
+        }
+        k -> ((islands.size.toLong, rs.size.toLong,
+          islands.map(i => i._2 - i._1).sum,
+          sorted.map(_._2).max - sorted.map(_._1).min))
+      }
+      val got = Analytics.intervalUnion(rows.toDF("k", "st", "en"),
+          "k", "st", "en")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
 }
