@@ -289,17 +289,28 @@ object Analytics {
     */
   def intervalUnion(intervals: DataFrame, keyCol: String, stCol: String,
       enCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(stCol), col(enCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(stCol), col("_en"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     intervals
-      .withColumn("_pmax", max(col(enCol)).over(wPrev))
+      // operator-boundary validation: an inverted interval (en < st)
+      // silently corrupts the island segmentation and can drive
+      // covered_us negative — and because the oracle replays this very
+      // logic, the hash gate could never catch it. Fail loudly instead
+      // of normalizing: an inverted interval is upstream data damage,
+      // not a representation choice. The guard rides the column every
+      // window/aggregate reads, so the optimizer cannot prune it.
+      .withColumn("_en",
+        when(col(enCol) >= col(stCol), col(enCol)).otherwise(raise_error(
+          concat(lit(s"intervalUnion: inverted interval ($enCol < $stCol) at $keyCol="),
+            col(keyCol).cast("string")))))
+      .withColumn("_pmax", max(col("_en")).over(wPrev))
       .withColumn("_new",
         when(col("_pmax").isNull || col(stCol) > col("_pmax"), 1L)
           .otherwise(0L))
       .withColumn("_island", sum(col("_new")).over(wRun))
       .groupBy(col(keyCol), col("_island"))
-      .agg(min(col(stCol)).as("_ist"), max(col(enCol)).as("_ien"),
+      .agg(min(col(stCol)).as("_ist"), max(col("_en")).as("_ien"),
         count(lit(1)).as("_n"))
       .groupBy(col(keyCol))
       .agg(
@@ -347,8 +358,18 @@ object Analytics {
       .join(broadcast(ny), "_y")
       .crossJoin(broadcast(tot))
       .withColumn("pmi_q",
-        (Dsir.ilog2(col("n_xy") * col("n_tot")) -
-          Dsir.ilog2(col("n_x") * col("n_y"))).cast("bigint"))
+        // fail-LOUD overflow guard: past n_tot ≈ 3·10⁹ the n_xy·n_tot
+        // product wraps silently under Spark's non-ANSI long arithmetic
+        // while the DuckDB oracle errors on BIGINT overflow — two
+        // different failure modes for the same bad input. One compare
+        // per cell row (cells, not raw rows) makes both engines fail
+        // the same way: loudly, here. Past the bound, sample or rescale
+        // counts before calling (the scaladoc contract, now enforced).
+        when(col("n_tot") > lit(3000000000L), raise_error(concat(
+          lit("featureAssoc: n_tot="), col("n_tot").cast("string"),
+          lit(" exceeds the 3e9 BIGINT-safe bound for pmi_q — sample or rescale counts"))))
+          .otherwise((Dsir.ilog2(col("n_xy") * col("n_tot")) -
+            Dsir.ilog2(col("n_x") * col("n_y"))).cast("bigint")))
       .withColumn("leverage_micro",
         (expr("(n_xy * 1000000) DIV n_tot") -
           expr("(((n_x * 1000000) DIV n_tot) * ((n_y * 1000000) DIV n_tot)) DIV 1000000"))

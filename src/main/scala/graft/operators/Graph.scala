@@ -316,31 +316,44 @@ object Graph {
     deg = deg.filter(col("core_deg") >= k).localCheckpoint()
     var rounds = 1
     var droppedCount = dropped.count()
-    while (droppedCount > 0L) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"kcore: no fixpoint within $maxRounds rounds (oracle unroll depth)")
-      // edges whose dst just died decrement their src — the dropped
-      // set is small and shrinking, so the semi-join broadcasts (hint
-      // gated by the measured count: a pathological first wave on a
-      // 100 TB graph must not be forced through a driver broadcast)
-      // and the edge list itself never reshuffles
-      val dropKeys =
-        if (droppedCount <= 5000000L) broadcast(dropped.toDF("dst"))
-        else dropped.toDF("dst")
-      val dec = e.join(dropKeys, Seq("dst"), "left_semi")
-        .groupBy(col("src"))
-        .agg(count(lit(1)).as("_dec"))
-      val updated = deg.join(dec, deg("node") === dec("src"), "left")
-        .select(deg("node"),
-          (col("core_deg") - coalesce(col("_dec"), lit(0L))).as("core_deg"))
-        .localCheckpoint()
-      dropped = updated.filter(col("core_deg") < k).select("node")
-        .localCheckpoint()
-      deg = updated.filter(col("core_deg") >= k).localCheckpoint()
-      droppedCount = dropped.count()
-    }
-    e.unpersist()
+    // try/finally: a mid-peel failure (the maxRounds require, an
+    // executor loss) must not leak the persisted edge list; and each
+    // round explicitly releases the PREVIOUS round's checkpoint blocks
+    // once its successors have materialized — a deep cascade would
+    // otherwise hold maxRounds copies of the degree table in executor
+    // storage until the driver GC got around to them.
+    try {
+      while (droppedCount > 0L) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"kcore: no fixpoint within $maxRounds rounds (oracle unroll depth)")
+        // edges whose dst just died decrement their src — the dropped
+        // set is small and shrinking, so the semi-join broadcasts (hint
+        // gated by the measured count: a pathological first wave on a
+        // 100 TB graph must not be forced through a driver broadcast)
+        // and the edge list itself never reshuffles
+        val dropKeys =
+          if (droppedCount <= 5000000L) broadcast(dropped.toDF("dst"))
+          else dropped.toDF("dst")
+        val dec = e.join(dropKeys, Seq("dst"), "left_semi")
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("_dec"))
+        val updated = deg.join(dec, deg("node") === dec("src"), "left")
+          .select(deg("node"),
+            (col("core_deg") - coalesce(col("_dec"), lit(0L))).as("core_deg"))
+          .localCheckpoint()
+        val (prevDeg, prevDropped) = (deg, dropped)
+        dropped = updated.filter(col("core_deg") < k).select("node")
+          .localCheckpoint()
+        deg = updated.filter(col("core_deg") >= k).localCheckpoint()
+        // deg/dropped are eager checkpoints of `updated`, so the
+        // round's intermediate and the previous round's tables are now
+        // unreachable — free their blocks instead of waiting for GC
+        Seq(updated, prevDeg, prevDropped)
+          .foreach(org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint)
+        droppedCount = dropped.count()
+      }
+    } finally e.unpersist()
     deg
   }
   /** Common-neighbor link prediction: for every node pair sharing at

@@ -405,7 +405,13 @@ object MiscQueries {
   def formatRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("n_chars"))
-    val base = s"/tmp/graft-fmt-${math.abs(sfDir.hashCode)}"
+    // per-invocation unique dir: a fixed /tmp/graft-fmt-<hash> path let
+    // two concurrent drivers over the same fixture race each other's
+    // mode(overwrite) against the read-back (and math.abs(Int.MinValue)
+    // is negative). createTempDirectory is unique by contract; cleanup
+    // is the OS tmp reaper's, same as every other scratch artifact.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fmt-").toFile.getAbsolutePath
     graft.sources.Sinks.orc(docs, s"$base/orc")
     graft.sources.Sinks.jsonl(docs, s"$base/jsonl")
     val schema = docs.schema

@@ -29,4 +29,18 @@ object GraftBridge {
 
   def confOf(wrapped: Serializable): org.apache.hadoop.conf.Configuration =
     wrapped.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+
+  /** Release the executor-storage blocks behind a `localCheckpoint()`ed
+    * Dataset. Spark exposes no public unpersist for checkpoint blocks
+    * (they normally live until the ContextCleaner GCs the RDD handle),
+    * which lets iterative peels/fixpoints accumulate a round's worth of
+    * storage per iteration; the checkpointed plan is a bare
+    * `LogicalRDD`, so unpersisting its RDD frees the blocks
+    * deterministically. Only call once every downstream consumer of the
+    * checkpoint has itself materialized.
+    */
+  def releaseLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

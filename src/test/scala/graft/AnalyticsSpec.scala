@@ -463,6 +463,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 1L, 1L)))
   }
 
+  test("intervalUnion fails loudly on an inverted interval") {
+    // en < st would silently corrupt island segmentation — and the
+    // oracle replays the same logic, so the hash gate can't see it;
+    // the operator-boundary guard must raise instead
+    val iv = Seq(("a", 0L, 10L), ("a", 30L, 20L)).toDF("k", "st", "en")
+    val ex = intercept[Exception] {
+      Analytics.intervalUnion(iv, "k", "st", "en").collect()
+    }
+    assert(ex.getMessage != null)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("inverted interval")),
+      s"expected the inverted-interval raise_error, got: ${ex.getMessage}")
+  }
+
   test("intervalUnion: containment and duplicates don't inflate coverage") {
     val iv = Seq(
       ("a", 0L, 100L), ("a", 10L, 20L), ("a", 10L, 20L), ("a", 0L, 100L)
