@@ -98,23 +98,73 @@ object Bpe {
     (merges.result().reduce(_ unionByName _), cur)
   }
 
-  /** The learned merge table alone. */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
-    train(docs, textCol, rounds)._1
+  /** Trained state, memoized per (session, corpus plan, textCol,
+    * rounds) — the tokenizer is INDEX STATE, like the PQ codebook and
+    * the shingle index: you train once per corpus, then every
+    * tokenize/count call is a map pass. The merge table is ≤ `rounds`
+    * rows and the word→token-count table is vocabulary-sized —
+    * driver-small by the same argument as the DSIR model (cap-guarded
+    * loudly; at 100 TB a natural-language vocabulary is millions of
+    * words, far under the cap, while corpus SIZE is irrelevant here).
+    * Staleness contract = the codebook's: keys on the analyzed plan's
+    * semanticHash; in-session fixture rewrites must
+    * [[clearTrainedState]].
+    */
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType, Map[String, Long])]()
 
-  /** Per-document token counts under the trained vocabulary: re-join
-    * each document's words to the final word→symbols table (vocab is
-    * broadcast-sized next to the corpus) and sum symbol counts.
+  def clearTrainedState(): Unit = trainCache.clear()
+
+  private def trainedState(docs: DataFrame, textCol: String, rounds: Int)
+      : (Array[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType, Map[String, Long]) = {
+    val key = Seq(
+      org.apache.spark.sql.GraftBridge.sessionUUID(docs.sparkSession),
+      docs.queryExecution.analyzed.semanticHash(), textCol, rounds)
+      .mkString("|")
+    trainCache.computeIfAbsent(key, _ => {
+      val (m, vocab) = train(docs, textCol, rounds)
+      val mergeRows = m.collect()
+      val vocabRows = vocab.select(col("word"),
+        size(split(trim(col("toks")), " ")).cast("long").as("ntok"))
+        .collect()
+      require(vocabRows.length <= 4 * 1000 * 1000,
+        s"BPE vocabulary has ${vocabRows.length} words — past the 4M " +
+          "driver-state cap; sample the training corpus (the codebook " +
+          "discipline) before training")
+      (mergeRows, m.schema,
+        vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    })
+  }
+
+  /** The learned merge table. Trains (and memoizes) on first call per
+    * (session, corpus, rounds); the returned plan is a local relation
+    * of ≤ `rounds` rows — no train stages re-run per consumer.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (rows, schema, _) = trainedState(docs, textCol, rounds)
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Per-document token counts under the trained vocabulary — a
+    * MAP-ONLY pass: the [[graft.functions.BpeWordTokens]] kernel walks
+    * each doc once with the memoized word→token-count table as a
+    * reference object. The pre-round-15 shape re-trained per
+    * invocation and paid a corpus explode + broadcast join; the
+    * explode/join semantics (empty words skipped, unknown words count
+    * toward neither column, zero-known-word docs absent) are preserved
+    * exactly — the DuckDB oracle's inner-join formulation is unchanged.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
-    val (_, vocab) = train(docs, textCol, rounds)
-    val perWord = vocab.select(col("word"),
-      size(split(trim(col("toks")), " ")).cast("long").as("_ntok"))
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .where(col("word") =!= "")
-      .join(broadcast(perWord), "word")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum("_ntok").as("n_tokens"))
+    val (_, _, vocabTok) = trainedState(docs, textCol, rounds)
+    docs
+      .select(col(idCol), graft.functions.BpeWordTokens
+        .bpe_word_tokens(col(textCol), vocabTok).as("_wt"))
+      .select(col(idCol), col("_wt.n_words").as("n_words"),
+        col("_wt.n_tokens").as("n_tokens"))
+      .where(col("n_words") > 0L)
   }
 }

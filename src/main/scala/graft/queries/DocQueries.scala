@@ -34,8 +34,35 @@ object DocQueries {
     Tables.distributed(spark, sfDir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
 
+  /** The set-similarity family's ONE corpus: every document plus its
+    * half-length truncation (id + 100000). One corpus → one shared
+    * [[graft.operators.Dedup.ShingleIndex]] across dedup_ssjoin /
+    * dedup_containment / dedup_ngram_jaccard — the production shape
+    * (you index a corpus once, then run every set-similarity operator
+    * against the index), and the truncations give containment a
+    * provable planted signal. Same plan object in all three queries so
+    * the index memo key (analyzed-plan semanticHash) matches.
+    */
+  private[queries] def setSimCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.distributed(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val truncated = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')").as("text"))
+    docs.unionByName(truncated)
+  }
+
+  /** DuckDB twin of [[setSimCorpus]], as a `d` CTE body. */
+  private val setSimCorpusCte: String =
+    """d AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    array_to_string(words[1 : CAST(ceil(len(words) / 2.0) AS INT)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
+
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.distributed(spark, sfDir, "documents"), "text", "doc_id")
+    Dedup.ngramJaccardPairs(setSimCorpus(spark, sfDir), "text", "doc_id")
 
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
@@ -202,9 +229,10 @@ object DocQueries {
     graft.operators.Cdc.dedupStats(Tables.documents(spark, sfDir), "text")
 
   /** Exact Jaccard ≥ 0.6 shingle-similarity self-join via prefix
-    * filtering — lossless, unlike the banded-LSH candidates. */
+    * filtering — lossless, unlike the banded-LSH candidates. Runs over
+    * [[setSimCorpus]] so the whole family shares one shingle index. */
   def dedupSsjoin(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.prefixFilterJoin(Tables.documents(spark, sfDir), "text", "doc_id")
+    Dedup.prefixFilterJoin(setSimCorpus(spark, sfDir), "text", "doc_id")
 
   def cdcSharedPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Cdc.sharedChunkPairs(
@@ -240,15 +268,9 @@ object DocQueries {
     * operator must flag every (trunc, orig) pair at containment 1.0ish
     * alongside the corpus's natural partial mirrors.
     */
-  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val truncated = docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
-      expr("array_join(slice(split(text, ' '), 1, " +
-        "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')").as("text"))
-    Dedup.containmentPairs(docs.unionByName(truncated),
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.containmentPairs(setSimCorpus(spark, sfDir),
       "doc_id", "text", shingleK = 3, tauNum = 9, tauDen = 10)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> dedupSemantic,
@@ -276,14 +298,17 @@ object DocQueries {
 
   // -- oracle SQL ------------------------------------------------------
 
-  /** Distinct word-3-gram shingle rows per doc (min doc length in the
-    * corpus is 10 words, so no short-text guard is needed here).
+  /** Distinct word-3-gram shingle rows per doc over `table` (min doc
+    * length in the corpus is 10 words, so no short-text guard is
+    * needed here; the truncations of [[setSimCorpusCte]] keep ≥ 5).
     */
-  private val shingleRows: String =
-    """SELECT doc_id, unnest(list_distinct(list_transform(
+  private def shingleRowsOver(table: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(words) - 2),
       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $table)""".stripMargin
+
+  private val shingleRows: String = shingleRowsOver("documents")
 
   /** The shingle's 60-bit md5-prefix draw (same idiom as every other
     * deterministic draw in the oracle suite).
@@ -462,7 +487,8 @@ object DocQueries {
     // a shingle, thresholded by the same integer inequality — prefix
     // filtering only prunes candidates, so the sets must be identical
     "dedup_ssjoin" ->
-      s"""WITH shr AS ($shingleRows),
+      s"""WITH $setSimCorpusCte,
+         |shr AS (${shingleRowsOver("d")}),
          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
          |  FROM shr GROUP BY doc_id),
          |inter AS (
@@ -612,17 +638,18 @@ object DocQueries {
          |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
          |      FROM documents)""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH shr AS ($shingleRows),
+      s"""WITH $setSimCorpusCte,
+         |shr AS (${shingleRowsOver("d")}),
          |sigs AS (SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
          |bands AS ($bandSelects),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b USING (band_idx, band_hash)
          |         WHERE a.doc_id < b.doc_id),
-         |d AS (SELECT doc_id, list(sh) AS shs FROM shr GROUP BY doc_id)
+         |da AS (SELECT doc_id, list(sh) AS shs FROM shr GROUP BY doc_id)
          |SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
          |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
-         |FROM cand c JOIN d a ON a.doc_id = c.doc_a JOIN d b ON b.doc_id = c.doc_b""".stripMargin,
+         |FROM cand c JOIN da a ON a.doc_id = c.doc_a JOIN da b ON b.doc_id = c.doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
@@ -653,15 +680,8 @@ object DocQueries {
          |  CAST(CASE WHEN p.max_cos_lo > 0.4 THEN 0 ELSE 1 END AS BIGINT) AS kept
          |FROM m LEFT JOIN pair p ON m.vec_id = p.vec_id""".stripMargin,
     "dedup_containment" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(words[1 : CAST(ceil(len(words) / 2.0) AS INT)], ' ')
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(words) - 2),
-        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM d)),
+      s"""WITH $setSimCorpusCte,
+        |shc AS (${shingleRowsOver("d")}),
         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shc GROUP BY 1),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(count(*) AS BIGINT) AS n_shared

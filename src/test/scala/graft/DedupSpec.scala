@@ -270,6 +270,27 @@ class DedupSpec extends SparkSpec {
     assert(collisions === 0L, "60-bit shingle-hash collision in fixture")
   }
 
+  test("the set-similarity family shares ONE shingle index per (corpus, k)") {
+    // ssjoin, containment and ngram-jaccard all consume the same
+    // ranked-shingle + sorted-array artifacts; running all three over
+    // the same corpus plan must build the index exactly once (the
+    // round-15 directive: at 100 TB the ranked table is an index you
+    // build once, not a pipeline you re-run per query)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k m"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo")
+    ).toDF("doc_id", "text")
+    val before = Dedup.shingleIndexCount
+    Dedup.prefixFilterJoin(docs, "text", "doc_id").collect()
+    assert(Dedup.shingleIndexCount == before + 1, "first call must build")
+    Dedup.containmentPairs(docs, "doc_id", "text", 3, 9, 10).collect()
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id").collect()
+    Dedup.prefixFilterJoin(docs, "text", "doc_id", tauNum = 1, tauDen = 2).collect()
+    assert(Dedup.shingleIndexCount == before + 1,
+      "later family members (and other thresholds) must reuse the index, not rebuild")
+  }
+
   test("duplicated spans: cross-doc and within-doc repeats merge into maximal spans") {
     val docs = Seq(
       (1L, "a b c d e f"),          // shares "a b c d" with doc 2
