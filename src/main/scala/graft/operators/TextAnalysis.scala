@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID
@@ -159,6 +159,31 @@ object TextAnalysis {
       when(avgWordLen(text) >= 3 && avgWordLen(text) <= 10, 0.3).otherwise(0.0) +
       when(wordCount(text) >= 20, 0.3).otherwise(0.1) -
       punctRatio(text) * 0.5 - digitRatio(text) * 0.5
+
+  /** Linear quality CLASSIFIER over hashed n-gram features — the
+    * fastText/CCNet curation shape (Joulin et al. 2016): word
+    * unigrams+bigrams hash into a fixed bucket space, a broadcast
+    * weight vector scores each bucket, the doc keeps iff the summed
+    * score clears the gate. Model application is ONE codegen
+    * projection ([[graft.functions.HashedGramScore]] — the weight
+    * vector rides as a reference object, the PQ-codebook broadcast
+    * discipline), so at 100 TB this is scan-bound: no explode, no
+    * join, no shuffle before the terminal sink. Weights here derive
+    * from the public md5 formula (deterministic, oracle re-derives
+    * them inline); training real ones swaps the array only. Exact
+    * integer milli-weights end-to-end; `keep` = sign gate.
+    */
+  def linearQualityFilter(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 65536): DataFrame = {
+    val w = graft.functions.HashedGramScore.deriveWeights(buckets)
+    df.select(col(idCol),
+        graft.functions.HashedGramScore
+          .hashed_gram_score(col(textCol), w, Seq(1, 2)).as("_s"))
+      .select(col(idCol),
+        col("_s.n_grams").as("n_grams"),
+        col("_s.score_sum").as("score_sum"),
+        (col("_s.score_sum") >= 0L).cast("int").as("keep"))
+  }
 
   // -- PII redaction ---------------------------------------------------
 

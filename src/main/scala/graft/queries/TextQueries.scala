@@ -256,6 +256,14 @@ object TextQueries {
         graft.operators.Hygiene.gopherColumns(col("text")): _*)
       .withColumn("gopher_keep", graft.operators.Hygiene.gopherKeep)
 
+  /** Linear hashed-ngram quality classifier (fastText/CCNet shape) —
+    * one codegen projection, broadcast weight vector; see
+    * [[graft.operators.TextAnalysis.linearQualityFilter]].
+    */
+  def qualityFilterLinear(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextAnalysis.linearQualityFilter(
+      Tables.distributed(spark, sfDir, "documents"), "doc_id", "text")
+
   /** DSIR importance selection: the crawl slice whose hashed-ngram
     * distribution resembles the English target slice — see
     * [[graft.operators.Dsir.dsirSelect]] (integer-bit-quantized LLR,
@@ -279,6 +287,7 @@ object TextQueries {
     "dsir_select" -> dsirSelect,
     "dsir_resample" -> dsirResample,
     "quality_filter_gopher" -> qualityFilterGopher,
+    "quality_filter_linear" -> qualityFilterLinear,
     "token_budget_sample" -> tokenBudgetSample,
     "curriculum_order" -> curriculumOrder,
     "text_lm_score" -> textLmScore,
@@ -441,6 +450,27 @@ object TextQueries {
        |FROM c""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the hashed-ngram linear classifier: features = word unigrams +
+    // bigrams (positional, non-distinct), bucket = 60-bit md5 prefix
+    // mod 65536, weight = the public md5 milli-weight formula the
+    // engine's broadcast vector is derived from
+    "quality_filter_linear" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(words) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1])) AS g
+        |  FROM t),
+        |w AS (SELECT doc_id,
+        |  (CAST(concat('0x', substr(md5('qw:' || CAST(
+        |      CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 65536
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(w) AS BIGINT) AS score_sum,
+        |  CAST(sum(w) >= 0 AS INT) AS keep
+        |FROM w GROUP BY doc_id""".stripMargin,
     "quality_filter_gopher" ->
       s"""WITH w AS (SELECT doc_id, text,
          |    string_split_regex(trim(text), '\\s+') AS words,

@@ -163,4 +163,44 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.langId(col("text"))).head().getString(0)
     assert(zh === "zh")
   }
+
+  test("linearQualityFilter == an expression-built reference; sign gate; gram count") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "x"),
+      (3L, "alpha alpha alpha"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // reference path: builtin md5/conv expressions (the oracle idiom),
+    // fully independent of the HashedGramScore kernel internals
+    val uni = explode(split(col("text"), " "))
+    val big = explode(expr(
+      """CASE WHEN size(split(text, ' ')) >= 2 THEN
+        |  transform(sequence(1, size(split(text, ' ')) - 1),
+        |    i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |                        element_at(split(text, ' '), i + 1)))
+        |ELSE array() END""".stripMargin))
+    val grams = docs.select(col("doc_id"), uni.as("g"))
+      .unionByName(docs.select(col("doc_id"), big.as("g")))
+    val bucket = pmod(conv(substring(md5(col("g")), 1, 15), 16, 10)
+      .cast("long"), lit(65536L))
+    val weight = pmod(conv(substring(md5(concat(lit("qw:"),
+      bucket.cast("string"))), 1, 15), 16, 10).cast("long"), lit(2001L)) - 1000L
+    val ref = grams.select(col("doc_id"), weight.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("w").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((id, (n, s)) <- ref) {
+      assert(out(id)._1 === n, s"n_grams of doc $id")
+      assert(out(id)._2 === s, s"score_sum of doc $id")
+      assert(out(id)._3 === (if (s >= 0) 1 else 0), s"keep gate of doc $id")
+    }
+    // structural pin: k tokens -> k unigrams + (k-1) bigrams
+    assert(out(1L)._1 === 7L)
+    assert(out(2L)._1 === 1L)
+    assert(out(4L)._1 === 17L)
+  }
 }
