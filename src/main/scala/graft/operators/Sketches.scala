@@ -183,6 +183,41 @@ object Sketches {
         col("cum").as("rank_cum"), col("total")): _*)
   }
 
+  /** KLL-sketch quantiles — the MERGEABLE rank sketch with a published
+    * error bound ([[graft.functions.KllSketch]]: KLL compactor stack,
+    * derandomized offset, no bottom sampler; ε = O(log²(n/k)/k) rank
+    * error past fill) that [[histogramQuantiles]]'s fixed bins are the
+    * bounded-domain special case of. Values quantize to integer cents
+    * (the repo's 2-decimal convention) so the summary is pure longs.
+    *
+    * Scale/exactness contract: ONE map-side-combining aggregate — each
+    * task ships one O(k·log) buffer per group, never rows; below the
+    * level-0 fill (k per group) the summary is the complete sorted
+    * multiset and rank selection is EXACT (the KMV discipline — every
+    * oracle SF sits in that regime; k = 16384 vs 2 k values/group at
+    * sf0.01), past it the ε bound applies and the spec pins it.
+    * Quantile extraction is the stateless [[graft.functions
+    * .KllQuantileAt]] walk — no post-aggregation window, so the SAME
+    * plan runs as a Complete-mode streaming aggregate
+    * (`streaming_quantile_kll`).
+    */
+  def kllQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val cents = round(col(valueCol) * 100).cast("long")
+    val sketch = df
+      .where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KllSketch.kll_sketch(cents, k).as("_s"))
+    sketch
+      .select(groupCols.map(col) :+ col("_s.n").as("total") :+
+        explode(array(percents.map(p => struct(lit(p).as("p"),
+          graft.functions.KllQuantileAt.kll_quantile_at(col("_s"), p)
+            .as("value_cents"))): _*)).as("_q"): _*)
+      .select(groupCols.map(col) ++ Seq(col("_q.p").as("p"),
+        col("_q.value_cents").as("value_cents"), col("total")): _*)
+  }
+
   /** KMV set algebra: estimate |A∪B|, |A∩B|, and Jaccard(A, B) from
     * bottom-k sketches of the two sets — WITHOUT materializing either
     * distinct set. The union sketch is the bottom-k of the merged hash

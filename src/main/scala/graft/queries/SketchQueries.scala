@@ -96,10 +96,31 @@ object SketchQueries {
       org.apache.spark.sql.functions.col("user_id"),
       org.apache.spark.sql.functions.col("ts"), k = 20)
 
+  private val KllK = 16384
+
+  /** Mergeable KLL rank sketch, exact under fill (oracle regime). */
+  def quantileKll(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.kllQuantiles(
+      Tables.events(spark, sfDir), Seq("event_type"), "value",
+      KllK, QPercents)
+
+  /** Streaming twin: the KLL buffer is mergeable state, so the same
+    * one-aggregation plan runs Complete-mode; quantile extraction is a
+    * stateless post-agg projection (KllQuantileAt — no window).
+    */
+  def streamingQuantileKll(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamingPipeline.runToMemory(
+      Sketches.kllQuantiles(
+        graft.streaming.StreamingPipeline.readEvents(spark, sfDir),
+        Seq("event_type"), "value", KllK, QPercents),
+      "graft_stream_kll")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decayed_topk" -> decayedTopk,
     "distinct_kmv" -> distinctKmv,
     "distinct_hll" -> distinctHll,
+    "quantile_kll" -> quantileKll,
+    "streaming_quantile_kll" -> streamingQuantileKll,
     "quantile_hist" -> quantileHist,
     "heavy_hitters" -> heavyHitters,
     "kmv_set_algebra" -> kmvSetAlgebra,
@@ -110,6 +131,20 @@ object SketchQueries {
   // The double constants are interpolated from the SAME Scala values the
   // engine uses (shortest round-trip repr), so both engines parse the
   // identical IEEE double.
+  /** Exact rank select at ⌈total·p/100⌉ on the cents domain — the KLL
+    * twin (batch and streaming share it; both are exact under fill).
+    */
+  private val kllOracle: String =
+    s"""WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+       |r AS (SELECT event_type, c,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS total
+       |  FROM v)
+       |SELECT event_type, p, c AS value_cents, CAST(total AS BIGINT) AS total
+       |FROM r, (SELECT unnest([${QPercents.mkString(", ")}]) AS p) ps
+       |WHERE rn = (total * p + 99) // 100""".stripMargin
+
   private val kmvNumer = (KmvK - 1).toDouble * (1L << 60).toDouble
   private val hllNumer =
     Sketches.hllAlpha(1 << HllP) * (1 << HllP) * (1 << HllP) * (1L << 33).toDouble
@@ -175,6 +210,10 @@ object SketchQueries {
          |    THEN $hllLinList[CAST(${1 << HllP} - n_registers AS INT)]
          |    ELSE $hllNumer / CAST(sum_scaled AS DOUBLE) END, 3) AS est_corrected
          |FROM agg""".stripMargin,
+    // exact rank selection — valid because the oracle SF sits in the
+    // sketch's exact-under-fill regime (2k values/group vs k = 16384)
+    "quantile_kll" -> kllOracle,
+    "streaming_quantile_kll" -> kllOracle,
     "quantile_hist" ->
       s"""WITH c AS (
          |  SELECT event_type,

@@ -231,4 +231,63 @@ class SketchSpec extends SparkSpec {
     assert(out.getLong(1) == 1000000L, "only the anchor-day event weighs")
     assert(out.getLong(2) == 2L, "raw count still sees both")
   }
+
+  test("KLL: exact under fill — equals brute-force rank select, any layout") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextInt(100000) / 100.0))
+    val df = rows.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kllQuantiles(d, Seq("g"), "v", k = 16384, Seq(1, 50, 90, 99))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val out = run(df)
+    // brute force: r-th smallest cent value at r = ceil(total*p/100)
+    val byG = rows.groupBy(_._1).view.mapValues(
+      _.map(t => math.round(t._2 * 100)).sorted).toMap
+    for ((g, vs) <- byG; p <- Seq(1, 50, 90, 99)) {
+      val r = (vs.length.toLong * p + 99) / 100
+      assert(out((g, p)) === ((vs(r.toInt - 1), vs.length.toLong)),
+        s"exact rank select mismatch at ($g, p$p)")
+    }
+    // merge-order / partition-layout independence in the exact regime
+    assert(run(df.repartition(17)) === out)
+    assert(run(df.repartition(1)) === out)
+  }
+
+  test("KLL past fill: rank error stays inside the compactor bound") {
+    // 200k uniform values through a k=512 sketch: deep compaction.
+    // The MRL/KLL compactor analysis bounds rank error by
+    // O(log²(n/k)/k)·n; assert the much looser 2% practical envelope —
+    // a broken compactor (dropping mass, mis-weighting promotions)
+    // misses it by an order of magnitude.
+    val n = 200000
+    val rows = (0 until n).map(i => ("a", ((i * 2654435761L) % n) / 100.0))
+    val out = Sketches.kllQuantiles(rows.toDF("g", "v"), Seq("g"), "v",
+        k = 512, Seq(10, 50, 90))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val sorted = rows.map(t => math.round(t._2 * 100)).sorted
+    for (p <- Seq(10, 50, 90)) {
+      val want = sorted(((n.toLong * p + 99) / 100).toInt - 1)
+      val gotRank = sorted.count(_ <= out(p))
+      val wantRank = sorted.count(_ <= want)
+      assert(math.abs(gotRank - wantRank) <= n * 0.02,
+        s"p$p: rank drift ${math.abs(gotRank - wantRank)} > 2% of $n")
+    }
+  }
+
+  test("KLL summary weight mass tracks n and n is exact") {
+    import graft.functions.KllSketch
+    val df = (1 to 50000).map(i => ("a", i / 100.0)).toDF("g", "v")
+    val s = df.groupBy("g").agg(KllSketch.kll_sketch(
+      round(col("v") * 100).cast("long"), 256).as("s"))
+      .select(col("s.n"), expr("aggregate(s.items, 0L, (acc, x) -> acc + x.w)"))
+      .head()
+    assert(s.getLong(0) === 50000L, "true count is exact")
+    // alternating compaction keeps total weight within one compaction's
+    // drift band of n (each compaction shifts mass by at most its
+    // level's weight)
+    assert(math.abs(s.getLong(1) - 50000L) <= 5000L,
+      s"summary weight ${s.getLong(1)} drifted far from n")
+  }
 }
