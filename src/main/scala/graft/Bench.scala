@@ -36,6 +36,39 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    // Optional machine-written floor/lever LEDGER (round 15): with
+    // SPARK_GRAFT_LEDGER=<path>, a listener attributes jobs/stages/
+    // tasks/task-time/shuffle bytes to the in-flight query and the
+    // median-wall repeat's row is written as a markdown table —
+    // the per-round diffable record the sf10 top-10 audits used to
+    // reconstruct by hand from Profile runs. Collection costs one
+    // short listener-settle pause per run OUTSIDE the timed window;
+    // the timed measurements are unchanged.
+    val ledgerPath = sys.env.get("SPARK_GRAFT_LEDGER")
+    case class RunMetrics(wall: Double, jobs: Int, stages: Int, tasks: Int,
+      taskTimeMs: Long, shReadB: Long, shWriteB: Long)
+    val ledger = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[RunMetrics]]
+    @volatile var mJobs = 0
+    @volatile var mStages = 0
+    @volatile var mTasks = 0
+    @volatile var mTaskTimeMs = 0L
+    @volatile var mShReadB = 0L
+    @volatile var mShWriteB = 0L
+    if (ledgerPath.isDefined) {
+      import org.apache.spark.scheduler._
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = mJobs += 1
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          mStages += 1
+          mTasks += s.stageInfo.numTasks
+          mTaskTimeMs += s.stageInfo.taskMetrics.executorRunTime
+          mShReadB += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+          mShWriteB += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        }
+      })
+    }
     // Warm the shared ElbSynth cache BEFORE timing: synthesized log
     // lines are cached once per sf dir (queries/ElbSynth.scala), and
     // without this the first elb_* query to run absorbs the whole
@@ -90,10 +123,22 @@ object Bench {
         // alive. Unpersist runs OUTSIDE the timed window: releasing
         // blocks is bookkeeping, not query cost.
         val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        if (ledgerPath.isDefined) {
+          mJobs = 0; mStages = 0; mTasks = 0; mTaskTimeMs = 0L
+          mShReadB = 0L; mShWriteB = 0L
+        }
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val t = (System.nanoTime() - t0) / 1e9
+          if (ledgerPath.isDefined) {
+            // listener bus is async and its drain API private — a short
+            // settle outside the timed window is accurate enough
+            Thread.sleep(150)
+            ledger.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer.empty) +=
+              RunMetrics(t, mJobs, mStages, mTasks, mTaskTimeMs, mShReadB, mShWriteB)
+          }
           spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
             if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
           }
@@ -122,6 +167,35 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"calib_1t_sec":$calib1%.3f,"calib_mt_sec":$calibM%.3f,"sf":"$sfDir"}""")
+    ledgerPath.foreach { path =>
+      // median-wall repeat's metrics per query — the row that matches
+      // the reported median second. `shape` is a coarse machine tag
+      // (map-only / light-exchange / exchange, + driver-bound when the
+      // parallel efficiency of a ≥1 s query is < 15%); the floor-vs-
+      // lever JUDGMENT stays a human row in SCALE.md — this table is
+      // the diffable evidence under it.
+      val sb = new StringBuilder
+      sb ++= s"# Bench ledger — sf=$sfDir, repeats=$repeats, " +
+        f"calib_1t=$calib1%.3f, calib_mt=$calibM%.3f, cpus=$cpus%n"
+      sb ++= "| query | sec | jobs | stages | tasks | task_sec | shuffle_read_mb | shuffle_write_mb | par_eff | shape |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|---|\n"
+      ledger.toSeq
+        .map { case (name, runs) =>
+          val byWall = runs.sortBy(_.wall)
+          name -> byWall((byWall.size - 1) / 2)
+        }
+        .sortBy(-_._2.wall)
+        .foreach { case (name, m) =>
+          val parEff = m.taskTimeMs / 1000.0 / math.max(m.wall, 1e-9) / cpus.toInt
+          val shape =
+            if (m.wall >= 1.0 && parEff < 0.15) "driver-bound"
+            else if (m.shWriteB == 0L) "map-only"
+            else if (m.shWriteB < 64L * 1024 * 1024) "light-exchange"
+            else "exchange"
+          sb ++= f"| $name | ${m.wall}%.3f | ${m.jobs} | ${m.stages} | ${m.tasks} | ${m.taskTimeMs / 1000.0}%.1f | ${m.shReadB / 1048576.0}%.1f | ${m.shWriteB / 1048576.0}%.1f | $parEff%.2f | $shape |%n"
+        }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    }
     spark.stop()
   }
 }
