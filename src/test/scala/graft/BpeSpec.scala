@@ -58,4 +58,36 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("BpeWordTokens kernel: join semantics preserved exactly") {
+    import graft.functions.BpeWordTokens
+    // vocab as the trained table would be; "zz" deliberately absent —
+    // the old explode + INNER-join path counted an unknown word toward
+    // NEITHER n_words NOR n_tokens, and empty runs (double spaces)
+    // were filtered before the join; the kernel must reproduce both
+    val vocab = Map("ab" -> 1L, "cd" -> 2L, "e" -> 1L)
+    val rows = Seq(
+      ("ab cd e", 3L, 4L),      // all known
+      ("ab  cd", 2L, 3L),       // double space: empty run skipped
+      ("zz ab zz", 1L, 1L),     // unknown words invisible to both counts
+      (" ab ", 1L, 1L),         // leading/trailing spaces
+      ("", 0L, 0L),             // no words at all
+      ("zz", 0L, 0L)            // only unknown
+    ).toDF("text", "want_w", "want_t")
+    val got = rows.select(col("want_w"), col("want_t"),
+      BpeWordTokens.bpe_word_tokens(col("text"), vocab).as("s"))
+      .select(col("want_w"), col("want_t"),
+        col("s.n_words"), col("s.n_tokens"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), s"n_words of $r")
+      assert(r.getLong(3) === r.getLong(1), s"n_tokens of $r")
+    }
+    // tokenCounts drops zero-known-word docs — the old groupBy-after-
+    // join behavior (absent row, not a (0,0) row)
+    val tc = Bpe.tokenCounts(
+      Seq((1L, "ab cd"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", rounds = 1)
+    assert(tc.count() === 1L)
+  }
 }
