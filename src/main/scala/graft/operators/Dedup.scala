@@ -804,13 +804,18 @@ object Dedup {
       // The ranked artifact is BUCKETED AND SORTED BY u: both sides of
       // every candidate join downstream are scans of this one table
       // (prefix rows are a plain rn filter of it), so the join runs
-      // bucket-to-bucket with NO exchange and NO sort — the corpus-
-      // sized shuffle the candidate join used to pay per query moves
-      // into the one-time index build (the repartition below, which
-      // uses the same murmur3 pmod the bucket spec does, so each write
-      // task emits exactly one bucket file and the per-bucket sort
-      // order survives for the merge join). This is the IVF "probe
-      // reads only its buckets" discipline applied to set-similarity.
+      // bucket-to-bucket with NO exchange — the corpus-sized shuffle
+      // the candidate join used to pay per query moves into the
+      // one-time index build (the repartition below uses the same
+      // murmur3 pmod the bucket spec does, so each write task emits
+      // exactly one bucket file). This is the IVF "probe reads only
+      // its buckets" discipline applied to set-similarity. The
+      // candidate joins additionally hint SHUFFLE_HASH: the bucketed
+      // distribution already satisfies the join's requirement on both
+      // sides, and the sort-merge alternative buffered every
+      // duplicate-u group through ExternalAppendOnlyUnsafeRowArray —
+      // measured 4× the warm cost of the per-bucket hash build
+      // (sf10 warm containment 19 → 4.8 s, ssjoin 7.2 → ~5 s).
       val tableName = "graft_shidx_" +
         java.lang.Integer.toUnsignedString(key.hashCode) + "_" + key.length
       sh.join(dfreq, "u")
@@ -907,6 +912,7 @@ object Dedup {
     val tOfB = expr(s"($tauNum * sz_b + ${tauDen - 1}) DIV $tauDen")
     val cand = prefix.select(col("u"), col("doc").as("doc_a"),
         col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .hint("shuffle_hash")
       .join(prefix.select(col("u"), col("doc").as("doc_b"),
         col("sz").as("sz_b"), col("rn").as("rn_b")), "u")
       .where(col("doc_a") < col("doc_b") &&
@@ -1138,7 +1144,7 @@ object Dedup {
     // ⌈τ·szA⌉ and the c=1 prefix length, both exact-integer
     val tOfA = expr(s"($tauNum * _sz_a + ${tauDen - 1}) DIV $tauDen")
     val baseLen = col("_sz_a") - tOfA + lit(1)
-    val cand = prefix
+    val cand = prefix.hint("shuffle_hash")
       .join(ranked.select(col("_u"), col("_doc").as("doc_b"),
         col("_sz").as("_sz_b"), col("_rn").as("_rn_b")), "_u")
       .where(col("doc_a") =!= col("doc_b") &&
