@@ -818,7 +818,10 @@ object Dedup {
       // (sf10 warm containment 19 → 4.8 s, ssjoin 7.2 → ~5 s).
       val tableName = "graft_shidx_" +
         java.lang.Integer.toUnsignedString(key.hashCode) + "_" + key.length
-      sh.join(dfreq, "u")
+      // SHUFFLE_HASH on the df attach: both sides exchange by u either
+      // way; hash-building the (u, tdf) side skips sorting the full
+      // corpus-sized shingle run that sort-merge would pay
+      sh.join(dfreq.hint("shuffle_hash"), "u")
         .withColumn("rn", row_number().over(byRarity))
         .withColumn("sz", count(lit(1)).over(wDoc))
         .select(col("u"), col("doc"), col("sz"), col("rn"))
