@@ -33,14 +33,38 @@ object GraphQueries {
     */
   private val SuppBit = 1L << 40
 
+  /** The distinct customer–supplier edge list as a PHYSICAL ARTIFACT,
+    * built once per (session, sf dir) — the shingle-index discipline
+    * applied to the graph family: six queries (pagerank, personalized
+    * pagerank, bfs, kcore, assortativity, degree histogram) consume
+    * this exact table, and each used to pay the orders⋈lineitem join +
+    * corpus-sized distinct (~2 GB exchange at sf10) before its own
+    * algorithm started. The artifact stores the directed half (the
+    * distinct (cust, supp+2⁴⁰) pairs); both directions derive on read
+    * with two scans of the compact file — no exchange. At 100 TB the
+    * edge list of a trade graph IS a maintained table, not a join you
+    * re-run per analysis.
+    */
+  private val edgeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    val l = Tables.lineitem(spark, sfDir)
-    val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(
-        col("o_custkey").as("src"),
-        (col("l_suppkey") + SuppBit).as("dst"))
-      .distinct()
+    val key =
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
+    val path = edgeMemo.getOrElseUpdate(key, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-edges-").toFile.getAbsolutePath
+      val o = Tables.orders(spark, sfDir)
+      val l = Tables.lineitem(spark, sfDir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(
+          col("o_custkey").as("src"),
+          (col("l_suppkey") + SuppBit).as("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val pairs = spark.read.parquet(path)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
