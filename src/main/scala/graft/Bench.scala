@@ -168,8 +168,11 @@ object Bench {
     val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"repeats":$repeats,"calib_1t_sec":$calib1%.3f,"calib_mt_sec":$calibM%.3f,"sf":"$sfDir"}""")
     ledgerPath.foreach { path =>
-      // median-wall repeat's metrics per query — the row that matches
-      // the reported median second. `shape` is a coarse machine tag
+      // LOWER-median repeat's metrics per query (for even repeat
+      // counts the JSON median averages the two middle samples; the
+      // ledger needs ONE run's coherent metrics, so it takes the
+      // lower-middle run — identical at the odd repeat counts every
+      // recorded anchor uses). `shape` is a coarse machine tag
       // (map-only / light-exchange / exchange, + driver-bound when the
       // parallel efficiency of a ≥1 s query is < 15%); the floor-vs-
       // lever JUDGMENT stays a human row in SCALE.md — this table is

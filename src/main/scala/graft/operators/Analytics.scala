@@ -301,9 +301,13 @@ object Analytics {
       // not a representation choice. The guard rides the column every
       // window/aggregate reads, so the optimizer cannot prune it.
       .withColumn("_en",
-        when(col(enCol) >= col(stCol), col(enCol)).otherwise(raise_error(
-          concat(lit(s"intervalUnion: inverted interval ($enCol < $stCol) at $keyCol="),
-            col(keyCol).cast("string")))))
+        when(col(enCol).isNull || col(stCol).isNull, raise_error(
+          concat(lit(s"intervalUnion: null interval bound ($stCol/$enCol) at $keyCol="),
+            col(keyCol).cast("string"))))
+          .when(col(enCol) >= col(stCol), col(enCol))
+          .otherwise(raise_error(
+            concat(lit(s"intervalUnion: inverted interval ($enCol < $stCol) at $keyCol="),
+              col(keyCol).cast("string")))))
       .withColumn("_pmax", max(col("_en")).over(wPrev))
       .withColumn("_new",
         when(col("_pmax").isNull || col(stCol) > col("_pmax"), 1L)

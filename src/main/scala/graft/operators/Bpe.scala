@@ -126,13 +126,17 @@ object Bpe {
     trainCache.computeIfAbsent(key, _ => {
       val (m, vocab) = train(docs, textCol, rounds)
       val mergeRows = m.collect()
+      // cap BEFORE the collect: checking after would let a pathological
+      // corpus OOM the driver before the intended loud failure fires
+      // (vocab is checkpointed, so the count is a cached-scan job)
+      val nWords = vocab.count()
+      require(nWords <= 4L * 1000 * 1000,
+        s"BPE vocabulary has $nWords words — past the 4M driver-state " +
+          "cap; sample the training corpus (the codebook discipline) " +
+          "before training")
       val vocabRows = vocab.select(col("word"),
         size(split(trim(col("toks")), " ")).cast("long").as("ntok"))
         .collect()
-      require(vocabRows.length <= 4 * 1000 * 1000,
-        s"BPE vocabulary has ${vocabRows.length} words — past the 4M " +
-          "driver-state cap; sample the training corpus (the codebook " +
-          "discipline) before training")
       (mergeRows, m.schema,
         vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
     })

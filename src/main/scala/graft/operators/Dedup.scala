@@ -439,8 +439,13 @@ object Dedup {
     // bit-identical to a per-seed min aggregate over the exploded rows
     val sigs = graft.functions.MinhashSigs.minhash_sigs(col("us"),
       (0 until numHashes).map(minhashA), (0 until numHashes).map(minhashB))
-    val stats = idx.arr.select(col("doc") +: (0 until numHashes).map(s =>
-      element_at(sigs, s + 1).as(s"sig_$s")): _*)
+    // materialize the sig ARRAY in its own projection before fanning
+    // out to per-seed columns: a single-select element_at(sigs, ·)×k
+    // would rely on Catalyst subexpression elimination to avoid k full
+    // kernel walks — the two-step shape makes one evaluation structural
+    val stats = idx.arr.select(col("doc"), sigs.as("_sigs"))
+      .select(col("doc") +: (0 until numHashes).map(s =>
+        element_at(col("_sigs"), s + 1).as(s"sig_$s")): _*)
     val bands = lshBands(stats, "doc", numHashes, rowsPerBand)
     val kept = bucketSkewGuard(bands, Seq("band_idx", "band_hash"), "doc", bucketCap)
       .where(col("_kept"))
@@ -790,6 +795,17 @@ object Dedup {
         .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sh"))
         .select(col("doc"), shingleU(col("sh")).as("u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // content-addressed name: a key.hashCode-derived name leaves a
+      // 2⁻³² class of silent cross-corpus table overwrites (two live
+      // cache keys colliding → the second build replaces the first's
+      // files while its cache entry still points there); the full md5
+      // of the cache key removes the class
+      val tableName = "graft_shidx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(key)
+      // try/finally: a failed artifact write (disk full, task failure)
+      // must not leak the corpus-sized persisted table for the session
+      // — the kcore hardening discipline
+      try {
       sh.groupBy(col("doc"))
         .agg(sort_array(collect_list(col("u"))).as("us"),
           count(lit(1)).as("sz"))
@@ -816,8 +832,6 @@ object Dedup {
       // duplicate-u group through ExternalAppendOnlyUnsafeRowArray —
       // measured 4× the warm cost of the per-bucket hash build
       // (sf10 warm containment 19 → 4.8 s, ssjoin 7.2 → ~5 s).
-      val tableName = "graft_shidx_" +
-        java.lang.Integer.toUnsignedString(key.hashCode) + "_" + key.length
       // SHUFFLE_HASH on the df attach: both sides exchange by u either
       // way; hash-building the (u, tdf) side skips sorting the full
       // corpus-sized shingle run that sort-merge would pay
@@ -830,7 +844,7 @@ object Dedup {
         .option("path", s"$dir/ranked")
         .bucketBy(ShIdxBuckets, "u").sortBy("u")
         .saveAsTable(tableName)
-      sh.unpersist()
+      } finally sh.unpersist()
       (tableName, s"$dir/arr")
     })
     ShingleIndex(spark.table(rankedTable), spark.read.parquet(arrPath))

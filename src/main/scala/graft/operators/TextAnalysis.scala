@@ -176,7 +176,12 @@ object TextAnalysis {
   def linearQualityFilter(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 65536): DataFrame = {
     val w = graft.functions.HashedGramScore.deriveWeights(buckets)
-    df.select(col(idCol),
+    // null text drops the doc (not a null-score row): the SQL twin's
+    // unnest-over-split produces no gram rows for NULL, so the doc is
+    // absent from its GROUP BY — match that, don't diverge on the
+    // first fixture regeneration that introduces a null
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
         graft.functions.HashedGramScore
           .hashed_gram_score(col(textCol), w, Seq(1, 2)).as("_s"))
       .select(col(idCol),

@@ -48,6 +48,13 @@ object GraphQueries {
   private val edgeMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staleness escape hatch — the [[graft.operators.Dedup.ShingleIndex]]
+    * contract verbatim: rewriting orders/lineitem behind the same sf
+    * dir mid-session would serve stale edges; harnesses that do that
+    * must clear.
+    */
+  def clearEdgeState(): Unit = edgeMemo.clear()
+
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val key =
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
