@@ -1,0 +1,72 @@
+package graft
+
+/** Session-scoped scratch state for PHYSICAL artifacts (the shingle
+  * index, the graph edge lists, the co-purchase basket table, format
+  * round-trip sinks).
+  *
+  * Two concerns every artifact cache shares, centralized:
+  *
+  *   1. '''Disk lifetime.''' Artifact dirs used to be bare
+  *      `createTempDirectory` calls — nothing ever deleted them, so a
+  *      long-lived machine accumulated corpus-sized parquet per
+  *      (session, corpus, dial) forever. Every dir allocated through
+  *      [[tempDir]] is registered with ONE JVM shutdown hook that
+  *      deletes it recursively on exit, and the owning cache's
+  *      `clear*` escape hatch can call [[delete]] to reclaim the disk
+  *      mid-session (not just forget the memo entry).
+  *   2. '''Memo-key identity.''' Caches keyed on the 32-bit
+  *      `analyzed.semanticHash()` carried a 2⁻³² silent-collision
+  *      class: two different corpora colliding in one session would
+  *      serve the wrong cached index/trained state — and unlike the
+  *      table-NAME collision (fixed round 15 by md5 naming), a KEY
+  *      collision is invisible because the first build's entry answers
+  *      for both. [[planDigest]] is the collision-resistant
+  *      replacement: the md5 of the full canonicalized analyzed plan
+  *      (canonicalization normalizes expr ids / aliases exactly like
+  *      semanticHash does, so plan-object reuse across queries still
+  *      hits the cache).
+  */
+object Scratch {
+
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // registered once, on first use; deleting on exit (not eagerly)
+  // keeps artifacts alive for the whole session — the memo maps hold
+  // live pointers into these dirs
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach(d => deleteRecursively(new java.io.File(d)))
+    }, "graft-scratch-cleanup"))
+    true
+  }
+
+  /** A temp dir that dies with the JVM. */
+  def tempDir(prefix: String): String = {
+    require(hookInstalled)
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+      .toFile.getAbsolutePath
+    dirs.add(d)
+    d
+  }
+
+  /** Reclaim a scratch dir NOW (clear* escape hatches). Safe on paths
+    * not allocated here (no-op on the registry, best-effort delete).
+    */
+  def delete(path: String): Unit = {
+    dirs.remove(path)
+    deleteRecursively(new java.io.File(path))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Collision-resistant identity of a DataFrame's logical plan for
+    * memo keys — md5 of the canonicalized analyzed plan (see class
+    * doc). 128 bits: two corpora colliding is not a live failure class.
+    */
+  def planDigest(df: org.apache.spark.sql.DataFrame): String =
+    org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(df.queryExecution.analyzed.canonicalized.toString)
+}

@@ -34,19 +34,35 @@ object Basket {
   def frequentPairs(rows: DataFrame, basketCol: String, itemCol: String,
       minItemSupport: Long, minPairSupport: Long,
       maxBasketItems: Int): DataFrame = {
-    require(minItemSupport >= 1 && minPairSupport >= 1 && maxBasketItems >= 2)
     val bi = rows.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct()
+    val itemSupport = bi.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
+    frequentPairsIndexed(bi, itemSupport,
+      minItemSupport, minPairSupport, maxBasketItems)
+  }
+
+  /** [[frequentPairs]] over a PRE-BUILT basket index — the session-
+    * artifact path (round 16): `bi` is the DISTINCT (basket `_b`, item
+    * `_i`) membership table (when it is a table bucketed by `_b`, the
+    * basket collapse below rides the layout with NO exchange) and
+    * `itemSupport` the FULL per-item basket counts (`_i`, `_s`) —
+    * unthresholded, so one physical artifact serves any support dial.
+    * The support table is catalog-sized (one row per distinct item),
+    * so the A-priori attach BROADCASTS: the only corpus-sized exchange
+    * left in the query is the final pair count.
+    */
+  def frequentPairsIndexed(bi: DataFrame, itemSupport: DataFrame,
+      minItemSupport: Long, minPairSupport: Long,
+      maxBasketItems: Int): DataFrame = {
+    require(minItemSupport >= 1 && minPairSupport >= 1 && maxBasketItems >= 2)
     // n_baskets counts ALL baskets (before item pruning): lift's P(x)
     // is "fraction of baskets containing x" over the real population.
     val nBaskets = bi.select(col("_b")).distinct()
       .agg(count(lit(1)).as("_n_baskets"))
-    val itemSupport = bi.groupBy(col("_i"))
-      .agg(count(lit(1)).as("_s"))
-      .where(col("_s") >= minItemSupport)
-    // keep only frequent items; the join re-shuffles on _i, which both
-    // sides already partition by after the aggregate above
-    val frequent = bi.join(itemSupport, Seq("_i"))
+    val freqItems = itemSupport.where(col("_s") >= minItemSupport)
+    // keep only frequent items; broadcast keeps bi's partitioning (a
+    // bucketed artifact feeds the basket collapse exchange-free)
+    val frequent = bi.join(broadcast(freqItems), Seq("_i"))
     val baskets = frequent.groupBy(col("_b"))
       .agg(sort_array(collect_set(col("_i"))).as("_items"))
       .where(size(col("_items")).between(2, maxBasketItems))
@@ -66,8 +82,8 @@ object Basket {
       .groupBy(col("_a").as("item_a"), col("_b").as("item_b"))
       .agg(count(lit(1)).as("pair_support"))
       .where(col("pair_support") >= minPairSupport)
-    val supA = itemSupport.select(col("_i").as("_ia"), col("_s").as("support_a"))
-    val supB = itemSupport.select(col("_i").as("_ib"), col("_s").as("support_b"))
+    val supA = freqItems.select(col("_i").as("_ia"), col("_s").as("support_a"))
+    val supB = freqItems.select(col("_i").as("_ib"), col("_s").as("support_b"))
     pairs
       .join(broadcast(supA), col("item_a") === col("_ia"))
       .join(broadcast(supB), col("item_b") === col("_ib"))

@@ -107,8 +107,9 @@ object Bpe {
     * loudly; at 100 TB a natural-language vocabulary is millions of
     * words, far under the cap, while corpus SIZE is irrelevant here).
     * Staleness contract = the codebook's: keys on the analyzed plan's
-    * semanticHash; in-session fixture rewrites must
-    * [[clearTrainedState]].
+    * md5 digest ([[graft.Scratch.planDigest]] — collision-resistant
+    * where the 32-bit semanticHash left a silent wrong-state class);
+    * in-session fixture rewrites must [[clearTrainedState]].
     */
   private val trainCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[org.apache.spark.sql.Row],
@@ -121,7 +122,7 @@ object Bpe {
          org.apache.spark.sql.types.StructType, Map[String, Long]) = {
     val key = Seq(
       org.apache.spark.sql.GraftBridge.sessionUUID(docs.sparkSession),
-      docs.queryExecution.analyzed.semanticHash(), textCol, rounds)
+      graft.Scratch.planDigest(docs), textCol, rounds)
       .mkString("|")
     trainCache.computeIfAbsent(key, _ => {
       val (m, vocab) = train(docs, textCol, rounds)

@@ -167,7 +167,7 @@ object Clustering {
       k: Int, iterations: Int, salt: String = "kmeans"): DataFrame = {
     val spark = df.sparkSession
     val key = Seq(org.apache.spark.sql.GraftBridge.sessionUUID(spark),
-      df.queryExecution.analyzed.semanticHash(), idCol, embCol, k,
+      graft.Scratch.planDigest(df), idCol, embCol, k,
       iterations, salt).mkString("|")
     val rows = centCache.computeIfAbsent(key, _ =>
       lloydCentroidsPrepped(prep(df, idCol, embCol), df, idCol, embCol,
@@ -184,7 +184,7 @@ object Clustering {
       Array[(Int, Array[Long], Long)]]()
 
   /** STALENESS CONTRACT: the centroid memo keys on (session, analyzed
-    * plan semanticHash, dials) — rewriting the files behind an
+    * plan md5 digest, dials) — rewriting the files behind an
     * unchanged path mid-session leaves the hash unchanged and serves
     * stale centroids. Harnesses that regenerate data in-session must
     * call this (and [[Similarity.clearTrainedState]]) after the

@@ -752,7 +752,7 @@ object Dedup {
     * (and any well-behaved multi-query driver) unpersists blocks
     * between queries, and the parquet round-trip additionally gives
     * later queries a column-pruned scan of exactly the columns they
-    * need. Memo keys on (session UUID, analyzed-plan semanticHash,
+    * need. Memo keys on (session UUID, canonicalized-plan md5 digest,
     * idCol, textCol, k) — the [[Similarity]] codebook's staleness
     * contract applies verbatim: rewriting the files behind the same
     * path mid-session serves stale index state; call
@@ -778,14 +778,16 @@ object Dedup {
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int): ShingleIndex = {
     val spark = df.sparkSession
+    // planDigest, not the 32-bit semanticHash: a key collision between
+    // two live corpora would silently serve the wrong index (the md5
+    // TABLE name only removed the overwrite class) — see Scratch
     val key = Seq(
       org.apache.spark.sql.GraftBridge.sessionUUID(spark),
-      df.queryExecution.analyzed.semanticHash(), idCol, textCol, k)
+      graft.Scratch.planDigest(df), idCol, textCol, k)
       .mkString("|")
-    val (rankedTable, arrPath) = shIdxCache.computeIfAbsent(key, _ => {
+    val (rankedTable, dirPath) = shIdxCache.computeIfAbsent(key, _ => {
       import org.apache.spark.sql.expressions.Window
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-shidx-").toFile.getAbsolutePath
+      val dir = graft.Scratch.tempDir("graft-shidx-")
       // WordShingles emits DISTINCT shingles, so (doc, u) is unique (up
       // to the 2⁻⁴⁰ md5-prefix collision caveat the verify inherits);
       // one md5 per shingle, longs everywhere downstream. The exploded
@@ -845,13 +847,24 @@ object Dedup {
         .bucketBy(ShIdxBuckets, "u").sortBy("u")
         .saveAsTable(tableName)
       } finally sh.unpersist()
-      (tableName, s"$dir/arr")
+      (tableName, dir)
     })
-    ShingleIndex(spark.table(rankedTable), spark.read.parquet(arrPath))
+    ShingleIndex(
+      spark.table(rankedTable), spark.read.parquet(s"$dirPath/arr"))
   }
 
-  /** Staleness escape hatch — see the [[ShingleIndex]] contract. */
-  def clearShingleIndex(): Unit = shIdxCache.clear()
+  /** Staleness escape hatch — see the [[ShingleIndex]] contract. Drops
+    * the catalog tables and reclaims the artifact dirs (not just the
+    * memo entries — clearing only the map orphaned corpus-sized parquet
+    * for the life of the machine).
+    */
+  def clearShingleIndex(spark: org.apache.spark.sql.SparkSession): Unit = {
+    shIdxCache.forEach { (_, v) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${v._1}")
+      graft.Scratch.delete(v._2)
+    }
+    shIdxCache.clear()
+  }
 
   /** EXACT Jaccard-threshold self-join via prefix filtering — the
     * AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.

@@ -167,14 +167,22 @@ object Graph {
     *
     * @param edges undirected edge list with Long columns (u, v) in any
     *              orientation; self-loops and duplicates are dropped.
+    * @param assumeCanonical the input is ALREADY canonical (u < v,
+    *              distinct) — e.g. the persisted co-purchase edge
+    *              artifact, which stores exactly that. Skips the
+    *              canonicalize+distinct exchange; semantics identical
+    *              (canonicalization is idempotent), asserted by
+    *              GraphSpec's artifact-equivalence case.
     * @return (node, deg, tri_count) for every node of the graph,
     *         tri_count = triangles containing the node (0 included).
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
-      .where(col("lo") =!= col("hi"))
-      .distinct()
+  def triangles(edges: DataFrame, assumeCanonical: Boolean = false): DataFrame = {
+    val e = (if (assumeCanonical)
+        edges.select(col("u").as("lo"), col("v").as("hi"))
+      else edges
+        .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .distinct())
       .persist()
     val deg = e.select(col("lo").as("node")).union(e.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg")).persist()
@@ -378,12 +386,14 @@ object Graph {
     * semantics).
     */
   def commonNeighbors(edges: DataFrame, apexCap: Int = 8,
-      minCommon: Long = 2L): DataFrame = {
+      minCommon: Long = 2L, assumeCanonical: Boolean = false): DataFrame = {
     require(apexCap >= 2 && apexCap <= 64, s"apexCap in [2,64], got $apexCap")
-    val e = edges
-      .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
-      .where(col("lo") =!= col("hi"))
-      .distinct()
+    val e = (if (assumeCanonical)
+        edges.select(col("u").as("lo"), col("v").as("hi"))
+      else edges
+        .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .distinct())
       .persist()
     val adj = e.select(col("lo").as("apex"), col("hi").as("nb"))
       .union(e.select(col("hi").as("apex"), col("lo").as("nb")))

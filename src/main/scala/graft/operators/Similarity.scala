@@ -661,7 +661,7 @@ object Similarity {
     // by every caller (pq + ivfpq share one training here)
     val key = Seq(
       org.apache.spark.sql.GraftBridge.sessionUUID(prep.sparkSession),
-      prep.queryExecution.analyzed.semanticHash(), idCol, subspaces, dsub,
+      graft.Scratch.planDigest(prep), idCol, subspaces, dsub,
       codebookSize, trainRounds).mkString("|")
     cbCache.computeIfAbsent(key, _ =>
       pqCodebookUncached(prep, idCol, subspaces, dsub, codebookSize,
@@ -672,7 +672,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
   /** STALENESS CONTRACT: the codebook memo keys on (session, analyzed
-    * plan semanticHash, dials) — if the FILES behind the same path are
+    * plan md5 digest, dials) — if the FILES behind the same path are
     * rewritten mid-session the hash is unchanged and stale index state
     * would be served. Harnesses that regenerate data in-session must
     * call this (and [[Clustering.clearTrainedState]]) after the

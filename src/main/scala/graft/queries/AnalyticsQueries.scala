@@ -292,18 +292,75 @@ object AnalyticsQueries {
       Tables.lineitem(spark, sfDir), Seq("l_returnflag", "l_linestatus"),
       "l_quantity", "l_extendedprice")
 
+  /** The BASKET INDEX as a session artifact (round 16 — the shingle-
+    * index / trade-edge discipline's fourth application): the distinct
+    * (order, part) membership table written ONCE per (session, sf dir)
+    * BUCKETED(32) BY basket, plus the full unthresholded per-item
+    * basket counts. market_basket then pays neither the corpus-sized
+    * distinct nor the basket-collapse exchange per run: the collapse
+    * rides the bucketed layout, the A-priori attach broadcasts the
+    * catalog-sized support table, and the only per-query corpus-sized
+    * exchange left is the pair count itself. At 100 TB a basket index
+    * over the order history is a maintained table, exactly like the
+    * co-purchase edge list.
+    */
+  private val basketMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def basketIndex(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val key =
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
+    val (tableName, dir) = basketMemo.getOrElseUpdate(key, {
+      val dir = graft.Scratch.tempDir("graft-basket-")
+      // md5 of the full memo key — the shingle index's content-
+      // addressed naming (a hashCode-derived name leaves a silent
+      // cross-session overwrite class)
+      val table = "graft_basket_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(key)
+      val bi = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("_b"), col("l_partkey").as("_i"))
+        .distinct()
+      // repartition by the bucket spec's own hash so each write task
+      // emits exactly one bucket file (the ranked-shingle discipline)
+      bi.repartition(32, col("_b"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$dir/bi")
+        .bucketBy(32, "_b")
+        .saveAsTable(table)
+      // support counts derive FROM the artifact: one scan, one
+      // catalog-sized result
+      spark.table(table).groupBy(col("_i")).agg(count(lit(1)).as("_s"))
+        .write.mode("overwrite").parquet(s"$dir/support")
+      (table, dir)
+    })
+    (spark.table(tableName), spark.read.parquet(s"$dir/support"))
+  }
+
+  /** Staleness/disk escape hatch — the clearEdgeState contract. */
+  def clearBasketState(spark: SparkSession): Unit = {
+    basketMemo.values.foreach { case (table, dir) =>
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      graft.Scratch.delete(dir)
+    }
+    basketMemo.clear()
+  }
+
+  /** Number of distinct basket indexes built this session (spec hook). */
+  def basketIndexCount: Int = basketMemo.size
+
   /** Market-basket frequent part pairs over order baskets: items
     * pruned below support 8 BEFORE pair generation (A-priori), pairs
     * exploded map-side from per-order sorted item sets, kept at
     * support ≥ 2 with exact-integer confidence/lift finishes (see
-    * operators.Basket for the scale posture).
+    * operators.Basket for the scale posture). Consumes the
+    * [[basketIndex]] session artifact.
     */
-  def marketBasket(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Basket.frequentPairs(
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
-      "basket", "item",
+  def marketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bi, support) = basketIndex(spark, sfDir)
+    graft.operators.Basket.frequentPairsIndexed(bi, support,
       minItemSupport = 8L, minPairSupport = 2L, maxBasketItems = 16)
+  }
 
   /** Snapshot diff of orders against a deterministically mutated
     * next-day version: keys % 13 deleted, priorities of keys % 7

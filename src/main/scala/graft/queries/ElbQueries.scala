@@ -41,7 +41,7 @@ object ElbQueries {
   def elbDsv2Parse(spark: SparkSession, sfDir: String): DataFrame = {
     val work = dsv2Stage.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
-        val dir = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
+        val dir = graft.Scratch.tempDir("graft-dsv2q")
         // One gzip object per core: gzip is non-splittable (1
         // partition/file — SCALE.md's ingest note), so the staged file
         // count IS the read parallelism. 4 files serialized the sf10

@@ -51,16 +51,21 @@ object GraphQueries {
   /** Staleness escape hatch — the [[graft.operators.Dedup.ShingleIndex]]
     * contract verbatim: rewriting orders/lineitem behind the same sf
     * dir mid-session would serve stale edges; harnesses that do that
-    * must clear.
+    * must clear. Also reclaims the artifact dirs (clearing only the
+    * memo would orphan them for the life of the machine).
     */
-  def clearEdgeState(): Unit = edgeMemo.clear()
+  def clearEdgeState(): Unit = {
+    edgeMemo.values.foreach(graft.Scratch.delete)
+    edgeMemo.clear()
+    coPurchaseMemo.values.foreach(graft.Scratch.delete)
+    coPurchaseMemo.clear()
+  }
 
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val key =
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
     val path = edgeMemo.getOrElseUpdate(key, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-edges-").toFile.getAbsolutePath
+      val dir = graft.Scratch.tempDir("graft-edges-")
       val o = Tables.orders(spark, sfDir)
       val l = Tables.lineitem(spark, sfDir)
       o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -74,6 +79,52 @@ object GraphQueries {
     val pairs = spark.read.parquet(path)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** The CO-PURCHASE edge list (distinct canonical u < v pairs of the
+    * ≤4 lowest custkeys per part) as the round-16 session artifact —
+    * the trade-edge discipline's third application: triangle_count and
+    * graph_common_neighbors consume this IDENTICAL table and each used
+    * to pay the orders⋈lineitem join + per-part top-4 aggregate +
+    * pair explode (~the whole build, ≈2 GB exchange at sf10) before
+    * its own algorithm started. The artifact stores the edges already
+    * canonical+distinct, so the operators skip their canonicalize
+    * exchange too (`assumeCanonical`). At 100 TB a co-purchase graph
+    * is a maintained table, not a join you re-run per analysis.
+    */
+  private val coPurchaseMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def coPurchaseEdges(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val key =
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
+    val path = coPurchaseMemo.getOrElseUpdate(key, {
+      val dir = graft.Scratch.tempDir("graft-copurchase-")
+      val o = Tables.orders(spark, sfDir)
+      val l = Tables.lineitem(spark, sfDir)
+      // collect_set folds the distinct into the per-part aggregate (one
+      // keyed exchange, map-side combining); the ≤4-element sorted
+      // array emits its C(4,2) ordered pairs MAP-SIDE (the
+      // triangle-count device), and sorted-array order makes every
+      // pair already canonical (u < v) before the final distinct.
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+        .groupBy("part")
+        .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
+        .select(col("cs"), posexplode(col("cs")))
+        .select(col("col").as("u"),
+          explode(slice(col("cs"), col("pos") + 2, size(col("cs")))).as("v"))
+        .distinct()
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Number of distinct co-purchase artifacts built this session (spec
+    * hook: two consumers over one sf dir must not grow this past 1).
+    */
+  def coPurchaseArtifactCount: Int = coPurchaseMemo.size
 
   private def renderNode(node: org.apache.spark.sql.Column) =
     concat(when(node < SuppBit, lit("c")).otherwise(lit("s")),
@@ -122,25 +173,11 @@ object GraphQueries {
     * bounded-fanout posture as the LSH bucket caps in Dedup. The
     * triangle algorithm itself needs no cap: Graph.triangles orients
     * edges by degree, which bounds wedge fan-out at O(√m) per node.
+    * The edge list comes from the shared [[coPurchaseEdges]] artifact
+    * (one build per session, shared with graph_common_neighbors).
     */
-  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    val l = Tables.lineitem(spark, sfDir)
-    // collect_set folds the distinct into the per-part aggregate (one
-    // keyed exchange, map-side combining), and the ≤4-element sorted
-    // array emits its C(4,2) ordered pairs MAP-SIDE — replacing the
-    // row_number window + self-join formulation (two more exchanges)
-    // with identical edge semantics: pairs of the 4 lowest custkeys.
-    val top = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
-      .groupBy("part")
-      .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
-    val edges = top
-      .select(col("cs"), posexplode(col("cs")))
-      .select(col("col").as("u"),
-        explode(slice(col("cs"), col("pos") + 2, size(col("cs")))).as("v"))
-    Graph.triangles(edges)
-  }
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.triangles(coPurchaseEdges(spark, sfDir), assumeCanonical = true)
 
   /** The identical orientation + wedge-closure in portable SQL; the
     * (deg, id) total order is spelled as an explicit disjunction. */
@@ -246,19 +283,9 @@ object GraphQueries {
     * jaccard double is the single division of two exact BIGINTs, written
     * identically in the oracle.
     */
-  def commonNeighborsQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    val l = Tables.lineitem(spark, sfDir)
-    val top = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
-      .groupBy("part")
-      .agg(slice(sort_array(collect_set(col("cust"))), 1, 4).as("cs"))
-    val edges = top
-      .select(col("cs"), posexplode(col("cs")))
-      .select(col("col").as("u"),
-        explode(slice(col("cs"), col("pos") + 2, size(col("cs")))).as("v"))
-    Graph.commonNeighbors(edges, apexCap = 8, minCommon = 2L)
-  }
+  def commonNeighborsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.commonNeighbors(coPurchaseEdges(spark, sfDir),
+      apexCap = 8, minCommon = 2L, assumeCanonical = true)
 
   /** Identical wedge semantics in SQL: capped adjacency via row_number,
     * pair wedges by apex self-join, degrees uncapped. */

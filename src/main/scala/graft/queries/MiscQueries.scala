@@ -244,8 +244,8 @@ object MiscQueries {
     */
   def streamingGeoCache(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cache")
-    val cachePath = dir.resolve("geolocation_cache.parquet").toString
+    val dir = graft.Scratch.tempDir("graft-stream-cache")
+    val cachePath = s"$dir/geolocation_cache.parquet"
     val ips = StreamingPipeline.readEvents(spark, sfDir).select(
       concat(lit("10."), col("user_id") % 200, lit("."), col("event_id") % 250,
         lit("."), (col("event_id") * 7) % 250).as("client_ip"))
@@ -419,8 +419,7 @@ object MiscQueries {
     // every harness here does).
     val base = fmtDirMemo.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir",
-      java.nio.file.Files.createTempDirectory("graft-fmt-")
-        .toFile.getAbsolutePath)
+      graft.Scratch.tempDir("graft-fmt-"))
     graft.sources.Sinks.orc(docs, s"$base/orc")
     graft.sources.Sinks.jsonl(docs, s"$base/jsonl")
     val schema = docs.schema

@@ -109,7 +109,7 @@ object PipelineQueries {
   def elbPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val work = stageMemo.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}:$sfDir", {
-        val dir = java.nio.file.Files.createTempDirectory("graft-pipeq").toString
+        val dir = graft.Scratch.tempDir("graft-pipeq")
         // one gzip object per core (the elb_dsv2_parse staging rule):
         // gzip is non-splittable, so the staged object count IS the
         // extract stage's read parallelism — the literal 8 this

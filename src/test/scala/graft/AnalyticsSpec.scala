@@ -271,6 +271,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("a", "b", 2L)))
   }
 
+  test("market basket: session artifact builds once and matches the direct path") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val direct = rows(graft.operators.Basket.frequentPairs(
+      Tables.lineitem(spark, sf)
+        .select($"l_orderkey".as("basket"), $"l_partkey".as("item")),
+      "basket", "item",
+      minItemSupport = 8L, minPairSupport = 2L, maxBasketItems = 16))
+    val before = graft.queries.AnalyticsQueries.basketIndexCount
+    val viaIndex = rows(graft.queries.AnalyticsQueries.marketBasket(spark, sf))
+    assert(viaIndex === direct)
+    val built = graft.queries.AnalyticsQueries.basketIndexCount
+    assert(built <= before + 1)
+    graft.queries.AnalyticsQueries.marketBasket(spark, sf).count()
+    assert(graft.queries.AnalyticsQueries.basketIndexCount == built,
+      "second run must reuse the artifact, not rebuild")
+  }
+
   test("scd2 lookup: facts hit the containing version; same-date flips and pre-history facts") {
     import java.sql.Date
     def d(s: String) = Date.valueOf(s)

@@ -287,4 +287,35 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("assumeCanonical path equals the default path on a messy edge list") {
+    // messy: duplicates, self-loops, both orientations
+    val rnd = new scala.util.Random(11)
+    val messy = (1 to 300)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .toDF("u", "v")
+    val canonical = messy
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .where($"u" =!= $"v").distinct()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(Graph.triangles(messy)) ===
+      rows(Graph.triangles(canonical, assumeCanonical = true)))
+    assert(rows(Graph.commonNeighbors(messy, apexCap = 4, minCommon = 1L)) ===
+      rows(Graph.commonNeighbors(canonical, apexCap = 4, minCommon = 1L,
+        assumeCanonical = true)))
+  }
+
+  test("co-purchase artifact builds once across both consumers") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/orders.parquet").exists)
+    val before = graft.queries.GraphQueries.coPurchaseArtifactCount
+    assert(graft.queries.GraphQueries.triangleCount(spark, sf).count() > 0)
+    val built = graft.queries.GraphQueries.coPurchaseArtifactCount
+    assert(built <= before + 1, "first consumer builds at most one artifact")
+    assert(graft.queries.GraphQueries
+      .commonNeighborsQ(spark, sf).count() > 0)
+    assert(graft.queries.GraphQueries.coPurchaseArtifactCount == built,
+      "second consumer must reuse the artifact, not rebuild")
+  }
 }
