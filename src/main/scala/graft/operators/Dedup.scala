@@ -688,6 +688,38 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Row-capped deterministic-sample twin of [[embeddingNearDups]] —
+    * the anchor path for scales where the exhaustive baseline's cap
+    * guard correctly REFUSES to run (its refusal left the sf10 anchor
+    * at 238/239 measured): every row draws a 40-bit md5 uniform and
+    * survives iff u·n < cap·2⁴⁰ (exact integer cross-multiplication —
+    * no float quotient to round differently across engines), giving a
+    * ~`capRows` expected sample independent of corpus size; the
+    * exhaustive exact pass then runs over the sample only. Below the
+    * cap the filter keeps everything, so at oracle SF the query IS
+    * [[embeddingNearDups]] — and the oracle SQL replays the filter
+    * rule itself, so the sampling stays gate-checked at any SF.
+    * O(cap²) work forever; [[embeddingNearDupsLsh]] remains the real
+    * scale path — this is the bounded ground-truth probe.
+    */
+  def embeddingNearDupsSampled(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      capRows: Long = 4096): DataFrame = {
+    val n = df.count()
+    // u40·n must stay exact in int64: 2⁴⁰ · 2²³ = 2⁶³
+    require(n < (1L << 23),
+      s"embeddingNearDupsSampled's 40-bit draw supports < 2^23 input rows, " +
+        s"got $n — widen the draw before raising this")
+    val sampled = if (n <= capRows) df else {
+      val u40 = conv(substring(md5(concat(lit("esamp:"),
+        col(idCol).cast("string"))), 1, 10), 16, 10).cast("long")
+      df.where(u40 * lit(n) < lit(capRows * (1L << 40)))
+    }
+    // binomial tail: E = capRows, sd ≈ √capRows — 2× headroom
+    embeddingNearDups(sampled, idCol, embCol, threshold,
+      maxRows = capRows * 2)
+  }
+
   /** The scale path for embedding near-dup: candidates restricted to
     * pairs sharing a random-hyperplane LSH bucket (high-cosine vectors
     * land together with high probability), then exact quantized cosine.

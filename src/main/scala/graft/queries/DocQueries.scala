@@ -71,6 +71,21 @@ object DocQueries {
     Dedup.embeddingNearDups(both, "vec_id", "embedding", threshold = 0.45)
   }
 
+  /** [[dedupEmbedding]]'s row-capped deterministic-sample twin — the
+    * anchor row for scales where the exhaustive baseline's cap guard
+    * refuses to run: a 40-bit md5 draw keeps ~4096 rows by exact
+    * integer cross-multiplication (below the cap it keeps everything,
+    * so at oracle SF this IS dedup_embedding), then the exact O(cap²)
+    * pass runs over the sample. The oracle replays the filter rule, so
+    * the sampling itself stays gate-checked.
+    */
+  def dedupEmbeddingSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val both = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDupsSampled(both, "vec_id", "embedding", threshold = 0.45)
+  }
+
   /** LSH-blocked near-dup (the scale path): identical copies land in
     * identical buckets by construction, so the planted +100000 twins are
     * always recalled; natural pairs only when buckets agree.
@@ -293,7 +308,8 @@ object DocQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
-    "dedup_embedding" -> dedupEmbedding
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_sample" -> dedupEmbeddingSample
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -657,6 +673,28 @@ object DocQueries {
         |        list_transform(embedding,
        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
         |      FROM e),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
+        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin,
+    "dedup_embedding_sample" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |s AS (SELECT vec_id, embedding FROM e, cnt
+        |      WHERE n <= 4096
+        |         OR CAST(concat('0x',
+        |              substr(md5('esamp:' || CAST(vec_id AS VARCHAR)), 1, 10))
+        |            AS BIGINT) * n < 4096 * CAST(1099511627776 AS BIGINT)),
+        |q AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |      FROM s),
         |n AS (SELECT vec_id, qv,
         |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -26,6 +26,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs === 3) // all 3 unordered pairs of identical unit vectors
   }
 
+  test("sampled embedding twin: identity below the cap, md5-rule subset above it") {
+    // below the cap the filter keeps everything: twin == baseline
+    val all = Dedup.embeddingNearDups(vecs(40), "vec_id", "embedding", 0.9)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val twin = Dedup.embeddingNearDupsSampled(vecs(40), "vec_id", "embedding",
+      0.9, capRows = 100).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(twin === all)
+    // above the cap: pairs are EXACTLY the baseline restricted to the
+    // driver-replayed kept set (u40·n < cap·2^40 on the 40-bit md5)
+    val n = 500L; val cap = 60L
+    def kept(id: Long): Boolean = {
+      val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"esamp:$id")
+      java.lang.Long.parseLong(h.substring(0, 10), 16) * n < cap * (1L << 40)
+    }
+    val keptIds = (0L until n).filter(kept)
+    assert(keptIds.size > cap / 2 && keptIds.size < cap * 2, s"got ${keptIds.size}")
+    val expected = Dedup.embeddingNearDups(
+      vecs(n.toInt).where($"vec_id".isin(keptIds: _*)),
+      "vec_id", "embedding", 0.9)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val got = Dedup.embeddingNearDupsSampled(vecs(n.toInt), "vec_id",
+      "embedding", 0.9, capRows = cap)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got === expected)
+  }
+
   test("simhashPairs == brute-force hamming over fingerprints (pigeonhole exactness)") {
     // mix of exact dups, near-dups (one/two words changed), and
     // unrelated texts; maxHamming=3 < blocks=4 makes block-LSH exact,
