@@ -20,7 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object Ua {
 
+  /** The packed [[UaClassify]] kernel verdict — ONE string walk per
+    * row replaces the whole regex stack below (round 16: elb_classify
+    * was 17.2 s sf10 map-only, slower than the full 29-field parse,
+    * and the `when`-chain's 58 rlike evaluations were the measured
+    * cost). The four public functions decode it; being the same
+    * deterministic expression, they collapse to one evaluation per
+    * projection under codegen subexpression elimination. The original
+    * chains survive as [[browserFamilyTwin]]/[[osFamilyTwin]]/
+    * [[isBotTwin]]/[[keepNonHealthCheckTwin]] — UaSpec pins kernel ≡
+    * twin on the golden UA table and on adversarial fuzz (including
+    * embedded line terminators), and ref_diff pins both against the
+    * reference pipeline itself.
+    */
+  private def packed(ua: Column): Column = UaClassify.ua_class(ua)
+
   def browserFamily(ua: Column): Column =
+    element_at(
+      typedLit(UaClassify.BrowserFamilies),
+      packed(ua).bitwiseAND(lit(255)) + 1)
+
+  def osFamily(ua: Column): Column =
+    element_at(
+      typedLit(UaClassify.OsFamilies),
+      shiftright(packed(ua), 8).bitwiseAND(lit(255)) + 1)
+
+  /** Bot predicate — any of the reference's 11 lowercase keywords in the
+    * UA (reference elb_logs.py:122-126). `bot` subsumes `googlebot`.
+    */
+  def isBot(ua: Column): Column =
+    shiftright(packed(ua), 16).bitwiseAND(lit(1)) === 1
+
+  /** Health-check exclusion predicate: true ⇒ KEEP the row. Null UA is
+    * kept (the reference's `na=False`, elb_logs.py:245-248).
+    */
+  def keepNonHealthCheck(ua: Column): Column =
+    shiftright(packed(ua), 17).bitwiseAND(lit(1)) === 1
+
+  def browserFamilyTwin(ua: Column): Column =
     when(ua.isNull, lit("Other"))
       // Named crawlers first — uap-core gives the big bots their own
       // families, and Googlebot-Smartphone embeds a full Chrome UA, so
@@ -92,7 +129,7 @@ object Ua {
       .when(ua.rlike("node-fetch/"), lit("node-fetch"))
       .otherwise(lit("Other"))
 
-  def osFamily(ua: Column): Column =
+  def osFamilyTwin(ua: Column): Column =
     when(ua.isNull, lit("Other"))
       .when(ua.rlike("Windows Phone"), lit("Windows Phone"))
       .when(ua.rlike("Windows NT"), lit("Windows"))
@@ -109,18 +146,12 @@ object Ua {
       .when(ua.rlike("Linux|X11"), lit("Linux"))
       .otherwise(lit("Other"))
 
-  /** Bot predicate — any of the reference's 11 lowercase keywords in the
-    * UA (reference elb_logs.py:122-126). `bot` subsumes `googlebot`.
-    */
-  def isBot(ua: Column): Column =
+  def isBotTwin(ua: Column): Column =
     coalesce(
       lower(ua).rlike(
         "bot|crawler|spider|python-urllib|datadog|pingdom|uptimerobot|newrelic|monitoring|nagios"),
       lit(false))
 
-  /** Health-check exclusion predicate: true ⇒ KEEP the row. Null UA is
-    * kept (the reference's `na=False`, elb_logs.py:245-248).
-    */
-  def keepNonHealthCheck(ua: Column): Column =
+  def keepNonHealthCheckTwin(ua: Column): Column =
     !coalesce(lower(ua).rlike("datadog|healthchecker|kube-probe|aws-elb"), lit(false))
 }

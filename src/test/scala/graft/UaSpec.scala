@@ -109,4 +109,38 @@ class UaSpec extends SparkSpec {
       Ua.isBot($"ua").as("bot"), Ua.keepNonHealthCheck($"ua").as("keep"))
     assert(df.as[(String, String, Boolean, Boolean)].head() === (("Other", "Other", false, true)))
   }
+
+  /** The round-16 kernel must reproduce the regex chain bit-for-bit:
+    * golden cases, the committed ua_golden.csv corpus, and adversarial
+    * fuzz over rule tokens — including embedded line terminators,
+    * where `.*`'s no-newline semantics routes the kernel through the
+    * compiled original patterns.
+    */
+  test("UaClassify kernel equals the when-chain twin on golden + fuzz input") {
+    val golden = scala.io.Source.fromFile("tools/ua_golden.csv").getLines()
+      .drop(1).map(_.split("\t")(0)).toSeq
+    val tokens = Seq("iPhone", "iPad", "Version/", "Safari/", "Safari",
+      "AppleWebKit", "Chrome/", " Mobile", "Firefox/", "Tablet", "OPR/",
+      "Opera", "Edg", "e/", "12.3", ".", "9", " ", "\n", "\r",
+      "Python/", " aiohttp/", "bot", "Datadog", "x", "Mini/", "Mobi",
+      "Trident/", "MSIE ", "X11", "iOS", "curl/", "EdgA/")
+    val rnd = new scala.util.Random(163)
+    val fuzz = (1 to 400).map { _ =>
+      (1 to (1 + rnd.nextInt(12)))
+        .map(_ => tokens(rnd.nextInt(tokens.size))).mkString
+    }
+    val uas = (cases.map(_._1) ++ golden ++ fuzz).distinct
+    val df = uas.toDF("ua").select(
+      Ua.browserFamily($"ua").as("kb"), Ua.browserFamilyTwin($"ua").as("tb"),
+      Ua.osFamily($"ua").as("ko"), Ua.osFamilyTwin($"ua").as("to"),
+      Ua.isBot($"ua").as("kbot"), Ua.isBotTwin($"ua").as("tbot"),
+      Ua.keepNonHealthCheck($"ua").as("kk"),
+      Ua.keepNonHealthCheckTwin($"ua").as("tk"), $"ua")
+    df.collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1), s"browser for: ${r.getString(8)}")
+      assert(r.getString(2) === r.getString(3), s"os for: ${r.getString(8)}")
+      assert(r.getBoolean(4) === r.getBoolean(5), s"bot for: ${r.getString(8)}")
+      assert(r.getBoolean(6) === r.getBoolean(7), s"keep for: ${r.getString(8)}")
+    }
+  }
 }
