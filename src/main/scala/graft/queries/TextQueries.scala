@@ -283,7 +283,46 @@ object TextQueries {
       "doc_id", "text", col("lang") === "en", budgetDocs = 200L,
       buckets = 4096)
 
+  /** Deterministic HTML wrapping of each document — the html_extract
+    * fixture, synthesized IDENTICALLY by both engines: a head with
+    * style and script bodies, a link-dense nav, an h1, the document
+    * text as sentence-split paragraphs, an entity-bearing paragraph,
+    * and a link footer. Newlines flatten first so the synthesized
+    * markup is terminator-free (the kernel still handles terminators;
+    * HtmlSpec covers them).
+    */
+  private[graft] def htmlCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    Tables.distributed(spark, sfDir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><style>p{margin:0}</style><script>var n="), id,
+        lit(";track(n)</script></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/doc/"), id,
+        lit("\">doc</a></div>"),
+        lit("<h1>Doc "), id, lit("</h1><p>"),
+        replace(translate(col("text"), "\n\r", "  "),
+          lit(". "), lit(".</p><p>")),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &quot;q&quot;&nbsp;&#39;end&#39; fin</p>"),
+        lit("<div><a href=\"/p\">prev</a> <a href=\"/n\">next</a></div>" +
+          "</body></html>")).as("html"))
+  }
+
+  /** HTML main-content extraction over the synthesized crawl corpus —
+    * boilerplate (nav/footer/heading) drops by the word-count and
+    * link-density rules; prose lines and the entity paragraph survive
+    * with exact per-line statistics. See operators.Html.
+    */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Html
+      .extractMainText(htmlCorpus(spark, sfDir), "doc_id", "html")
+      .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
+        col("content"), col("n_words").cast("bigint").as("n_words"),
+        col("n_chars"), col("link_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "html_extract" -> htmlExtract,
     "dsir_select" -> dsirSelect,
     "dsir_resample" -> dsirResample,
     "quality_filter_gopher" -> qualityFilterGopher,
@@ -450,6 +489,59 @@ object TextQueries {
        |FROM c""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // html_extract: the identical synthesis + extraction chain, step
+    // for step (see operators.Html.extractColumns). chr(1)/chr(2) are
+    // the anchor markers; entity decode order puts &amp; last.
+    "html_extract" ->
+      """WITH h0 AS (SELECT doc_id,
+        |  '<html><head><style>p{margin:0}</style><script>var n='
+        |  || doc_id || ';track(n)</script></head><body>'
+        |  || '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/doc/'
+        |  || doc_id || '">doc</a></div>'
+        |  || '<h1>Doc ' || doc_id || '</h1><p>'
+        |  || replace(replace(replace(text, chr(10), ' '), chr(13), ' '),
+        |       '. ', '.</p><p>')
+        |  || '</p><p>Tom &amp; Jerry &lt;3 &quot;q&quot;&nbsp;&#39;end&#39; fin</p>'
+        |  || '<div><a href="/p">prev</a> <a href="/n">next</a></div></body></html>'
+        |  AS h FROM documents),
+        |h1 AS (SELECT doc_id,
+        |  regexp_replace(h, '<script[^>]*>.*?</script>', ' ', 'g') AS h FROM h0),
+        |h2 AS (SELECT doc_id,
+        |  regexp_replace(h, '<style[^>]*>.*?</style>', ' ', 'g') AS h FROM h1),
+        |h3 AS (SELECT doc_id,
+        |  regexp_replace(h, '<a [^>]*>', chr(1), 'g') AS h FROM h2),
+        |h4 AS (SELECT doc_id, replace(h, '</a>', chr(2)) AS h FROM h3),
+        |h5 AS (SELECT doc_id, regexp_replace(h,
+        |  '</p>|</div>|</li>|</h[1-6]>|<br>|<br/>', chr(10), 'g') AS h FROM h4),
+        |h6 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', '', 'g') AS h FROM h5),
+        |h7 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&') AS h FROM h6),
+        |lsx AS (SELECT doc_id, string_split(h, chr(10)) AS ls FROM h7),
+        |ex AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(ls))) AS line_no, ls FROM lsx),
+        |ln AS (SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+        |  ls[line_no] AS line FROM ex),
+        |st AS (SELECT doc_id, line_no, line,
+        |  replace(replace(line, chr(1), ''), chr(2), '') AS nomark FROM ln),
+        |c AS (SELECT doc_id, line_no,
+        |  trim(regexp_replace(nomark, ' +', ' ', 'g')) AS content,
+        |  CAST(length(nomark) AS BIGINT) AS raw_chars,
+        |  CAST(coalesce(list_sum(list_transform(
+        |      regexp_extract_all(line, chr(1) || '[^' || chr(2) || ']*' || chr(2)),
+        |      x -> length(x) - 2)), 0)
+        |    + CASE WHEN regexp_extract(line, chr(1) || '[^' || chr(2) || ']*$') <> ''
+        |        THEN length(regexp_extract(line, chr(1) || '[^' || chr(2) || ']*$')) - 1
+        |        ELSE 0 END AS BIGINT) AS link_chars
+        |  FROM st),
+        |w AS (SELECT doc_id, line_no, content,
+        |  CAST(CASE WHEN content = '' THEN 0
+        |    ELSE len(string_split(content, ' ')) END AS BIGINT) AS n_words,
+        |  CAST(length(content) AS BIGINT) AS n_chars, link_chars, raw_chars
+        |  FROM c)
+        |SELECT doc_id, line_no, content, n_words, n_chars, link_chars
+        |FROM w WHERE n_words >= 3 AND 2 * link_chars <= raw_chars""".stripMargin,
     // the hashed-ngram linear classifier: features = word unigrams +
     // bigrams (positional, non-distinct), bucket = 60-bit md5 prefix
     // mod 65536, weight = the public md5 milli-weight formula the
