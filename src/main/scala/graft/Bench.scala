@@ -56,18 +56,36 @@ object Bench {
     @volatile var mTaskTimeMs = 0L
     @volatile var mShReadB = 0L
     @volatile var mShWriteB = 0L
+    @volatile var mLastEventNanos = 0L
     if (ledgerPath.isDefined) {
       import org.apache.spark.scheduler._
       spark.sparkContext.addSparkListener(new SparkListener {
-        override def onJobStart(j: SparkListenerJobStart): Unit = mJobs += 1
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          mJobs += 1; mLastEventNanos = System.nanoTime()
+        }
         override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           mStages += 1
           mTasks += s.stageInfo.numTasks
           mTaskTimeMs += s.stageInfo.taskMetrics.executorRunTime
           mShReadB += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
           mShWriteB += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          mLastEventNanos = System.nanoTime()
         }
       })
+    }
+    // Drain the async listener bus until it goes QUIET (no event for
+    // `quietMs`) instead of one fixed sleep: a heavy query's trailing
+    // stage-completion events landing after a fixed settle were
+    // silently attributed to the NEXT run (counters reset just before
+    // each timed repeat). Bounded at 2 s so a stuck bus can't stall
+    // the suite; residual skew past the bound is possible but now
+    // needs a >2 s-late event instead of a >150 ms-late one.
+    def settleListener(quietMs: Long = 120L, maxMs: Long = 2000L): Unit = {
+      val t0 = System.nanoTime()
+      Thread.sleep(quietMs)
+      while ((System.nanoTime() - mLastEventNanos) / 1000000 < quietMs &&
+          (System.nanoTime() - t0) / 1000000 < maxMs)
+        Thread.sleep(20)
     }
     // Warm the shared ElbSynth cache BEFORE timing: synthesized log
     // lines are cached once per sf dir (queries/ElbSynth.scala), and
@@ -132,9 +150,9 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val t = (System.nanoTime() - t0) / 1e9
           if (ledgerPath.isDefined) {
-            // listener bus is async and its drain API private — a short
-            // settle outside the timed window is accurate enough
-            Thread.sleep(150)
+            // listener bus is async and its drain API private —
+            // poll-until-quiet outside the timed window
+            settleListener()
             ledger.getOrElseUpdate(name,
               scala.collection.mutable.ArrayBuffer.empty) +=
               RunMetrics(t, mJobs, mStages, mTasks, mTaskTimeMs, mShReadB, mShWriteB)

@@ -154,10 +154,18 @@ object KllSketch {
             val sorted = levels(l).sorted
             if (l + 1 == levels.length)
               levels += scala.collection.mutable.ArrayBuffer.empty[Long]
+            // canonical KLL compacts PAIRS: an odd level sets one item
+            // aside at level l (the sorted head — deterministic), so
+            // total summary weight stays exactly n. The earlier
+            // clear-the-whole-level form discarded the unpaired item,
+            // drifting the mass ±2^l per odd compaction and inflating
+            // post-fill rank error past the bound SketchSpec pins.
+            val keepOne = (sorted.length & 1) == 1
             val off = (compactions & 1L).toInt
-            var i = off
+            var i = (if (keepOne) 1 else 0) + off
             while (i < sorted.length) { levels(l + 1) += sorted(i); i += 2 }
             levels(l).clear()
+            if (keepOne) levels(l) += sorted(0)
             compactions += 1L
             again = true
           }

@@ -17,9 +17,22 @@ import graft.operators.Dedup
   */
 object DocQueries {
 
+  /** Synthetic-copy id: the +100000 shift, GUARDED — if the source
+    * table ever exceeds 100000 ids, shifted ids would collide with
+    * real ones and both engine and oracle would silently merge
+    * distinct documents (the gate can't catch it because both sides
+    * share the shift). The raise_error branch makes the engine fail
+    * LOUDLY instead (the featureAssoc guard discipline — a codegen
+    * branch, no extra scan).
+    */
+  private def shiftedId(id: org.apache.spark.sql.Column) =
+    when(id < 100000, id + 100000).otherwise(raise_error(concat(
+      lit("synthetic-id shift collision: id "), id.cast("string"),
+      lit(" >= 100000 — raise the offset"))))
+
   private def docsWithCopy(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.distributed(spark, sfDir, "documents").select("doc_id", "text")
-    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    d.unionByName(d.select(shiftedId(col("doc_id")).as("doc_id"), col("text")))
   }
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -41,13 +54,13 @@ object DocQueries {
     * (you index a corpus once, then run every set-similarity operator
     * against the index), and the truncations give containment a
     * provable planted signal. Same plan object in all three queries so
-    * the index memo key (analyzed-plan semanticHash) matches.
+    * the index memo key (canonicalized-plan digest) matches.
     */
   private[queries] def setSimCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.distributed(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val truncated = docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
+      shiftedId(col("doc_id")).as("doc_id"),
       expr("array_join(slice(split(text, ' '), 1, " +
         "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')").as("text"))
     docs.unionByName(truncated)
@@ -67,7 +80,7 @@ object DocQueries {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val both = e.unionByName(
-      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      e.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     Dedup.embeddingNearDups(both, "vec_id", "embedding", threshold = 0.45)
   }
 
@@ -82,7 +95,7 @@ object DocQueries {
   def dedupEmbeddingSample(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val both = e.unionByName(
-      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      e.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     Dedup.embeddingNearDupsSampled(both, "vec_id", "embedding", threshold = 0.45)
   }
 
@@ -93,7 +106,7 @@ object DocQueries {
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val both = e.unionByName(
-      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      e.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     Dedup.embeddingNearDupsLsh(both, "vec_id", "embedding", threshold = 0.45)
   }
 

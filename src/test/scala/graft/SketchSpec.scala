@@ -284,10 +284,9 @@ class SketchSpec extends SparkSpec {
       .select(col("s.n"), expr("aggregate(s.items, 0L, (acc, x) -> acc + x.w)"))
       .head()
     assert(s.getLong(0) === 50000L, "true count is exact")
-    // alternating compaction keeps total weight within one compaction's
-    // drift band of n (each compaction shifts mass by at most its
-    // level's weight)
-    assert(math.abs(s.getLong(1) - 50000L) <= 5000L,
-      s"summary weight ${s.getLong(1)} drifted far from n")
+    // canonical pair compaction (odd levels retain their unpaired
+    // item) conserves summary mass EXACTLY — weight == n always
+    assert(s.getLong(1) === 50000L,
+      s"summary weight ${s.getLong(1)} must equal n exactly")
   }
 }
