@@ -51,7 +51,18 @@ object StreamingPipeline {
     * the batch `{key}_s{n}` format use [[sessionIds]], whose
     * oracle-verified twin is the `streaming_session_ids` query.
     */
-  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    // pre-collapse events into per-key candidate sessions WITHIN the
+    // micro-batch before the state store sees them (round-16 directive
+    // on the state floor): Spark's local-partition session merge folds
+    // each partition's events into merged session rows map-side, so
+    // state operations scale with sessions, not events — the
+    // aggregation analog of map-side combine. Off by default upstream
+    // only because it adds a per-partition sort; our batches are
+    // event-heavy per key, the profitable regime.
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+      "true")
     events.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -60,6 +71,7 @@ object StreamingPipeline {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
+  }
 
   /** Tumbling hourly rollup — the streaming twin of the hourly
     * aggregate (reference elb_logs.py:351-368).

@@ -344,6 +344,37 @@ class StreamingSpec extends SparkSpec {
     assert(Set("image", "audio", "video").contains(m.meta.media_type))
   }
 
+  test("session state updates are session/key-bounded, not event-bounded") {
+    // the round-16 state-floor measurement: with local-partition
+    // session merge (sessionAgg) events pre-collapse into candidate
+    // sessions BEFORE the state store, and the custom sessionizer
+    // updates one state row per (key, batch) — so numRowsUpdated must
+    // track sessions/keys, never raw events
+    val sf = "/root/testdata/sf0.001"
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    def updated(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum
+    val (sess, q1) = StreamingPipeline.runToMemoryWithQuery(
+      StreamingPipeline.sessionAgg(StreamingPipeline.readEvents(spark, sf)),
+      "supd_sessions", OutputMode.Append())
+    val nSessions = sess.count()
+    val u1 = updated(q1)
+    info(s"sessionAgg: events=$nEvents users=$nUsers sessions=$nSessions stateUpdates=$u1")
+    assert(u1 <= nSessions * 2 + nUsers,
+      s"session_window state updates ($u1) must track sessions ($nSessions), not events ($nEvents)")
+    val (_, q2) = StreamingPipeline.runToMemoryWithQuery(
+      StreamingPipeline.sessionIds(
+        StreamingPipeline.readEvents(spark, sf)).toDF(),
+      "supd_ids", OutputMode.Append())
+    val batches = q2.recentProgress.count(_.numInputRows > 0).max(1)
+    val u2 = updated(q2)
+    info(s"sessionIds: stateUpdates=$u2 over $batches data batches")
+    assert(u2 <= nUsers * batches,
+      s"flatMapGroupsWithState updates ($u2) must be one per (key, batch), keys=$nUsers")
+  }
+
   test("RocksDB state store: stateful twins produce identical results, state metrics recorded") {
     // 100 TB posture: HDFSBacked keeps every key's state on the JVM
     // heap; RocksDB spills to native memory + disk. The twin run proves
