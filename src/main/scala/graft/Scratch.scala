@@ -65,8 +65,29 @@ object Scratch {
   /** Collision-resistant identity of a DataFrame's logical plan for
     * memo keys — md5 of the canonicalized analyzed plan (see class
     * doc). 128 bits: two corpora colliding is not a live failure class.
+    *
+    * The tree STRING alone is not an identity: a `LocalRelation`'s
+    * simpleString prints only its schema, so two in-memory corpora
+    * with identical schemas would print identically (caught live by
+    * DedupSpec the first time this keyed the shingle cache). The
+    * digest therefore also folds in every data-bearing leaf: the rows
+    * of each LocalRelation and the RDD id of each LogicalRDD
+    * (conservative — same data via different checkpoints keys apart,
+    * which only costs a rebuild, never serves wrong state). File-based
+    * corpora — the only kind at scale — are covered by the tree string
+    * itself (scan paths print).
     */
-  def planDigest(df: org.apache.spark.sql.DataFrame): String =
-    org.apache.commons.codec.digest.DigestUtils
-      .md5Hex(df.queryExecution.analyzed.canonicalized.toString)
+  def planDigest(df: org.apache.spark.sql.DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(canon.toString.getBytes("UTF-8"))
+    canon.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+        md.update(rdd.rdd.id.toString.getBytes("UTF-8"))
+      case _ => ()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 }

@@ -283,4 +283,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(o == direct, "ORC must round-trip byte-exactly")
     assert(j == direct, "JSONL must round-trip byte-exactly")
   }
+
+  test("planDigest: distinct corpora key apart, identical plans key together") {
+    // the memo-key identity behind every index cache (shingle index,
+    // BPE state, PQ codebook, centroids): same-schema local relations
+    // with DIFFERENT data must NOT collide (the tree string alone
+    // prints only the schema — the regression DedupSpec caught live)
+    val a = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val b = Seq((1L, "xx yy zz")).toDF("doc_id", "text")
+    assert(Scratch.planDigest(a) !== Scratch.planDigest(b),
+      "same-schema different-data corpora must key apart")
+    assert(Scratch.planDigest(a) === Scratch.planDigest(
+      Seq((1L, "aa bb cc")).toDF("doc_id", "text")),
+      "identical local corpora must share a key")
+    val sf = "/root/testdata/sf0.001"
+    val p = Tables.documents(spark, sf).select("doc_id", "text")
+    val q = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(Scratch.planDigest(p) === Scratch.planDigest(q),
+      "two reads of one parquet table must share a key")
+  }
 }
