@@ -364,7 +364,7 @@ object AnalyticsQueries {
 
   /** Snapshot diff of orders against a deterministically mutated
     * next-day version: keys % 13 deleted, priorities of keys % 7
-    * rewritten, keys % 11 re-inserted shifted by 10^7 — both engines
+    * rewritten, keys % 11 re-inserted shifted by 2^40 (above any fixture orderkey — the 10^7 shift collided with real keys at sf10) — both engines
     * synthesize the identical "new" snapshot, so the classified diff
     * hash-matches.
     */
@@ -376,7 +376,7 @@ object AnalyticsQueries {
         when(col("o_orderkey") % 7 === 0, lit("X-DIFF"))
           .otherwise(col("o_orderpriority")))
     val inserted = old.where(col("o_orderkey") % 11 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", col("o_orderkey") + 1099511627776L)
     Analytics.snapshotDiff(
       old, mutated.unionByName(inserted), Seq("o_orderkey"))
   }
@@ -400,7 +400,7 @@ object AnalyticsQueries {
     val del = base.where(col("o_orderkey") % 13 === 0)
       .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
     val ins = base.where(col("o_orderkey") % 17 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", col("o_orderkey") + 1099511627776L)
       .withColumn("o_orderpriority", lit("X-NEW"))
       .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
     Analytics.applyChangeset(base, upd.unionByName(del).unionByName(ins),
@@ -609,7 +609,7 @@ object AnalyticsQueries {
         |    o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |  FROM orders WHERE o_orderkey % 13 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_orderpriority,
+        |  SELECT o_orderkey + 1099511627776, o_orderpriority,
         |    o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |  FROM orders WHERE o_orderkey % 11 = 0)
         |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
@@ -927,7 +927,7 @@ object AnalyticsQueries {
         |  SELECT o_orderkey, 'D', 2, o_orderpriority, o_orderstatus, o_totalprice
         |  FROM base WHERE o_orderkey % 13 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'I', 1,
+        |  SELECT o_orderkey + 1099511627776, 'I', 1,
         |    'X-NEW', o_orderstatus, o_totalprice
         |  FROM base WHERE o_orderkey % 17 = 0
         |), latest AS (

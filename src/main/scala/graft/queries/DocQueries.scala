@@ -8,7 +8,7 @@ import graft.operators.Dedup
 
 /** Driver-contract queries for the dedup family over `documents` /
   * `embeddings`. Exact/embedding dedup run over the table unioned with a
-  * shifted copy of itself (+100000 ids) so the data contains guaranteed
+  * shifted copy of itself (ids + 2^40) so the data contains guaranteed
   * duplicates; minhash/jaccard find the corpus's natural near-dups.
   *
   * The oracle replicates shingling, md5 min-hashing, banding, and
@@ -17,18 +17,21 @@ import graft.operators.Dedup
   */
 object DocQueries {
 
-  /** Synthetic-copy id: the +100000 shift, GUARDED — if the source
-    * table ever exceeds 100000 ids, shifted ids would collide with
-    * real ones and both engine and oracle would silently merge
-    * distinct documents (the gate can't catch it because both sides
-    * share the shift). The raise_error branch makes the engine fail
-    * LOUDLY instead (the featureAssoc guard discipline — a codegen
-    * branch, no extra scan).
+  /** Synthetic-copy id: a HIGH-BIT shift (2⁴⁰ — the GraphQueries
+    * SuppBit pattern), GUARDED. The original +100000 shift silently
+    * collided at sf10 (500k docs / 200k vectors), merging distinct
+    * documents in every set-similarity bench row — caught the moment
+    * the guard landed. 2⁴⁰ is provably above any fixture id (and the
+    * raise_error branch fails LOUDLY if that ever stops being true —
+    * the featureAssoc guard discipline; a codegen branch, no extra
+    * scan). The oracle SQL uses the identical 1099511627776 literal.
     */
+  private[queries] val IdShift = 1L << 40
+
   private def shiftedId(id: org.apache.spark.sql.Column) =
-    when(id < 100000, id + 100000).otherwise(raise_error(concat(
+    when(id < IdShift, id + IdShift).otherwise(raise_error(concat(
       lit("synthetic-id shift collision: id "), id.cast("string"),
-      lit(" >= 100000 — raise the offset"))))
+      lit(s" >= $IdShift — raise the offset"))))
 
   private def docsWithCopy(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.distributed(spark, sfDir, "documents").select("doc_id", "text")
@@ -48,7 +51,7 @@ object DocQueries {
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
 
   /** The set-similarity family's ONE corpus: every document plus its
-    * half-length truncation (id + 100000). One corpus → one shared
+    * half-length truncation (id + 2^40). One corpus → one shared
     * [[graft.operators.Dedup.ShingleIndex]] across dedup_ssjoin /
     * dedup_containment / dedup_ngram_jaccard — the production shape
     * (you index a corpus once, then run every set-similarity operator
@@ -70,29 +73,26 @@ object DocQueries {
   private val setSimCorpusCte: String =
     """d AS (SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000,
+      |  SELECT doc_id + 1099511627776,
       |    array_to_string(words[1 : CAST(ceil(len(words) / 2.0) AS INT)], ' ')
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
 
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(setSimCorpus(spark, sfDir), "text", "doc_id")
 
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val both = e.unionByName(
-      e.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
-    Dedup.embeddingNearDups(both, "vec_id", "embedding", threshold = 0.45)
-  }
-
-  /** [[dedupEmbedding]]'s row-capped deterministic-sample twin — the
-    * anchor row for scales where the exhaustive baseline's cap guard
-    * refuses to run: a 40-bit md5 draw keeps ~4096 rows by exact
-    * integer cross-multiplication (below the cap it keeps everything,
-    * so at oracle SF this IS dedup_embedding), then the exact O(cap²)
-    * pass runs over the sample. The oracle replays the filter rule, so
-    * the sampling itself stays gate-checked.
+  /** Exhaustive embedding near-dup, ROW-CAPPED (round 16): below the
+    * ~4096-row md5 cap the filter is the identity — so at the oracle
+    * SF this is the full O(n²) exactness baseline — and above it the
+    * exact pass runs over a deterministic sample (u·n < cap·2⁴⁰,
+    * integer cross-multiplication, engine-independent). This is what
+    * gives the exhaustive baseline a measured row at EVERY scale
+    * instead of a cap-guard refusal (the r15 anchor read 238/239);
+    * the oracle replays the sampling rule itself, so the cap stays
+    * gate-checked at any SF. The UNCAPPED refusing baseline survives
+    * as [[graft.operators.Dedup.embeddingNearDups]] (spec-pinned);
+    * [[dedupEmbeddingLsh]] remains the scale path.
     */
-  def dedupEmbeddingSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.distributed(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val both = e.unionByName(
       e.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
@@ -100,7 +100,7 @@ object DocQueries {
   }
 
   /** LSH-blocked near-dup (the scale path): identical copies land in
-    * identical buckets by construction, so the planted +100000 twins are
+    * identical buckets by construction, so the planted shifted twins are
     * always recalled; natural pairs only when buckets agree.
     */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
@@ -167,7 +167,7 @@ object DocQueries {
     */
   def dedupNormExact(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+    val variants = docs.select(shiftedId(col("doc_id")).as("doc_id"),
       concat(upper(col("text")), lit("  !!")).as("text"))
     // one-pass codegen normalize (space mode) — the three-pass regex
     // twin it replaces held this query at ~88 s on the sf10 proxy
@@ -291,7 +291,7 @@ object DocQueries {
   }
 
   /** Containment near-dups over a corpus that provably has them: each
-    * document plus its half-length truncation (id + 100000) — the
+    * document plus its half-length truncation (id + 2^40) — the
     * truncation's shingles are a subset of the original's, so the
     * operator must flag every (trunc, orig) pair at containment 1.0ish
     * alongside the corpus's natural partial mirrors.
@@ -321,8 +321,7 @@ object DocQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
-    "dedup_embedding" -> dedupEmbedding,
-    "dedup_embedding_sample" -> dedupEmbeddingSample
+    "dedup_embedding" -> dedupEmbedding
   )
 
   // -- oracle SQL ------------------------------------------------------
@@ -624,7 +623,7 @@ object DocQueries {
          |GROUP BY te.doc_id, te.n_sh""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |  UNION ALL SELECT vec_id + 1099511627776, embedding FROM embeddings),
          |q AS (SELECT vec_id,
          |        list_transform(embedding,
        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -641,13 +640,13 @@ object DocQueries {
          |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin,
     "dedup_exact" ->
       """WITH d AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |  UNION ALL SELECT doc_id + 1099511627776, text FROM documents)
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count
         |FROM d GROUP BY 1""".stripMargin,
     "dedup_norm_exact" ->
       """WITH d AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, upper(text) || '  !!' FROM documents),
+        |  UNION ALL SELECT doc_id + 1099511627776, upper(text) || '  !!' FROM documents),
         |n AS (SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),
         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
@@ -679,25 +678,12 @@ object DocQueries {
          |  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
          |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
          |FROM cand c JOIN da a ON a.doc_id = c.doc_a JOIN da b ON b.doc_id = c.doc_b""".stripMargin,
+    // the identity-below-cap sampling rule is replayed in SQL, so the
+    // cap itself stays oracle-checked (at sf0.01 it keeps every row
+    // and this IS the exhaustive baseline)
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-        |q AS (SELECT vec_id,
-        |        list_transform(embedding,
-       |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |      FROM e),
-        |n AS (SELECT vec_id, qv,
-        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
-        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) AS cosine
-        |FROM n a, n b
-        |WHERE a.vec_id < b.vec_id
-        |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)::DOUBLE
-        |    / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) > 0.45""".stripMargin,
-    "dedup_embedding_sample" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |  UNION ALL SELECT vec_id + 1099511627776, embedding FROM embeddings),
         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
         |s AS (SELECT vec_id, embedding FROM e, cnt
         |      WHERE n <= 4096

@@ -187,8 +187,7 @@ class PlanSpec extends SparkSpec {
   test("plan gate: no unexpected cartesian or nested-loop join in any registered query") {
     val bnlAllowed = Map(
       "cluster_balanced_sample" -> "per-cluster caps crossJoin one broadcast totals row",
-      "dedup_embedding" -> "require-guarded O(n^2) exactness baseline",
-      "dedup_embedding_sample" -> "same baseline over a ~4096-row md5-capped sample",
+      "dedup_embedding" -> "O(n^2) exactness baseline over a ~4096-row md5-capped sample (identity at this SF)",
       "dedup_semantic" -> "broadcast k-centroid fan-out via Clustering.assign",
       "kmeans_assign" -> "broadcast k-centroid fan-out, map-side partial argmin",
       "kmeans_assign2" -> "broadcast k-centroid fan-out (two Lloyd rounds)",
