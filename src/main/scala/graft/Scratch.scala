@@ -74,19 +74,53 @@ object Scratch {
     * of each LocalRelation and the RDD id of each LogicalRDD
     * (conservative — same data via different checkpoints keys apart,
     * which only costs a rebuild, never serves wrong state). File-based
-    * corpora — the only kind at scale — are covered by the tree string
-    * itself (scan paths print).
+    * corpora are NOT covered by the tree string — a canonicalized
+    * parquet scan prints only `Relation [cols] parquet`, no path
+    * (verified empirically: two same-schema corpora at different dirs
+    * rendered identically, round-17 ADVICE) — so every file/table scan
+    * leaf folds its physical identity in explicitly: the file index's
+    * root paths for v1 relations, the table name + output for DSv2.
+    *
+    * Two more folds close residual aliasing classes:
+    *   - the plan's `semanticHash()` — Catalyst's own 32-bit identity,
+    *     which sees structure the rendered string may normalize away;
+    *   - each node's FULL output attribute list — `toString` truncates
+    *     attribute lists at `spark.sql.debug.maxToStringFields`
+    *     (default 25), so plans differing only past a wide relation's
+    *     25th field would otherwise collide.
     */
   def planDigest(df: org.apache.spark.sql.DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized
+    val analyzed = df.queryExecution.analyzed
+    val canon = analyzed.canonicalized
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(canon.toString.getBytes("UTF-8"))
-    canon.foreach {
-      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
-      case rdd: org.apache.spark.sql.execution.LogicalRDD =>
-        md.update(rdd.rdd.id.toString.getBytes("UTF-8"))
-      case _ => ()
+    md.update(analyzed.semanticHash().toString.getBytes("UTF-8"))
+    canon.foreach { node =>
+      // untruncated schema of every node (canonicalized exprIds are
+      // normalized, so plan-object reuse still digests identically)
+      node.output.foreach(a =>
+        md.update(s"${a.name}:${a.dataType.catalogString}|".getBytes("UTF-8")))
+      node match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+        case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+          md.update(rdd.rdd.id.toString.getBytes("UTF-8"))
+        case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          rel.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths
+                .foreach(p => md.update(p.toString.getBytes("UTF-8")))
+            case other =>
+              md.update(other.toString.getBytes("UTF-8"))
+          }
+          rel.catalogTable.foreach(t =>
+            md.update(t.identifier.unquotedString.getBytes("UTF-8")))
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          md.update(v2.table.name.getBytes("UTF-8"))
+        case hive: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          md.update(hive.tableMeta.identifier.unquotedString.getBytes("UTF-8"))
+        case _ => ()
+      }
     }
     md.digest().map("%02x".format(_)).mkString
   }

@@ -59,6 +59,37 @@ case class PositionalGrams(child: Expression, k: Int, hashed: Boolean)
   * spans — no hash-truncation caveat). `< k` tokens returns 0 (callers
   * guard on word count anyway).
   */
+/** 60-bit md5-prefix LONG hash of each positional word k-gram — the
+  * shuffle-width fix for corpus-scale gram joins/aggregates (round-17
+  * directive on `text_lm_score`): the hashed-string mode above still
+  * shuffled a 32-char hex UTF8String per gram row; this emits the
+  * value the repo's SQL oracles already replay as
+  * `CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)` — 8 bytes on
+  * the wire instead of ~40, same one-pass in-place digest walk. The
+  * 60-bit space makes cross-gram collisions a 2⁻⁶⁰-per-pair class,
+  * and BOTH engines replay the identical hash, so a collision changes
+  * both answers identically (the quality_filter_linear discipline).
+  */
+case class PositionalGramHash64(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    PositionalGrams.gramHashes64(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PositionalGrams.gramHashes64($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramHash64 =
+    copy(child = newChild)
+}
+
 case class GramDistinctCount(child: Expression, k: Int)
     extends UnaryExpression {
 
@@ -143,6 +174,38 @@ object PositionalGrams {
     new GenericArrayData(out)
   }
 
+  /** The top 60 bits of md5 as a non-negative long — bit-equal to
+    * `CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)` (DuckDB)
+    * and `conv(substring(md5(gram), 1, 15), 16, 10)` (Spark SQL): 15
+    * hex nibbles = digest bytes 0..6 plus the high nibble of byte 7.
+    */
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def gramHashes64(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val starts = tokenStarts(bytes, n)
+    val nTokens = starts.length
+    if (nTokens < k) return new GenericArrayData(Array.empty[Any])
+    val m = nTokens - k + 1
+    val out = new Array[Any](m)
+    val digest = md.get()
+    var g = 0
+    while (g < m) {
+      val from = starts(g)
+      val until = if (g + k < nTokens) starts(g + k) - 1 else n
+      digest.update(bytes, from, until - from)
+      out(g) = top60(digest.digest())
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def distinctCount(text: UTF8String, k: Int): Int = {
     val bytes = text.getBytes
     val n = bytes.length
@@ -163,6 +226,9 @@ object PositionalGrams {
 
   def positional_grams(text: Column, k: Int, hashed: Boolean): Column =
     GraftBridge.column(PositionalGrams(GraftBridge.expression(text), k, hashed))
+
+  def positional_gram_hashes64(text: Column, k: Int): Column =
+    GraftBridge.column(PositionalGramHash64(GraftBridge.expression(text), k))
 
   def gram_distinct_count(text: Column, k: Int): Column =
     GraftBridge.column(GramDistinctCount(GraftBridge.expression(text), k))

@@ -60,7 +60,16 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
-      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      // SHUFFLE_HASH building the RANKS side: when the edge input is
+      // the bucketed artifact (GraphQueries round 17), the persisted
+      // eDeg already satisfies hash(src) — the iteration then
+      // exchanges only the node-sized ranks table and streams the edge
+      // side with no sort (sort-merge would re-sort the corpus-sized
+      // eDeg per iteration; broadcast would collect ranks per
+      // iteration on the driver). With an unbucketed input the hint
+      // degrades to the plain two-sided exchange it replaced.
+      val contrib = eDeg.join(
+          ranks.hint("shuffle_hash"), eDeg("src") === ranks("node"))
         .groupBy("dst")
         .agg(sum(expr("rank DIV deg")).as("contrib"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -123,7 +132,10 @@ object Graph {
 
     var ranks = seedSet.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
-      val scored = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      // same shuffle-hash-build-the-ranks-side posture as [[pagerank]]
+      // (the frontier is even smaller here — it grows from the seeds)
+      val scored = eDeg.join(
+          ranks.hint("shuffle_hash"), eDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank DIV deg").as("c"))
       // zero anchors guarantee every seed has an aggregate row even
       // with no inbound mass; map-side partial agg absorbs them free
@@ -238,15 +250,22 @@ object Graph {
     * @param edges directed (src, dst) — pass both directions for an
     *              undirected walk; any equality-comparable node type.
     * @param seeds one `node` column; distance 0 rows, deduplicated.
+    * @param assumePartitioned the input is ALREADY hash-distributed on
+    *              src (the bucketed edge artifact) — skip the one-time
+    *              pre-partition exchange, which at sf10 was the
+    *              query's largest shuffle (1.2 GB).
     * @return (node, dist) — one row per reached node.
     */
-  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      assumePartitioned: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     // pre-partition the (persisted) edge list on src: the cached
     // layout's outputPartitioning survives into every level's join, so
-    // only the (small) frontier side ever shuffles
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+    // only the (small) frontier side ever shuffles. Bucketed inputs
+    // arrive with that layout — persist verbatim.
+    val pre = edges.select(col("src"), col("dst"))
+    val e = (if (assumePartitioned) pre else pre.repartition(col("src")))
+      .persist()
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     val increments = scala.collection.mutable.ArrayBuffer(visited)

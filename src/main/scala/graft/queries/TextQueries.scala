@@ -722,7 +722,9 @@ object TextQueries {
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
         |), g AS (
-        |  SELECT doc_id, md5(words[pos] || ' ' || words[pos+1]) AS h
+        |  SELECT doc_id, CAST(concat('0x',
+        |      substr(md5(words[pos] || ' ' || words[pos+1]), 1, 15))
+        |    AS BIGINT) AS h
         |  FROM (SELECT doc_id,
         |          unnest(generate_series(1, len(words) - 1)) AS pos, words
         |        FROM w)

@@ -301,5 +301,29 @@ class EdgeCaseSpec extends SparkSpec {
     val q = Tables.documents(spark, sf).select("doc_id", "text")
     assert(Scratch.planDigest(p) === Scratch.planDigest(q),
       "two reads of one parquet table must share a key")
+    // round-17 ADVICE regression: a canonicalized parquet scan prints
+    // NO path, so two same-schema corpora at different dirs collided
+    // under the string-only digest — and the colliding key served the
+    // FIRST corpus's cached index/trained state for the second. The
+    // digest must fold the scan's physical identity (rootPaths).
+    val p2 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    assert(Scratch.planDigest(p) !== Scratch.planDigest(p2),
+      "same-schema parquet corpora at different paths must key apart")
+  }
+
+  test("Buckets dial: floor at toy scale, conf override wins, bounds enforced") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(graft.operators.Buckets.artifact(docs) ==
+      graft.operators.Buckets.DefaultFloor,
+      "a toy corpus sizes to the floor (layout unchanged at test SF)")
+    spark.conf.set("graft.artifact.buckets", "64")
+    try {
+      assert(graft.operators.Buckets.artifact(docs) == 64,
+        "the session conf must override the derived count")
+      spark.conf.set("graft.artifact.buckets", "0")
+      intercept[IllegalArgumentException](
+        graft.operators.Buckets.artifact(docs))
+    } finally spark.conf.unset("graft.artifact.buckets")
   }
 }

@@ -318,4 +318,56 @@ class GraphSpec extends SparkSpec {
     assert(graft.queries.GraphQueries.coPurchaseArtifactCount == built,
       "second consumer must reuse the artifact, not rebuild")
   }
+
+  test("trade-edge artifact builds once across pagerank and bfs") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/orders.parquet").exists)
+    val before = graft.queries.GraphQueries.edgeArtifactCount
+    assert(graft.queries.GraphQueries.pagerank(spark, sf).count() > 0)
+    val built = graft.queries.GraphQueries.edgeArtifactCount
+    assert(built <= before + 1, "first consumer builds at most one artifact")
+    assert(graft.queries.GraphQueries.bfsHops(spark, sf).count() > 0)
+    assert(graft.queries.GraphQueries.edgeArtifactCount == built,
+      "second consumer must reuse the artifact, not rebuild")
+  }
+
+  test("bucketed edge layout: the rank-iteration join exchanges ONLY the ranks side") {
+    // pins the round-17 mechanism behind the edge artifact: a scan of
+    // a src-bucketed table satisfies the join's hash requirement, so
+    // Graph.pagerank's per-iteration eDeg ⋈ ranks (shuffle_hash hint,
+    // build = ranks) plans ONE exchange — the node-sized ranks side —
+    // and streams the edge side straight off the bucket files. This is
+    // the exact join shape from Graph.pagerank's loop, reconstructed
+    // here because the loop's plans are consumed by localCheckpoint.
+    import org.apache.spark.sql.expressions.Window
+    val t = "graft_spec_bedges"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = graft.Scratch.tempDir("graft-spec-bedges-")
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+      .repartition(4, $"src")
+      .write.format("parquet").option("path", s"$dir/e")
+      .bucketBy(4, "src").sortBy("src").saveAsTable(t)
+    val e = spark.table(t)
+    val eDeg = e.withColumn("deg",
+      count(lit(1)).over(Window.partitionBy($"src")))
+    // ranks arrive UNpartitioned (in the loop they're the previous
+    // iteration's aggregate output) — here a local relation, so the
+    // one expected exchange is exactly this side
+    val ranks = Seq((1L, S), (2L, S), (3L, S)).toDF("node", "rank")
+      .repartition(3)
+    val joined = eDeg
+      .join(ranks.hint("shuffle_hash"), eDeg("src") === ranks("node"))
+    joined.collect()
+    // the AQE plan string appends an "Initial Plan" section — count
+    // exchanges only in the final executed plan
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"iteration join must be a shuffled hash join, got:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"exactly one exchange (the ranks side) expected, got $exchanges:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -119,6 +119,33 @@ class NormalizeSpec extends SparkSpec {
     }
   }
 
+  test("PositionalGramHash64 == conv(substring(md5(gram),1,15),16,10) twin") {
+    // the 60-bit long the SQL oracles replay as
+    // CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+    for (k <- Seq(1, 2, 3)) {
+      val got = df.select(
+        graft.functions.PositionalGrams
+          .positional_gram_hashes64(col("text"), k).as("kh"),
+        gramsTwin(col("text"), k, hashed = false).as("raw"))
+        .select(col("kh"),
+          transform(col("raw"), g =>
+            conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("th"))
+        .collect()
+      got.zip(cases).foreach { case (r, in) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"hash64 gram mismatch on '$in' (k=$k)")
+      }
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      graft.functions.PositionalGrams
+        .positional_gram_hashes64(col("text"), 2).as("kh"),
+      transform(gramsTwin(col("text"), 2, hashed = false), g =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("th"))
+      .where(col("kh") =!= col("th")).count()
+    assert(diff === 0L)
+  }
+
   test("GramDistinctCount: repNgramFraction == the HOF twin") {
     for (n <- Seq(2, 3)) {
       val got = df.select(

@@ -73,6 +73,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed_join tables are session artifacts: one ingest per sf dir") {
+    // round-17 directive: the bench used to pay the two bucketed
+    // ingests on EVERY run — the exact cost the operator exists to
+    // amortize. Constructing the query twice must write once.
+    val before = graft.queries.JoinQueries.bucketedArtifactCount
+    graft.queries.JoinQueries.bucketedJoin(spark, "/root/testdata/sf0.001")
+    val built = graft.queries.JoinQueries.bucketedArtifactCount
+    assert(built <= before + 1, "first call builds at most one pair")
+    graft.queries.JoinQueries.bucketedJoin(spark, "/root/testdata/sf0.001")
+    assert(graft.queries.JoinQueries.bucketedArtifactCount == built,
+      "second call must reuse the bucketed tables, not re-ingest")
+  }
+
   test("mixture sampling broadcasts the per-group fractions, never shuffles the data") {
     val p = plan("mixture_sample")
     assert(p.contains("BroadcastHashJoin"),
