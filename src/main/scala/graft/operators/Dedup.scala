@@ -677,6 +677,17 @@ object Dedup {
       s"embeddingNearDups is the exhaustive O(n²) baseline and the input has " +
         s"$n rows (cap $maxRows): that cross join is a cartesian scale-killer. " +
         "Use embeddingNearDupsLsh for large tables, or raise maxRows deliberately.")
+    embeddingNearDupsUnchecked(df, idCol, embCol, threshold)
+  }
+
+  /** [[embeddingNearDups]] WITHOUT the cap-guard count — for callers
+    * that already measured/bounded the input ([[embeddingNearDupsSampled]]
+    * counts once for its sampling rule; a second count here would be a
+    * full extra pass per invocation, round-17 ADVICE).
+    */
+  private def embeddingNearDupsUnchecked(
+      df: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
     val q = df.select(col(idCol), quantize(col(embCol)).as("q"))
       .withColumn("n2", squaredNorm(col("q")))
     val a = q.select(col(idCol).as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
@@ -715,9 +726,12 @@ object Dedup {
         col(idCol).cast("string"))), 1, 10), 16, 10).cast("long")
       df.where(u40 * lit(n) < lit(capRows * (1L << 40)))
     }
-    // binomial tail: E = capRows, sd ≈ √capRows — 2× headroom
-    embeddingNearDups(sampled, idCol, embCol, threshold,
-      maxRows = capRows * 2)
+    // the one count above already guards the bound: below the cap the
+    // sample IS df (≤ capRows rows); above it the md5 draw's binomial
+    // tail (E = capRows, sd ≈ √capRows) puts a 2× blowout at e^-Ω(cap)
+    // — not a live class at cap ≥ 64. Re-counting through the public
+    // guard cost a second full corpus pass per invocation.
+    embeddingNearDupsUnchecked(sampled, idCol, embCol, threshold)
   }
 
   /** The scale path for embedding near-dup: candidates restricted to
@@ -792,12 +806,13 @@ object Dedup {
     */
   final case class ShingleIndex(ranked: DataFrame, arr: DataFrame)
 
-  /** Bucket count of the ranked artifact. Fixed (not the session's
-    * shuffle parallelism) so every session reading the same index sees
-    * the same physical layout; at 100 TB you'd raise it with corpus
-    * size — it only has to keep a bucket's prefix rows executor-sized.
+  /** Bucket-count FLOOR of the ranked artifact; the actual count comes
+    * from the [[Buckets]] dial over the corpus plan at build time
+    * (round 17 — "raise at scale" is now executable, not prose). Never
+    * the session's shuffle parallelism: every session reading the same
+    * index must see the same physical layout.
     */
-  private val ShIdxBuckets = 32
+  private val ShIdxFloor = 32
 
   private val shIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
@@ -845,6 +860,9 @@ object Dedup {
           count(lit(1)).as("sz"))
         .write.mode("overwrite").parquet(s"$dir/arr")
       val dfreq = sh.groupBy("u").agg(count(lit(1)).as("tdf"))
+      // dial on the corpus plan (union/project stats are additive —
+      // only join/explode plans mis-estimate; a doc corpus is neither)
+      val shIdxBuckets = Buckets.artifact(df, floor = ShIdxFloor)
       val byRarity = Window.partitionBy("doc").orderBy("tdf", "u")
       // sz rides the SAME doc partitioning as the rank window (an
       // unbounded count over the sorted partition) — the earlier
@@ -873,10 +891,10 @@ object Dedup {
         .withColumn("rn", row_number().over(byRarity))
         .withColumn("sz", count(lit(1)).over(wDoc))
         .select(col("u"), col("doc"), col("sz"), col("rn"))
-        .repartition(ShIdxBuckets, col("u"))
+        .repartition(shIdxBuckets, col("u"))
         .write.mode("overwrite").format("parquet")
         .option("path", s"$dir/ranked")
-        .bucketBy(ShIdxBuckets, "u").sortBy("u")
+        .bucketBy(shIdxBuckets, "u").sortBy("u")
         .saveAsTable(tableName)
       } finally sh.unpersist()
       (tableName, dir)

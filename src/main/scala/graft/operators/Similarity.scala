@@ -704,7 +704,7 @@ object Similarity {
       nCentroids: Int = 16, probes: Int = 12, trainRounds: Int = 2,
       subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
       pqTrainRounds: Int = 1, table: String = "graft_ann_index",
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     val built = annIndexBuild(corpus, idCol, embCol, nCentroids,
       trainRounds, subspaces, dims, codebookSize, pqTrainRounds, table,
       buckets)
@@ -733,10 +733,19 @@ object Similarity {
       nCentroids: Int = 16, trainRounds: Int = 2,
       subspaces: Int = 8, dims: Int = 64, codebookSize: Int = 16,
       pqTrainRounds: Int = 1, table: String = "graft_ann_index",
-      buckets: Int = 16): AnnIndex = {
+      buckets: Int = 0): AnnIndex = {
     require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
     val dsub = dims / subspaces
     val spark = corpus.sparkSession
+    // buckets = 0 → derive: the Buckets dial over the corpus, CAPPED at
+    // nCentroids — the table is bucketed by CELL, so counts past the
+    // cell count buy nothing (cell-pruning reads whole buckets). The
+    // real scale lever is nCentroids itself (the √n rule); the dial
+    // just keeps the file layout tracking it. 16 at test SF —
+    // layout unchanged.
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.min(nCentroids, Buckets.artifact(corpus, floor = 16))
     val cents = Clustering
       .lloydCentroids(corpus, idCol, embCol, nCentroids, trainRounds)
       .select(col("cluster").cast("long"), col("cq"), col("cn2"))
@@ -754,7 +763,7 @@ object Similarity {
           .ivf_probe_cells(col("q"), cellIds, cellVecs, cellN2, 1), 1))
         .select(col(idCol), col("cell"),
           PqCodec.pq_codes(col("q"), cb, subspaces, dsub).as("codes")),
-      table, "cell", buckets)
+      table, "cell", nBuckets)
     AnnIndex(table, cellIds, cellVecs, cellN2, cb, subspaces, dsub)
   }
 

@@ -318,15 +318,20 @@ object AnalyticsQueries {
       // cross-session overwrite class)
       val table = "graft_basket_" + org.apache.commons.codec.digest
         .DigestUtils.md5Hex(key)
-      val bi = Tables.lineitem(spark, sfDir)
+      val li = Tables.lineitem(spark, sfDir)
+      val bi = li
         .select(col("l_orderkey").as("_b"), col("l_partkey").as("_i"))
         .distinct()
-      // repartition by the bucket spec's own hash so each write task
-      // emits exactly one bucket file (the ranked-shingle discipline)
-      bi.repartition(32, col("_b"))
+      // bucket count from the Buckets dial over the LEAF scan (floor
+      // 32 at test SF — layout unchanged; a 100-TB order history
+      // sizes itself); repartition by the bucket spec's own hash so
+      // each write task emits exactly one bucket file (the
+      // ranked-shingle discipline)
+      val buckets = graft.operators.Buckets.artifact(li)
+      bi.repartition(buckets, col("_b"))
         .write.mode("overwrite").format("parquet")
         .option("path", s"$dir/bi")
-        .bucketBy(32, "_b")
+        .bucketBy(buckets, "_b")
         .saveAsTable(table)
       // support counts derive FROM the artifact: one scan, one
       // catalog-sized result

@@ -300,7 +300,39 @@ object DocQueries {
     Dedup.containmentPairs(setSimCorpus(spark, sfDir),
       "doc_id", "text", shingleK = 3, tauNum = 9, tauDen = 10)
 
+  /** The dedup-dial evaluation gate (round-17 directive): precision /
+    * recall of the MinHash-LSH candidate pairs against the EXACT
+    * set-similarity truth, both over the shared set-sim corpus — the
+    * `similarity_recall` discipline applied to the dedup family. A
+    * user tuning bands/rows gets a measured sensitivity instead of
+    * folklore: truth = [[graft.operators.Dedup.prefixFilterJoin]]'s
+    * thresholded pairs (`dedup_ssjoin`, prefix filtering is exact),
+    * candidates = `dedup_minhash`'s band parameters on the SAME
+    * corpus. One row: exact integer counts plus the two rounded
+    * ratios (counts are engine-exact, so the division is too).
+    */
+  def dedupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = setSimCorpus(spark, sfDir)
+    val truth = Dedup.prefixFilterJoin(corpus, "text", "doc_id")
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_t"))
+    val cand = Dedup.minhashCandidates(corpus, "text", "doc_id",
+        shingleK = 3, numHashes = 9, rowsPerBand = 3)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("_c"), lit(0L))).as("n_candidates"),
+        sum(when(col("_t").isNotNull && col("_c").isNotNull, lit(1L))
+          .otherwise(lit(0L))).as("n_hits"))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_candidates"), 6)
+          .as("precision"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall" -> (dedupRecall _),
     "dedup_semantic" -> dedupSemantic,
     "dedup_containment" -> dedupContainment,
     "cdc_chunks" -> cdcChunks,
@@ -440,6 +472,41 @@ object DocQueries {
       |  FROM b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // truth = the ssjoin brute-force pair set (threshold verbatim);
+    // candidates = the dedup_minhash band join over the same corpus;
+    // the metrics row is pure integer counting
+    "dedup_recall" ->
+      s"""WITH $setSimCorpusCte,
+         |shr AS MATERIALIZED (${shingleRowsOver("d")}),
+         |sizes AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM shr GROUP BY doc_id),
+         |inter AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE 8 * inter >= 3 * (sa.sz + sb.sz)),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id, $sigExprs FROM shr GROUP BY doc_id),
+         |bands AS MATERIALIZED ($bandSelects),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |m AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |     FROM truth t JOIN cand c USING (doc_a, doc_b)) AS n_hits)
+         |SELECT n_truth, n_candidates, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
+         |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+         |FROM m""".stripMargin,
     "cdc_chunks" ->
       s"""WITH $cdcChunkCte,
          |h AS (

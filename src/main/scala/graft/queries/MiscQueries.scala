@@ -125,6 +125,10 @@ object MiscQueries {
   }
 
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    // the local-partition pre-merge is a session-global conf — enabled
+    // here at the query composition root, documented, never inside the
+    // sessionAgg builder (round-17 ADVICE)
+    StreamingPipeline.enableLocalSessionMerge(spark)
     val events = StreamingPipeline.readEvents(spark, sfDir)
     StreamingPipeline.runToMemory(
       StreamingPipeline.sessionAgg(events), "graft_stream_sessions")
@@ -138,10 +142,12 @@ object MiscQueries {
     */
   def streamingSessionIds(spark: SparkSession, sfDir: String): DataFrame = {
     val events = StreamingPipeline.readEvents(spark, sfDir)
-    StreamingPipeline.runToMemory(
+    // ROW-LEVEL output (one row per event) → the parquet file sink:
+    // the memory sink's driver-side collect WAS the round-16
+    // "driver-bound 22 s" residual at sf10 — see runToParquet
+    StreamingPipeline.runToParquet(
       StreamingPipeline.sessionIds(events).toDF(),
-      "graft_stream_session_ids",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      "session-ids")._1
       .select("event_id", "user_id", "ts", "session_id")
   }
 
@@ -422,15 +428,20 @@ object MiscQueries {
       graft.Scratch.tempDir("graft-fmt-"))
     graft.sources.Sinks.orc(docs, s"$base/orc")
     graft.sources.Sinks.jsonl(docs, s"$base/jsonl")
+    graft.sources.Sinks.avro(docs, s"$base/avro")
     val schema = docs.schema
     val fromOrc = spark.read.schema(schema).orc(s"$base/orc")
       .select(col("doc_id"), md5(col("text")).as("text_hash"),
         col("n_chars"))
     val fromJson = spark.read.schema(schema).json(s"$base/jsonl")
       .select(col("doc_id"), md5(col("text")).as("j_hash"))
-    fromOrc.join(fromJson, Seq("doc_id"))
+    val fromAvro = spark.read.schema(schema).format(graft.sources.Sinks.AvroFormat)
+      .load(s"$base/avro")
+      .select(col("doc_id"), md5(col("text")).as("a_hash"))
+    fromOrc.join(fromJson, Seq("doc_id")).join(fromAvro, Seq("doc_id"))
       .select(col("doc_id"), col("text_hash"), col("n_chars"),
-        (col("text_hash") === col("j_hash")).cast("int").as("jsonl_match"))
+        (col("text_hash") === col("j_hash")).cast("int").as("jsonl_match"),
+        (col("text_hash") === col("a_hash")).cast("int").as("avro_match"))
   }
 
   /** Streaming twin of [[shardBalance]]'s assignment half: the
@@ -743,7 +754,7 @@ object MiscQueries {
         |FROM g""".stripMargin,
     "format_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_hash, n_chars,
-        |  1 AS jsonl_match
+        |  1 AS jsonl_match, 1 AS avro_match
         |FROM documents""".stripMargin,
     "streaming_shard_balance" ->
       """SELECT CAST(concat('0x', substr(md5('shard:' ||

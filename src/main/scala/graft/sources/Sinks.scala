@@ -56,6 +56,18 @@ object Sinks {
   def jsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Avro sink — the row-oriented interchange format of Kafka/streaming
+    * producers (the third leg of the format gate, round-17 directive).
+    * Spark 4 ships the implementation inside spark-sql but does NOT
+    * register the "avro" short name in DataSourceRegister (the
+    * lookup's special case still points at the external module), so
+    * address the FileFormat by class.
+    */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def avro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat).save(path)
+
   /** Overwrite a parquet path that the writing plan may itself be
     * reading (the geo-cache upsert, reference elb_logs.py:225). Spark
     * cannot overwrite an input in place, so write to a sibling temp dir

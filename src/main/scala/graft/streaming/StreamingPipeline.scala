@@ -51,18 +51,25 @@ object StreamingPipeline {
     * the batch `{key}_s{n}` format use [[sessionIds]], whose
     * oracle-verified twin is the `streaming_session_ids` query.
     */
-  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
-    // pre-collapse events into per-key candidate sessions WITHIN the
-    // micro-batch before the state store sees them (round-16 directive
-    // on the state floor): Spark's local-partition session merge folds
-    // each partition's events into merged session rows map-side, so
-    // state operations scale with sessions, not events — the
-    // aggregation analog of map-side combine. Off by default upstream
-    // only because it adds a per-partition sort; our batches are
-    // event-heavy per key, the profitable regime.
-    events.sparkSession.conf.set(
+  /** Enable the local-partition session pre-merge — collapses each
+    * micro-batch partition's events into merged candidate sessions
+    * MAP-SIDE before the state store sees them (round-16 directive:
+    * state operations then scale with sessions, not events — the
+    * aggregation analog of map-side combine; off upstream only because
+    * of the added per-partition sort, and our batches are event-heavy
+    * per key). This is a SESSION-GLOBAL physical-planning conf with no
+    * per-query scope, so it is set HERE, explicitly, by the query
+    * composition roots that want it — never as a hidden side effect
+    * inside a pure-looking builder (round-17 ADVICE). It is
+    * semantics-preserving for every other streaming query, so the
+    * one-way latch is safe.
+    */
+  def enableLocalSessionMerge(spark: SparkSession): Unit =
+    spark.conf.set(
       "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
       "true")
+
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     events.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -470,5 +477,31 @@ object StreamingPipeline {
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     (df.sparkSession.table(name), q)
+  }
+
+  /** [[runToMemory]] for ROW-LEVEL streaming output: a parquet FILE
+    * sink plus read-back. The memory sink collects every output row
+    * into driver memory single-threaded — fine for the aggregate twins
+    * (output ≈ group count), pathological for per-event output: the
+    * round-16 sf10 anchor read `streaming_session_ids` at 25.1 s wall
+    * against 58 task-seconds, and the unattributed 22 s was exactly
+    * the driver-side collect of the ~10M-row result. A row-level
+    * streaming output at scale goes to FILES, written by executors in
+    * parallel — the memory sink is a test harness device, not a
+    * production shape. Append-mode only (the file sink's contract).
+    *
+    * Fresh scratch dir per run (file sinks can't overwrite their own
+    * checkpoint/_spark_metadata); dirs die with the JVM via Scratch.
+    */
+  def runToParquet(df: DataFrame, name: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val dir = graft.Scratch.tempDir(s"graft-stream-$name-")
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (df.sparkSession.read.parquet(s"$dir/out"), q)
   }
 }

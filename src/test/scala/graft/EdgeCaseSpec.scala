@@ -273,15 +273,18 @@ class EdgeCaseSpec extends SparkSpec {
     ).toDF("doc_id", "text", "n_chars")
     graft.sources.Sinks.orc(docs, s"$tmp/orc")
     graft.sources.Sinks.jsonl(docs, s"$tmp/jsonl")
+    graft.sources.Sinks.avro(docs, s"$tmp/avro")
     val schema = docs.schema
     def slurp(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else r.getString(1))).toMap
     val o = slurp(spark.read.schema(schema).orc(s"$tmp/orc"))
     val j = slurp(spark.read.schema(schema).json(s"$tmp/jsonl"))
+    val a = slurp(spark.read.schema(schema).format(graft.sources.Sinks.AvroFormat).load(s"$tmp/avro"))
     val direct = slurp(docs)
     assert(o == direct, "ORC must round-trip byte-exactly")
     assert(j == direct, "JSONL must round-trip byte-exactly")
+    assert(a == direct, "Avro must round-trip byte-exactly")
   }
 
   test("planDigest: distinct corpora key apart, identical plans key together") {

@@ -356,6 +356,7 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").distinct().count()
     def updated(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum
+    StreamingPipeline.enableLocalSessionMerge(spark)
     val (sess, q1) = StreamingPipeline.runToMemoryWithQuery(
       StreamingPipeline.sessionAgg(StreamingPipeline.readEvents(spark, sf)),
       "supd_sessions", OutputMode.Append())
