@@ -16,12 +16,24 @@ import org.apache.spark.sql.functions._
   * oracle by hash. The quantization error is ~1/scale per hop —
   * irrelevant at scale=1e9 — and, unlike FP error, deterministic.
   *
-  * Scale posture: each iteration is the canonical two-shuffle plan
-  * (ranks re-key to the edge src distribution, contributions reduce by
-  * dst) with map-side partial sums; edges and degrees are computed once,
-  * persisted, and reused across iterations. Lineage is cut with
-  * `localCheckpoint` every few rounds so long runs don't accumulate a
-  * thousand-stage plan (same pattern as Dedup.connectedComponents).
+  * Scale posture (round 17 — the CSR step): the walks iterate over a
+  * per-call ADJACENCY table — `(src, dsts array, deg)`, one row per
+  * node, built by a single `collect_list` aggregate that plans NO
+  * exchange when the input is the src-bucketed edge artifact — instead
+  * of the flat edge list. Each iteration's join then probes |V| rows,
+  * not |E| (the sf10 trade graph: 1.6M vs 110M), `rank DIV deg`
+  * executes once per NODE, and the edge-sized work that remains is the
+  * post-join `explode` feeding the map-combining dst aggregate — a
+  * straight-line generate inside the same codegen stage, no hash table
+  * in sight. Per-iteration shuffle is the node-sized ranks exchange
+  * plus the |V|-bounded aggregation partials; the edge side never
+  * moves. Hub caveat at extreme scale: one row holds a node's whole
+  * neighbor list, so a 10⁸-degree hub is a GB-row — chunk such rows
+  * (several rows per src carrying the TRUE total deg) before the loop;
+  * contributions are exact integer sums, so chunking is
+  * semantics-free. Lineage is cut with `localCheckpoint` every few
+  * rounds so long runs don't accumulate a thousand-stage plan (same
+  * pattern as Dedup.connectedComponents).
   */
 object Graph {
 
@@ -44,34 +56,36 @@ object Graph {
       iterations: Int,
       scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 0 && scale % 20 == 0, "need scale % 20 == 0 for an exact 0.15 term")
-    val e = edges.select(col("src"), col("dst"))
+    // the adjacency (CSR) table: one row per node with its full
+    // out-neighbor array. On the src-bucketed edge artifact the
+    // aggregate plans NO exchange; on a generic input it costs the one
+    // src-keyed shuffle the old degree window paid anyway. List order
+    // is partition-arrival order — irrelevant: everything downstream
+    // is an exact integer SUM over the elements.
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(collect_list(col("dst")).as("dsts"))
+      .withColumn("deg", size(col("dsts")).cast("long"))
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    // degrees attach via ONE window exchange (count over the src
-    // partition — WindowExec still plans a per-partition sort on src,
-    // but there is no SECOND shuffle like the groupBy + join shape
-    // needs) — and the persisted result is hash-partitioned on src,
-    // exactly what every iteration's ranks join wants
-    val eDeg = e.withColumn("deg", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .persist()
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(explode(col("dsts")).as("node"))).distinct().persist()
     val teleport = scale / 20 * 3 // exact 0.15 * scale
 
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
-      // SHUFFLE_HASH building the RANKS side: when the edge input is
-      // the bucketed artifact (GraphQueries round 17), the persisted
-      // eDeg already satisfies hash(src) — the iteration then
-      // exchanges only the node-sized ranks table and streams the edge
-      // side with no sort (sort-merge would re-sort the corpus-sized
-      // eDeg per iteration; broadcast would collect ranks per
-      // iteration on the driver). With an unbucketed input the hint
-      // degrades to the plain two-sided exchange it replaced.
-      val contrib = eDeg.join(
-          ranks.hint("shuffle_hash"), eDeg("src") === ranks("node"))
+      // SHUFFLE_HASH building the RANKS side: the persisted adjacency
+      // satisfies hash(src) (from its own aggregate / the bucketed
+      // scan), so the iteration exchanges only the node-sized ranks
+      // table and probes |V| adjacency rows (sort-merge would re-sort
+      // per iteration; broadcast would collect ranks per iteration on
+      // the driver). Each node's share `rank DIV deg` is computed ONCE,
+      // then the explode fans it out to the neighbors map-side,
+      // straight into the partial dst aggregate — the edge-sized path
+      // is one generate + combine inside a single codegen stage.
+      val contrib = adj.join(
+          ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
+        .select(expr("rank DIV deg").as("c"), explode(col("dsts")).as("dst"))
         .groupBy("dst")
-        .agg(sum(expr("rank DIV deg")).as("contrib"))
+        .agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(
           nodes("node"),
@@ -81,9 +95,9 @@ object Graph {
     }
     // materialize the result, then release the per-call caches — a
     // long-lived session invoking pagerank repeatedly must not pin
-    // three dead DataFrames in executor storage per call
+    // dead DataFrames in executor storage per call
     val out = ranks.localCheckpoint()
-    e.unpersist(); nodes.unpersist(); eDeg.unpersist()
+    adj.unpersist(); nodes.unpersist()
     out
   }
 
@@ -116,17 +130,18 @@ object Graph {
       scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 0 && scale % 20 == 0,
       "need scale % 20 == 0 for an exact 0.15 term")
-    val e = edges.select(col("src"), col("dst")).persist()
     // tiny by contract (the teleport target set); materialized once so
     // the per-iteration broadcast + anchor union don't recompute its
     // upstream, and so out-of-graph seeds cost nothing in the loop
     val seedSet = seeds.toDF("node").distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    // same one-exchange degree attach as [[pagerank]]
-    val eDeg = e.withColumn("deg", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // same per-call adjacency as [[pagerank]] — exchange-free on the
+    // bucketed artifact, |V| probe rows per iteration
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(collect_list(col("dst")).as("dsts"))
+      .withColumn("deg", size(col("dsts")).cast("long"))
       .persist()
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(explode(col("dsts")).as("node"))).distinct().persist()
     val teleport = scale / 20 * 3
     val seedFlag = seedSet.withColumn("_seed", lit(true))
 
@@ -134,9 +149,10 @@ object Graph {
     for (i <- 1 to iterations) {
       // same shuffle-hash-build-the-ranks-side posture as [[pagerank]]
       // (the frontier is even smaller here — it grows from the seeds)
-      val scored = eDeg.join(
-          ranks.hint("shuffle_hash"), eDeg("src") === ranks("node"))
-        .select(col("dst"), expr("rank DIV deg").as("c"))
+      val scored = adj.join(
+          ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
+        .select(expr("rank DIV deg").as("c"), explode(col("dsts")).as("dst"))
+        .select(col("dst"), col("c"))
       // zero anchors guarantee every seed has an aggregate row even
       // with no inbound mass; map-side partial agg absorbs them free
       val anchored = scored.unionByName(
@@ -158,7 +174,7 @@ object Graph {
     val out = nodes.join(ranks, Seq("node"), "left")
       .select(col("node"), coalesce(col("rank"), lit(0L)).as("rank"))
       .localCheckpoint()
-    e.unpersist(); nodes.unpersist(); eDeg.unpersist()
+    adj.unpersist(); nodes.unpersist()
     out
   }
 
@@ -251,20 +267,26 @@ object Graph {
     *              undirected walk; any equality-comparable node type.
     * @param seeds one `node` column; distance 0 rows, deduplicated.
     * @param assumePartitioned the input is ALREADY hash-distributed on
-    *              src (the bucketed edge artifact) — skip the one-time
-    *              pre-partition exchange, which at sf10 was the
-    *              query's largest shuffle (1.2 GB).
+    *              src (the bucketed edge artifact). Since the round-17
+    *              adjacency build, the collect_list aggregate makes the
+    *              layout decision itself (no exchange on a bucketed
+    *              input, one src-keyed shuffle otherwise), so the flag
+    *              is documentation of the input's provenance rather
+    *              than a plan switch.
     * @return (node, dist) — one row per reached node.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       assumePartitioned: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    // pre-partition the (persisted) edge list on src: the cached
-    // layout's outputPartitioning survives into every level's join, so
-    // only the (small) frontier side ever shuffles. Bucketed inputs
-    // arrive with that layout — persist verbatim.
-    val pre = edges.select(col("src"), col("dst"))
-    val e = (if (assumePartitioned) pre else pre.repartition(col("src")))
+    // per-call adjacency (the [[pagerank]] CSR step): the collect_list
+    // aggregate plans no exchange on a src-bucketed input and exactly
+    // the one src-keyed shuffle `assumePartitioned=false` used to pay
+    // via repartition — the flag is now informational only. Every
+    // level's expansion join then probes |V| rows, not |E|, and the
+    // persisted layout satisfies hash(src) either way, so only the
+    // (small) frontier side ever shuffles.
+    val e = edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(collect_list(col("dst")).as("dsts"))
       .persist()
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
@@ -283,7 +305,7 @@ object Graph {
       // ambiguity without a lineage-cutting materialization
       val next = frontier.toDF("_fnode")
         .join(e, col("_fnode") === col("src"))
-        .select(col("dst").as("node")).distinct()
+        .select(explode(col("dsts")).as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .persist()

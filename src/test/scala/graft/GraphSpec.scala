@@ -333,13 +333,13 @@ class GraphSpec extends SparkSpec {
 
   test("bucketed edge layout: the rank-iteration join exchanges ONLY the ranks side") {
     // pins the round-17 mechanism behind the edge artifact: a scan of
-    // a src-bucketed table satisfies the join's hash requirement, so
-    // Graph.pagerank's per-iteration eDeg ⋈ ranks (shuffle_hash hint,
-    // build = ranks) plans ONE exchange — the node-sized ranks side —
-    // and streams the edge side straight off the bucket files. This is
-    // the exact join shape from Graph.pagerank's loop, reconstructed
-    // here because the loop's plans are consumed by localCheckpoint.
-    import org.apache.spark.sql.expressions.Window
+    // a src-bucketed table satisfies the adjacency aggregate's hash
+    // requirement (collect_list plans NO exchange over the bucket
+    // files), and the rank-iteration join (shuffle_hash hint, build =
+    // ranks) then plans ONE exchange — the node-sized ranks side. This
+    // is the exact adjacency + join shape from Graph.pagerank's loop,
+    // reconstructed here because the loop's plans are consumed by
+    // localCheckpoint.
     val t = "graft_spec_bedges"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val dir = graft.Scratch.tempDir("graft-spec-bedges-")
@@ -349,15 +349,15 @@ class GraphSpec extends SparkSpec {
       .write.format("parquet").option("path", s"$dir/e")
       .bucketBy(4, "src").sortBy("src").saveAsTable(t)
     val e = spark.table(t)
-    val eDeg = e.withColumn("deg",
-      count(lit(1)).over(Window.partitionBy($"src")))
+    val adj = e.groupBy($"src").agg(collect_list($"dst").as("dsts"))
+      .withColumn("deg", size($"dsts").cast("long"))
     // ranks arrive UNpartitioned (in the loop they're the previous
     // iteration's aggregate output) — here a local relation, so the
     // one expected exchange is exactly this side
     val ranks = Seq((1L, S), (2L, S), (3L, S)).toDF("node", "rank")
       .repartition(3)
-    val joined = eDeg
-      .join(ranks.hint("shuffle_hash"), eDeg("src") === ranks("node"))
+    val joined = adj
+      .join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
     joined.collect()
     // the AQE plan string appends an "Initial Plan" section — count
     // exchanges only in the final executed plan
