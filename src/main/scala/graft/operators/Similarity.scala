@@ -487,8 +487,6 @@ object Similarity {
     require(k <= 32, s"k must be <= 32 (un-checkpointed greedy lineage), got $k")
     require(lambda10 >= 0 && lambda10 <= 10, s"lambda10 in [0,10], got $lambda10")
     import graft.functions.LongArrayDot.long_dot
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
     def simc(dotC: Column, n2a: Column, n2b: Column): Column =
       floor(dotC.cast("double")
         / sqrt(n2a.cast("double") * n2b.cast("double")) * lit(1e6)).cast("long")
@@ -508,59 +506,89 @@ object Similarity {
       Seq("query_id"))
       .select(col("query_id"), col("neighbor_id").as("cid"),
         col("cosine").cast("long").as("rel"))
-      .localCheckpoint()
 
-    // candidate vectors + all within-pool pairwise sims (≤ poolSize²/query)
+    // ONE grouped pass replaces the k-round DataFrame loop (round 17):
+    // a query's pool is ≤ poolSize candidates BY CONSTRUCTION, so the
+    // within-pool pairwise sims (≤ poolSize² ≤ 1024 values) and the
+    // greedy selection fit trivially in one task — the k iterations of
+    // joins/windows/anti-joins were 30+ scheduler round-trips of fixed
+    // overhead per call (sf0.1: 31 jobs, wall 4.9 s against 16 task-
+    // seconds) for work a single pass does in microseconds, and at any
+    // scale the per-query state this pass holds is the same bounded
+    // pool the old loop shuffled k times. The corpus scan, the TopK
+    // pool aggregate, and the one query_id exchange stay the codegen
+    // hot path; only the bounded per-group greedy runs as a closure.
+    // Arithmetic is the SAME expression sequence (exact Long dot,
+    // sqrt of the double norm product, floor(·1e6)) with the SAME
+    // tie-breaks (first pick rel desc → cid asc; later picks score
+    // desc → cid asc), so the output is bit-identical to the loop's.
     val pv = c.join(broadcast(pool), col("neighbor_id") === col("cid"))
-      .select(col("query_id"), col("cid"), col("rel"), col("qc"), col("n2c"))
-      .localCheckpoint()
-    val x = pv.select(col("query_id"), col("cid").as("a"),
-      col("qc").as("qa"), col("n2c").as("n2a"))
-    val y = pv.select(col("query_id").as("_qy"), col("cid").as("b"),
-      col("qc").as("qb"), col("n2c").as("n2b"))
-    val pairs = x.join(broadcast(y),
-        col("query_id") === col("_qy") && col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("b"),
-        simc(long_dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("sab"))
-      .localCheckpoint()
-
-    var sel = pool
-      .withColumn("_rn", row_number().over(w.orderBy(col("rel").desc, col("cid"))))
-      .where(col("_rn") === 1)
-      .select(col("query_id"), col("cid"), col("rel"),
-        lit(0L).as("penalty"), lit(1).as("mmr_rank"))
-    var rem = pool.join(sel.select("query_id", "cid"),
-        Seq("query_id", "cid"), "left_anti")
-    var t = 2
-    while (t <= k) {
-      val penalties = rem.as("r")
-        .join(pairs.as("p"),
-          col("r.query_id") === col("p.query_id") && col("r.cid") === col("p.a"))
-        .join(sel.select(col("query_id").as("_sq"), col("cid").as("_sc")),
-          col("p.query_id") === col("_sq") && col("p.b") === col("_sc"))
-        .groupBy(col("r.query_id").as("query_id"), col("r.cid").as("cid"),
-          col("r.rel").as("rel"))
-        .agg(max(col("p.sab")).as("penalty"))
-      val pick = penalties
-        .withColumn("_score",
-          lit(lambda10.toLong) * col("rel") -
-            lit((10 - lambda10).toLong) * col("penalty"))
-        .withColumn("_rn",
-          row_number().over(w.orderBy(col("_score").desc, col("cid"))))
-        .where(col("_rn") === 1)
-        .select(col("query_id"), col("cid"), col("rel"), col("penalty"),
-          lit(t).as("mmr_rank"))
-      // the loop frames stay un-checkpointed on purpose: they hold
-      // |Q|·poolSize rows with lineage bounded by k (<=5 joins deep),
-      // and unioning LogicalRDD checkpoints trips Union's constraint
-      // rewrite (key-not-found on a stale attribute)
-      sel = sel.union(pick)
-      rem = rem.join(pick.select("query_id", "cid"),
-          Seq("query_id", "cid"), "left_anti")
-      t += 1
-    }
-    sel.select(col("query_id"), col("cid").as("neighbor_id"),
-      col("mmr_rank"), col("rel"), col("penalty"))
+      .select(col("query_id").cast("long").as("_1"),
+        col("cid").cast("long").as("_2"), col("rel").as("_3"),
+        col("qc").as("_4"), col("n2c").as("_5"))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val lam = lambda10.toLong
+    pv.as[(Long, Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray // ≤ poolSize rows by pool construction
+        val n = cands.length
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        // same value as simc: floor(dot / sqrt(n2a·n2b) · 1e6)
+        def sab(i: Int, j: Int): Long =
+          math.floor(dot(cands(i)._4, cands(j)._4).toDouble
+            / math.sqrt(cands(i)._5.toDouble * cands(j)._5.toDouble)
+            * 1e6).toLong
+        val out = scala.collection.mutable
+          .ArrayBuffer.empty[(Long, Long, Int, Long, Long)]
+        if (n > 0) {
+          val selected = new Array[Int](math.min(k, n))
+          val isSel = new Array[Boolean](n)
+          var best = -1
+          var i = 0
+          while (i < n) { // first pick: rel desc, cid asc
+            if (best < 0 || cands(i)._3 > cands(best)._3 ||
+                (cands(i)._3 == cands(best)._3 && cands(i)._2 < cands(best)._2))
+              best = i
+            i += 1
+          }
+          selected(0) = best; isSel(best) = true
+          out += ((qid, cands(best)._2, 1, cands(best)._3, 0L))
+          var nSel = 1
+          var t = 2
+          while (t <= k && nSel < n) {
+            var bi = -1; var bScore = 0L; var bPen = 0L
+            var ci = 0
+            while (ci < n) {
+              if (!isSel(ci)) {
+                var pen = Long.MinValue
+                var si = 0
+                while (si < nSel) {
+                  val p = sab(ci, selected(si))
+                  if (p > pen) pen = p
+                  si += 1
+                }
+                val score = lam * cands(ci)._3 - (10L - lam) * pen
+                if (bi < 0 || score > bScore ||
+                    (score == bScore && cands(ci)._2 < cands(bi)._2)) {
+                  bi = ci; bScore = score; bPen = pen
+                }
+              }
+              ci += 1
+            }
+            selected(nSel) = bi; isSel(bi) = true; nSel += 1
+            out += ((qid, cands(bi)._2, t, cands(bi)._3, bPen))
+            t += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_rank", "rel", "penalty")
   }
 
   /** Product-quantization ADC search — the memory-side ANN lever IVF
