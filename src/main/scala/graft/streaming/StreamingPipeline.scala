@@ -69,6 +69,28 @@ object StreamingPipeline {
       "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
       "true")
 
+  /** Point every checkpoint surface (offset/commit logs, file-source
+    * and file-sink metadata logs, state store deltas/snapshots) at
+    * [[org.apache.spark.sql.execution.streaming.checkpointing
+    * .NioCheckpointFileManager]] — round 17. Without the Hadoop native
+    * library, Hadoop's local filesystems FORK a `chmod` per
+    * permissioned create/mkdir and write `.crc` siblings per file;
+    * state-store provider inits serialize those forks under the global
+    * `loadedProviders` lock (thread dump: 31/32 task threads queued
+    * behind one `Shell.runCommand`). The NIO manager keeps the same
+    * atomic-rename contract through plain syscalls. Session-global by
+    * nature (the conf is read per started query), so it is set HERE,
+    * explicitly, by the run entry points — never inside a query
+    * builder; deployments checkpointing to HDFS/S3 must not enable it
+    * (the manager fail-louds on non-local paths). Set-if-absent so an
+    * operator's explicit choice of manager wins.
+    */
+  def enableNioCheckpoints(spark: SparkSession): Unit =
+    if (spark.conf.getOption(
+        "spark.sql.streaming.checkpointFileManagerClass").isEmpty)
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.NioCheckpointFileManager")
+
   def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     events.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -448,7 +470,8 @@ object StreamingPipeline {
   def cacheRefreshStream(
       logs: DataFrame,
       cachePath: String,
-      provider: graft.sources.GeoProvider): org.apache.spark.sql.streaming.StreamingQuery =
+      provider: graft.sources.GeoProvider): org.apache.spark.sql.streaming.StreamingQuery = {
+    enableNioCheckpoints(logs.sparkSession)
     logs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
@@ -458,6 +481,7 @@ object StreamingPipeline {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Run a streaming DataFrame to completion over static input
     * (Trigger.AvailableNow + memory sink) and return the result — the
@@ -473,6 +497,7 @@ object StreamingPipeline {
   def runToMemoryWithQuery(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete())
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    enableNioCheckpoints(df.sparkSession)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -495,6 +520,7 @@ object StreamingPipeline {
     */
   def runToParquet(df: DataFrame, name: String)
       : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    enableNioCheckpoints(df.sparkSession)
     val dir = graft.Scratch.tempDir(s"graft-stream-$name-")
     val q = df.writeStream.format("parquet")
       .option("path", s"$dir/out")
