@@ -99,14 +99,47 @@ object VecQueries {
           coalesce(col("hits"), lit(0L)).as("hits"),
           (coalesce(col("hits"), lit(0L)).cast("double") / 5).as("recall_at_5"))
     }
-    recall(topkLsh(spark, sfDir), "lsh")
-      .unionByName(recall(topkIvf(spark, sfDir), "ivf"))
-      .unionByName(recall(topkLshMp(spark, sfDir), "lsh_mp"))
-      .unionByName(recall(topkIvfMp(spark, sfDir), "ivf_mp"))
-      .unionByName(recall(topkIvfMp8(spark, sfDir), "ivf_mp8"))
-      .unionByName(recall(topkIvfTrain(spark, sfDir), "ivf_train"))
-      .unionByName(recall(topkPq(spark, sfDir), "pq"))
-      .unionByName(recall(topkIvfPq(spark, sfDir), "ivfpq"))
+    // the eight arms are INDEPENDENT: each one's construction runs its
+    // own small eager jobs (index training collects, localCheckpoints,
+    // scoring passes behind broadcast builds), and composing them
+    // serially left the scheduler draining ~58 little jobs one at a
+    // time (sf0.1 warm profile: 7.8 s wall, 80 task-seconds, par_eff
+    // 0.39). Constructing the arms from a small thread pool overlaps
+    // those job chains (guide §2.6 back-fill); the UNION order stays
+    // the fixed literal list below, so the result frame — and every
+    // row in it — is byte-identical to the serial composition. The
+    // trained-state memos the arms share are TrieMaps: a cold-session
+    // race can at worst compute one memo entry twice (deterministic
+    // value; one copy wins), never corrupt it.
+    parallelArms(Seq(
+      "lsh" -> (() => recall(topkLsh(spark, sfDir), "lsh")),
+      "ivf" -> (() => recall(topkIvf(spark, sfDir), "ivf")),
+      "lsh_mp" -> (() => recall(topkLshMp(spark, sfDir), "lsh_mp")),
+      "ivf_mp" -> (() => recall(topkIvfMp(spark, sfDir), "ivf_mp")),
+      "ivf_mp8" -> (() => recall(topkIvfMp8(spark, sfDir), "ivf_mp8")),
+      "ivf_train" -> (() => recall(topkIvfTrain(spark, sfDir), "ivf_train")),
+      "pq" -> (() => recall(topkPq(spark, sfDir), "pq")),
+      "ivfpq" -> (() => recall(topkIvfPq(spark, sfDir), "ivfpq"))))
+  }
+
+  /** Construct independent ladder arms concurrently and union them in
+    * the GIVEN order. Wall time of a ladder query becomes ~max(arm)
+    * instead of Σ(arms); results are identical because union order is
+    * the literal arm order and each arm is self-contained. Pool size 4:
+    * enough in-flight job chains to back-fill task-launch gaps, few
+    * enough that arms don't starve each other (guide §2.6).
+    */
+  private def parallelArms(
+      arms: Seq[(String, () => DataFrame)]): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val futs = arms.map { case (_, build) => Future(build()) }
+      futs.map(Await.result(_, 15.minutes)).reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** Reciprocal rank of each ANN method's FIRST true neighbor per
@@ -131,10 +164,13 @@ object VecQueries {
           when(col("first_hit_rank").isNull, lit(0.0))
             .otherwise(lit(1.0) / col("first_hit_rank")).as("rr"))
     }
-    mrr(topkIvfTrain(spark, sfDir), "ivf_train")
-      .unionByName(mrr(topkPq(spark, sfDir), "pq"))
-      .unionByName(mrr(topkIvfPq(spark, sfDir), "ivfpq"))
-      .unionByName(mrr(topkLshMp(spark, sfDir), "lsh_mp"))
+    // same overlapped-arms device as [[similarityRecall]]: fixed union
+    // order, concurrent construction of the four independent arms
+    parallelArms(Seq(
+      "ivf_train" -> (() => mrr(topkIvfTrain(spark, sfDir), "ivf_train")),
+      "pq" -> (() => mrr(topkPq(spark, sfDir), "pq")),
+      "ivfpq" -> (() => mrr(topkIvfPq(spark, sfDir), "ivfpq")),
+      "lsh_mp" -> (() => mrr(topkLshMp(spark, sfDir), "lsh_mp"))))
   }
 
   /** Reciprocal-rank fusion of the two multi-probe ANN rankings
