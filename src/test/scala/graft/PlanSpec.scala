@@ -239,6 +239,12 @@ class PlanSpec extends SparkSpec {
       "similarity_mrr" -> "inherited broadcast centroid routing + truth query fan-out from the method arms",
       "similarity_rrf" -> "inherited from its ivf_mp input (broadcast centroid routing)",
       "similarity_topk" -> "broadcast query-set fan-out, bounded-heap rank",
+      // round 17: the single-pass MMR no longer localCheckpoints its
+      // pool, so the pool builder's broadcast |Q|-row !=-theta-join
+      // (the similarity_topk device, BuildRight over the 10-query
+      // side) is now visible in the final plan instead of running
+      // behind an eager materialization — same join, same audit
+      "mmr_diversify" -> "broadcast query fan-out of the candidate-pool builder (post-checkpoint-removal visibility)",
       "hybrid_retrieval" -> "inherited from its dense arm (similarity_topk's broadcast 1-query fan-out)",
       "split_temporal" -> "crossJoin of the single broadcast (min,max) bounds row",
       "t_closeness" -> "crossJoin of the broadcast ≤m-row sensitive-domain list (the class × value EMD grid) + the broadcast 1-row global total",
